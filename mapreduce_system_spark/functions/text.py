@@ -1,0 +1,119 @@
+"""Text-analysis column expressions (tokenize, quality, lang-id, fingerprint).
+
+Word tokenization matches the reference's word-count contract
+(README.MD:25-53: split document text on non-word characters, lowercase,
+drop empties). Every function here is a pure Column expression — JVM-side,
+codegen-friendly, no Python in the hot path — and each has an exact ANSI-SQL
+twin used by the DuckDB oracle (see ``__spark_entry__.oracle_sql``).
+
+Scale notes: token explosion multiplies row count by average token count;
+downstream aggregations rely on Catalyst's partial aggregation (map-side
+combine — the feature the reference deliberately omits, README.MD:31-38) so
+shuffled bytes stay proportional to distinct keys, not total tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\W+"
+
+# Tiny per-language stopword marker sets for the heuristic language scorer.
+# Chosen to be regex-safe and identical in the DuckDB oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS = ("the", "a", "and", "is", "of", "to", "in", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased word tokens with empties removed — the reference's map step."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace/punctuation token count (BPE-ish proxy: words + digits)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings — the dedup/LSH unit.
+
+    Built from built-ins only: tokens → transform over sliding offsets →
+    concat. Returns distinct shingles (set semantics for Jaccard).
+    """
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length features.
+
+    Returns named Columns so callers pick what to project. All ratios are
+    double, rounded by the caller for oracle comparison.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ratio": (n_punct / F.greatest(n_chars, F.lit(1))).cast("double"),
+        "stopword_ratio": (n_stop / F.greatest(n_tok, F.lit(1))).cast("double"),
+        "mean_word_len": mean_wlen,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score from the features (deterministic)."""
+    feats = quality_features(text)
+    length_ok = F.when((feats["n_tokens"] >= 10) & (feats["n_tokens"] <= 100000), 1.0).otherwise(0.0)
+    stop_ok = F.when(feats["stopword_ratio"] >= 0.01, 1.0).otherwise(0.0)
+    punct_ok = F.when(feats["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
+    return ((length_ok + stop_ok + punct_ok) / F.lit(3.0)).cast("double")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language marker-word hit counts.
+
+    Ties break by fixed language order (en, es, de, fr, und) — the DuckDB
+    oracle encodes the identical CASE cascade, so results match exactly.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # build CASE en > es > de > fr
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized token stream.
+
+    Normalization = lowercase, collapse non-word runs to single spaces, trim.
+    md5 exists in both Spark and DuckDB, so the oracle checks it exactly.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\W+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,33 @@
+"""Physical-plan assertions used by tests and perf iteration.
+
+The reference has no optimizer (SURVEY.md §4) — these helpers exist to
+verify that Catalyst actually delivers what the reference lacked: predicate
+pushdown into parquet scans, broadcast joins for dimension tables, and
+whole-stage codegen over the hot expressions. Tests call them so a future
+refactor that silently breaks pushdown fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if the parquet scan carries at least one pushed filter."""
+    plan = formatted_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Count WholeStageCodegen spans — wider/fewer is better."""
+    return formatted_plan(df).count("WholeStageCodegen")

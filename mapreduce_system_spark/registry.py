@@ -1,0 +1,166 @@
+"""Query registry: every implemented operator, paired with its DuckDB oracle.
+
+Each entry is a named (spark, sf_dir) -> DataFrame callable plus (where
+SQL-expressible) an ANSI-SQL twin the driver runs in DuckDB over the same
+parquet tables. Conventions that make the value-hash comparison exact:
+
+- every computed column is aliased identically on both sides;
+- double outputs are ``round(x, k)`` on both sides;
+- temporal outputs are formatted to strings / epoch bigints;
+- DuckDB ``SUM(int)`` returns HUGEINT → oracle casts to BIGINT to match
+  Spark's long;
+- every query has a deterministic total order where order matters
+  (unique tie-break keys), though the driver's hash is order-insensitive.
+
+Citations: each query's docstring points at the reference behavior it
+re-expresses (SURVEY.md §2 inventory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mapreduce_system_spark.functions import text as TXT
+from mapreduce_system_spark.functions import vectors as VEC
+from mapreduce_system_spark.operators import mapreduce as MR
+from mapreduce_system_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2a MapReduce-core workloads (the reference's own surface)
+# ---------------------------------------------------------------------------
+
+_WORD_COUNT_SQL = r"""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY word
+"""
+
+
+@register("mr_word_count", _WORD_COUNT_SQL)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's worked word-count example (README.MD:25-53)."""
+    return MR.word_count(load_table(spark, sf_dir, "documents", columns=["text"]))
+
+
+_GREP_PATTERN = r"table (scan|sort)"
+
+_GREP_SQL = rf"""
+SELECT doc_id, text FROM documents WHERE regexp_matches(text, '{_GREP_PATTERN}')
+ORDER BY doc_id
+"""
+
+
+@register("mr_grep", _GREP_SQL)
+def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (OSDI'04 §2 workload; reference cites paper README.MD:5)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return MR.grep(docs, _GREP_PATTERN).orderBy("doc_id")
+
+
+_SORT_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price,
+       CAST(row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rnk
+FROM lineitem
+ORDER BY rnk
+LIMIT 100
+"""
+
+
+@register("mr_sort_topn", _SORT_SQL)
+def q_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sort (paper workload; per-partition sort in worker.go:153).
+
+    Global order encoded in ``rnk`` so the order-insensitive hash still
+    verifies ordering. Unique tie-break (orderkey, linenumber) keeps it
+    deterministic. limit+orderBy compiles to TakeOrderedAndProject — the
+    scalable top-n physical op (no global single-partition sort).
+    """
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    return (
+        li.orderBy(*order)
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(W.orderBy(*order)))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
+_INVERTED_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT word, doc_id
+  FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word, doc_id FROM documents)
+  WHERE word <> ''
+)
+SELECT word,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pairs GROUP BY word ORDER BY word
+"""
+
+
+@register("mr_inverted_index", _INVERTED_SQL)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index / reverse-link-graph (OSDI'04 §2 workload)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    idx = MR.inverted_index(docs)
+    return idx.select(
+        "word",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ",").alias("postings"),
+        F.col("df").alias("n_docs"),
+    ).orderBy("word")
+
+
+_KEYCOUNT_SQL = """
+SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("mr_key_count", _KEYCOUNT_SQL)
+def q_key_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/key access-frequency count (OSDI'04 §2 workload)."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_type"])
+    return MR.key_access_count(ev, "event_type")
+
+
+_FOLD_SQL = """
+SELECT l_orderkey,
+       string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS folded,
+       count(*) AS n_values
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+@register("mr_per_key_fold", _FOLD_SQL)
+def q_per_key_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference reduce contract: full sorted value list per key folded to a
+    string (worker.go:161-165)."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    return MR.per_key_fold(li, "l_orderkey", "l_linenumber")

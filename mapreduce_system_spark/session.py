@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+The reference runtime hand-rolls its data plane (per-task shuffle files,
+``worker.go:105-118``) and control plane (RPC pull scheduling,
+``coordinator.go:84-104``). On Spark both are configuration, not code; the
+knobs below are the ones that matter for correctness of the DuckDB oracle
+comparison (UTC timestamps) and for scale (AQE, partial-agg-friendly shuffle
+sizing, Arrow for the Pandas-UDF slow path).
+
+Scale notes (100 TB design stance):
+- AQE is on: runtime coalescing + skew-join splitting replace hand-tuned
+  ``spark.sql.shuffle.partitions`` per query. On a real cluster the static
+  value below is a floor, not a target — AQE re-plans from runtime stats.
+- ``maxPartitionBytes`` 128 MB keeps scan tasks in the 16-64 MB..128 MB band
+  the reference assumed for map splits (README.MD:58).
+- Arrow enabled: any Pandas-UDF operator (similarity, multimodal) moves
+  columnar batches, never pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapreduce_system_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    so tests, bench.py and the driver share one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # events.ts is parquet TIMESTAMP(NANOS) (TESTDATA fixture); Spark has
+        # no nanosecond timestamp type, so read as long and convert in
+        # sources.tables.load_table (floor to microseconds — same truncation
+        # DuckDB applies, keeping the oracle comparison exact).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,53 @@
+"""Partitioned sinks with atomic commit.
+
+The reference's sink writes ``"key value\\n"`` lines to per-partition tmp
+files which the single-committer coordinator renames to ``mr-out-<R>`` only
+after completion (``worker.go:154-170``, ``coordinator.go:50-79``,
+README.MD:98-102). Hadoop's FileOutputCommitter (v1) used by every
+``df.write`` implements exactly that tmp-directory + rename protocol, so
+atomicity/idempotence under task retry is inherited, not re-built.
+
+Scale notes: `n_partitions` maps to the reference's `nReduce` (one output
+file per reduce partition, README.MD:72). For 100 TB outputs prefer
+`write_parquet` with `partition_by` (hive-style partition pruning for
+readers) and never `coalesce(1)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_text(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    value_col: str,
+    n_partitions: int | None = None,
+    sep: str = " ",
+) -> None:
+    """Reference-shaped text sink: `key value` lines, one file per partition.
+
+    Mirrors `mr-out-<R>` (``worker.go:167``: space-separated line per KV;
+    hash-partitioned by key per ``worker.go:107-110``; sorted within each
+    partition per ``worker.go:153``).
+    """
+    out = df.select(
+        F.concat_ws(sep, F.col(key_col).cast("string"), F.col(value_col).cast("string")).alias("value"),
+        F.col(key_col).alias("__k"),
+    )
+    if n_partitions:
+        out = out.repartition(n_partitions, "__k")
+    out.sortWithinPartitions("__k").select("value").write.mode("overwrite").text(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).csv(path, header=header)

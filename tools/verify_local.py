@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf directory, then compares row count, column names,
+and order-insensitive values. Usage:
+
+    python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from mapreduce_system_spark.session import get_spark  # noqa: E402
+from mapreduce_system_spark.sources.tables import TABLES  # noqa: E402
+
+
+def normalize(df):
+    """pandas frame → sorted-by-all-columns, columns sorted by name."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {took:.1f}s)")
+            if len(sdf) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        if len(s) != len(o):
+            failures.append(name)
+            print(f"FAIL {name}: rows spark={len(s)} duckdb={len(o)}")
+            continue
+        if list(s.columns) != list(o.columns):
+            failures.append(name)
+            print(f"FAIL {name}: cols spark={list(s.columns)} duckdb={list(o.columns)}")
+            continue
+        mismatch = None
+        for c in s.columns:
+            sv, ov = s[c].astype(str).values, o[c].astype(str).values
+            bad = (sv != ov).nonzero()[0]
+            if len(bad):
+                i = int(bad[0])
+                mismatch = f"col {c} row {i}: spark={sv[i]!r} duckdb={ov[i]!r} ({len(bad)} diffs)"
+                break
+        if mismatch:
+            failures.append(name)
+            print(f"FAIL {name}: {mismatch}")
+        else:
+            print(f"PASS {name} ({len(s)} rows, {took:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
