@@ -1,0 +1,77 @@
+"""Bench harness: time every registered query at the bench scale factor.
+
+Runs each ``__spark_entry__.queries()`` entry on
+``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and prints ONE JSON line::
+
+    {"metric": "total_query_wall", "value": <sum sec>, "unit": "sec",
+     "queries": {"mr_word_count": 1.23, ...}, "sf": 0.1}
+
+Each query's plan is fully executed through the ``noop`` sink (whole plan
+runs, nothing is collected to the driver — the same shape a cluster write
+would have). A JVM warm-up query runs first so per-query numbers measure
+the engine, not session startup. Per BASELINE.md §(c) the first recorded
+run seeds the regression bar; later rounds must stay within 2×.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from mapreduce_system_spark.session import get_spark  # noqa: E402
+
+
+def run_to_completion(df) -> int:
+    """Execute the full physical plan without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("bench")
+    # Warm up the JVM / codegen / parquet footer caches outside the clock.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            run_to_completion(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "total_query_wall",
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -50,9 +50,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """
     toks = tokens(text)
     k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    idx = F.sequence(F.lit(0), k - 1)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(grams)
+    # Guard short docs: sequence(0, k-1) with k<1 would yield a descending
+    # range and slice(start=0) raises — emit an empty shingle set instead.
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def quality_features(text: Column | str) -> dict[str, Column]:

@@ -115,7 +115,6 @@ def per_key_fold(
             ).alias("folded"),
             F.count("*").alias("n_values"),
         )
-        .orderBy(key_col)
     )
 
 
@@ -149,9 +148,12 @@ def map_reduce(
     pairs = spark.createDataFrame(pair_rdd, "key string, value string")
     reduce_udf = F.udf(lambda k, vs: reducef(k, list(vs)), "string")
     return (
-        pairs.repartition(n_reduce, "key")
-        .groupBy("key")
+        pairs.groupBy("key")
         .agg(F.array_sort(F.collect_list("value")).alias("values"))
         .select("key", reduce_udf(F.col("key"), F.col("values")).alias("value"))
+        # nReduce controls *output* partitioning (one file per reduce
+        # partition, worker.go:167); applying it before groupBy would be a
+        # wasted extra shuffle (groupBy re-shuffles to shuffle.partitions).
+        .repartition(n_reduce, "key")
         .sortWithinPartitions("key")
     )

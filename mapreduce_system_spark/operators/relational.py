@@ -79,6 +79,6 @@ def set_op_counts(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         tag(a.union(b).distinct(), "union")
         .unionByName(tag(a.intersect(b), "intersect"))
-        .unionByName(tag(a.exceptAll(b).distinct(), "except"))
+        .unionByName(tag(a.subtract(b), "except"))
         .orderBy("op")
     )

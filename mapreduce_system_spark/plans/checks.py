@@ -19,9 +19,13 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
-    """True if the parquet scan carries at least one pushed filter."""
+    """True if at least one parquet scan carries a pushed filter.
+
+    Checked per scan — a multi-scan plan (joins) may legitimately have
+    other scans with no pushable predicate.
+    """
     plan = formatted_plan(df)
-    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    return any(not seg.startswith("]") for seg in plan.split("PushedFilters: [")[1:])
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
