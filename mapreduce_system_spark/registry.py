@@ -164,3 +164,9 @@ def q_per_key_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     string (worker.go:161-165)."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
     return MR.per_key_fold(li, "l_orderkey", "l_linenumber")
+
+
+# Domain query modules (relational / LLM-pipeline / temporal / streaming /
+# multimodal) self-register on import — keep this at the bottom so
+# ``register`` and the core MR queries above already exist.
+from mapreduce_system_spark import queries as _queries  # noqa: E402,F401

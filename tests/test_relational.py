@@ -1,0 +1,76 @@
+"""Relational operators: semantics + physical-plan assertions.
+
+The plan assertions are the 100 TB guard rails: a refactor that silently
+loses the broadcast (dimension join becomes a shuffle) or loses predicate
+pushdown fails here, not in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.operators import relational as REL
+from mapreduce_system_spark.plans import checks
+from mapreduce_system_spark.queries import relational as QREL
+
+
+def test_broadcast_join_plan_is_broadcast_only(spark, sf_dir):
+    df = QREL.q_broadcast_join(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_semi_join_pushes_predicate(spark, sf_dir):
+    df = QREL.q_semi_join(spark, sf_dir)
+    assert checks.has_pushed_filters(df)
+
+
+def test_star_pricing_pushes_shipdate(spark, sf_dir):
+    df = QREL.q_star_pricing(spark, sf_dir)
+    assert checks.has_pushed_filters(df)
+    # scan must be pruned to the 6 needed columns, not the full table
+    plan = checks.formatted_plan(df)
+    assert "l_comment" not in plan
+
+
+def test_semi_anti_partition_universe(spark, sf_dir):
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    hits = spark.createDataFrame([(2,), (9,)], ["k2"])
+    semi = REL.semi_join(cust, hits, cust.k == hits.k2)
+    anti = REL.anti_join(cust, hits, cust.k == hits.k2)
+    assert sorted(r.k for r in semi.collect()) == [2]
+    assert sorted(r.k for r in anti.collect()) == [1, 3]
+
+
+def test_top_k_per_group_exact(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 7), ("b", 2)], ["g", "v"]
+    )
+    out = REL.top_k_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    got = sorted((r.g, r.v, r.rn) for r in out.collect())
+    assert got == [("a", 3, 2), ("a", 5, 1), ("b", 2, 2), ("b", 7, 1)]
+
+
+def test_set_op_counts_ansi_semantics(spark):
+    # duplicates in input must not leak into distinct set-op counts
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(3,), (4,)], ["k"])
+    got = {r.op: r.cnt for r in REL.set_op_counts(a, b).collect()}
+    assert got == {"union": 4, "intersect": 1, "except": 2}
+
+
+def test_running_agg_cumulative(spark):
+    df = spark.createDataFrame([("x", 1, 10.0), ("x", 2, 5.0), ("x", 3, 1.0)], ["g", "t", "v"])
+    out = REL.running_agg(df, ["g"], [F.col("t")], "v")
+    got = [r.running_sum for r in out.orderBy("t").collect()]
+    assert got == [10.0, 15.0, 16.0]
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    from mapreduce_system_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey"])
+    exact = li.agg(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.01)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
