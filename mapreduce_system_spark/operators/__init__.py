@@ -7,9 +7,8 @@
 - ``relational`` — joins / aggregations / windows / set ops / grouping sets
   over the TPC-H-ish star schema (MapReduce-expressible per the paper §2;
   absent as code in the reference — SURVEY.md §2b).
-- ``dedup``      — exact + MinHash-LSH + SimHash + n-gram-Jaccard +
-  embedding-cosine near-dup (north-star LLM-pipeline extension).
-- ``similarity`` — brute-force and LSH-bucketed top-k embedding search.
-- ``asof``       — as-of and range joins (no Spark builtin; composed from
-  union+window / bucketed equi-join).
+- ``dedup``      — exact + MinHash-LSH + SimHash + n-gram-Jaccard
+  near-dup (north-star LLM-pipeline extension).
+- ``similarity`` — brute-force, IVF, and LSH-bucketed top-k embedding
+  search + blocked embedding-cosine near-dup pairs.
 """

@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+North-star LLM-pipeline surface (BASELINE.json north_star; absent in the
+reference, whose only text workload is word count README.MD:25-53). Every
+operator is expressed as DataFrame transformations — hash aggregations and
+equi-joins — so Catalyst plans them as shuffles on bounded keys. There is
+**no all-pairs comparison anywhere**: candidate generation is always an
+equi-join (shared shingle, shared LSH band, shared SimHash band), which is
+the only shape that survives 100 TB.
+
+Scale notes:
+- ``exact_dedup``: one hash aggregation on a 128-bit fingerprint. Skew-free
+  (fingerprints are uniform); shuffle volume = distinct docs.
+- ``jaccard_pairs``: the shingle-share join explodes ~L shingles/doc; a
+  stop-shingle appearing in D docs contributes D² candidate pairs — cap it
+  with ``max_shingle_df`` (drops shingles shared by more than that many
+  docs; standard stop-gram trick) at corpus scale.
+- ``minhash_lsh_pairs``: fixed 128-hash signature per doc regardless of doc
+  length; banding turns near-dup search into b equi-joins on 64-bit band
+  keys. Candidates are verified with the exact Jaccard before emission, so
+  precision is exact and only recall is probabilistic (1-(1-s^r)^b).
+- ``simhash_pairs``: one 64-bit signature per doc; the banded join bounds
+  candidate generation the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by normalized-content fingerprint, keep min-id.
+
+    Returns one row per distinct content: (fp, survivor_id, n_copies).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle_set) — the unit both Jaccard variants share."""
+    return df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sg")).where(
+        F.size("sg") > 0
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the shingle-share equi-join.
+
+    Candidates = pairs sharing ≥1 shingle (inverted-index join — never
+    all-pairs); |A∩B| falls out of the join group count; |A|/|B| join back
+    from per-doc sizes. ``max_shingle_df`` drops stop-shingles to bound the
+    join's skew at corpus scale (alters recall only for pairs whose every
+    shared shingle is a stop-shingle — i.e. templates).
+    """
+    sets = shingle_sets(df, n, text_col, id_col).cache()
+    sizes = sets.select("id", F.size("sg").alias("sz"))
+    exploded = sets.select("id", F.explode("sg").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature columns.
+
+    hᵢ(doc) = min over shingles of xxhash64(shingle, i) — deterministic
+    (no random coefficients; the seed is the hash-function index), so
+    results are reproducible run-to-run and machine-to-machine.
+    """
+    exploded = shingle_sets(df, n, text_col, id_col).select(
+        "id", F.explode("sg").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified.
+
+    Pipeline: signature → band keys (b = num_hashes/r equi-join keys) →
+    same-band candidate pairs → exact Jaccard verification ≥ threshold.
+    Precision is exact; recall = 1-(1-s^r)^b (r=2, b=64 ⇒ >99.99% at
+    s=0.5). Candidate volume scales with docs-per-band-bucket, never n².
+    """
+    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    n_bands = num_hashes // rows_per_band
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)], F.lit(b)
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    bands = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # Exact verification on candidates only: join back the shingle sets.
+    sets = shingle_sets(df, n, text_col, id_col)
+    out = (
+        candidates.join(sets.select(F.col("id").alias("id_a"), F.col("sg").alias("sg_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sg_a", "sg_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sg_a") + F.size("sg_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over term frequencies: (id, simhash).
+
+    bit i of the signature = sign of Σ_tokens tf · (±1 by bit i of
+    xxhash64(token)). One aggregation pass with 64 sum expressions — no
+    Python, no per-row loops.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("th", F.xxhash64("token"))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * F.when(F.shiftrightunsigned("th", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tf.groupBy("id").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Banded search: split the 64-bit signature into 4×16-bit bands; any pair
+    within Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so the
+    candidate set is 4 equi-joins on 16-bit band keys — never all-pairs.
+    """
+    sig = simhash(df, text_col, id_col)
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

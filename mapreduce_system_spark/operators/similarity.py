@@ -1,0 +1,184 @@
+"""Similarity search over ``array<float>`` embedding columns.
+
+North-star LLM-pipeline surface (BASELINE.json north_star). Three tiers,
+all pure DataFrame ops (cosine is the JVM-side fold from
+``functions.vectors`` — no Python in the hot path):
+
+- ``brute_force_topk`` — exact: broadcast the (small) query set, score
+  every (query, vector) pair, rank per query. O(N·Q·d) flops,
+  embarrassingly parallel, zero shuffle of the corpus side; the baseline
+  every approximate method is measured against. Right answer at any corpus
+  size *when Q is small*.
+- ``ivf_topk`` — approximate: partition the corpus by a coarse quantizer
+  (here: the precomputed cluster/label column; at 100 TB a k-means
+  assignment), probe the ``nprobe`` nearest centroids per query, exact
+  cosine within probed partitions only. Turns the scan into an equi-join
+  on partition id — the classic IVF trade (recall vs fraction scanned).
+- ``lsh_bucket_topk`` — approximate: random-hyperplane (SimHash-for-
+  vectors) bucketing; candidates = same-bucket equi-join. Deterministic
+  planes derived from a fixed seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mapreduce_system_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query via broadcast cross join.
+
+    The query side is broadcast (BroadcastNestedLoopJoin) so the corpus is
+    scanned once with no shuffle; the per-query ranked window shuffles only
+    the scored rows (N·Q), partitioned by query id.
+    """
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe the nprobe nearest coarse
+    centroids per query, exact cosine within probed partitions.
+
+    Centroids are the per-partition mean vectors (computed here with one
+    aggregation; at 100 TB they come from a sampled k-means and the
+    partition column is the assignment). The corpus side is touched via an
+    equi-join on the partition id — scanned fraction ≈ nprobe/n_partitions.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    centroids = (
+        corpus.select(partition_col, *[F.col(vec_col)[i].alias(f"c{i}") for i in range(dim)])
+        .groupBy(partition_col)
+        .agg(*[F.avg(f"c{i}").alias(f"c{i}") for i in range(dim)])
+        .select(partition_col, F.array(*[f"c{i}" for i in range(dim)]).alias("centroid"))
+    )
+    probe_w = W.partitionBy(query_id_col).orderBy(F.col("cdist").desc(), F.col(partition_col))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            query_vec_col,
+            partition_col,
+            cosine(F.col(query_vec_col), F.col("centroid")).alias("cdist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= nprobe)
+        .select(query_id_col, query_vec_col, partition_col)
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), partition_col)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-bucket LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec, planes: list[list[float]]):
+    """Bucket id = sign-bit pattern of the vector against each plane."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane buckets: candidates are the
+    query's own bucket (equi-join on bucket id), then exact cosine + rank.
+
+    Recall rises as n_planes falls (bigger buckets); at scale use several
+    independent tables (seeds) and union the candidates.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    q_bucketed = queries.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes))
+    scored = (
+        bucketed.join(F.broadcast(q_bucketed), "bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
+
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks: equi-join on the blocking
+    column (cluster/label/shard), exact cosine ≥ threshold.
+
+    Blocking is what makes pairwise near-dup feasible at scale — candidates
+    are same-block pairs, never the full n² cross product. With no natural
+    block, derive one (IVF assignment or LSH bucket)."""
+    a = corpus.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = corpus.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

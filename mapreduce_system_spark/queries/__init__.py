@@ -9,4 +9,4 @@ MapReduce-core workloads (the reference's own surface) live in
 
 from __future__ import annotations
 
-from mapreduce_system_spark.queries import relational  # noqa: F401
+from mapreduce_system_spark.queries import dedup, relational, similarity  # noqa: F401

@@ -1,0 +1,76 @@
+"""Dedup operators: planted-duplicate semantics + LSH recall guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mapreduce_system_spark.operators import dedup as DD
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+
+
+def test_exact_dedup_normalization(spark):
+    # same content modulo case/punctuation/whitespace → one group, min-id survivor
+    df = docs_df(spark, ["Hello, World! a b c", "hello   world A B C", "other text here x"])
+    got = {r.survivor_id: r.n_copies for r in DD.exact_dedup(df).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_jaccard_pairs_known_value(spark):
+    # doc0/doc1 share 3 of 5 distinct 3-shingles; doc2 shares none
+    df = docs_df(
+        spark,
+        [
+            "a b c d e f",  # shingles: abc bcd cde def
+            "a b c d e zz",  # shingles: abc bcd cde dezz
+            "q w e r t y",
+        ],
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.jaccard_pairs(df, threshold=0.1).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert abs(pairs[(0, 1)] - 3 / 5) < 1e-9
+
+
+def test_jaccard_short_doc_no_crash(spark):
+    # regression: shingles() on a doc shorter than n must not abort the job
+    df = docs_df(spark, ["one two", "a b c d e", ""])
+    assert DD.jaccard_pairs(df, threshold=0.1).count() == 0
+
+
+def test_minhash_lsh_matches_exact(spark, sf_dir):
+    from mapreduce_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    exact = {
+        (r.id_a, r.id_b) for r in DD.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert lsh == exact  # precision exact by construction; recall 1 at r=2,b=64
+    assert len(exact) > 0  # corpus has planted near-dups — test is non-vacuous
+
+
+def test_simhash_near_identical_docs(spark):
+    df = docs_df(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again",
+            "completely different content about databases and query engines",
+        ],
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in DD.simhash_pairs(df, max_hamming=3).collect()}
+    assert pairs == {(0, 1): 0}
+
+
+def test_max_shingle_df_caps_hot_shingles(spark):
+    # every doc shares the template shingle run; capping df kills those candidates
+    template = "copyright notice footer"
+    df = docs_df(spark, [f"{template} unique{i} content{i} words{i} here{i}" for i in range(10)])
+    uncapped = DD.jaccard_pairs(df, threshold=0.05).count()
+    capped = DD.jaccard_pairs(df, threshold=0.05, max_shingle_df=5).count()
+    assert uncapped > 0 and capped == 0

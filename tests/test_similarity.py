@@ -1,0 +1,78 @@
+"""Similarity search: exactness of brute force, recall of IVF/LSH."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.functions.vectors import cosine
+from mapreduce_system_spark.operators import similarity as SIM
+from mapreduce_system_spark.sources.tables import load_table
+
+
+def _queries(emb, n=10):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_cosine_self_similarity_and_symmetry(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [3.0, 2.0, 1.0])], ["a", "b"])
+    row = df.select(
+        cosine(F.col("a"), F.col("a")).alias("self"),
+        cosine(F.col("a"), F.col("b")).alias("ab"),
+        cosine(F.col("b"), F.col("a")).alias("ba"),
+        cosine(F.col("a"), F.array([F.lit(0.0)] * 3)).alias("zero"),
+    ).collect()[0]
+    assert abs(row.self - 1.0) < 1e-12
+    assert abs(row.ab - row.ba) < 1e-15
+    assert row.zero == 0.0
+
+
+def test_brute_force_topk_is_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    got = SIM.brute_force_topk(emb, _queries(emb, 3), k=2).collect()
+    # verify one query against a hand computation
+    rows = {(r.query_id, r.rn): (r.vec_id, r.cos) for r in got}
+    assert len(rows) == 6
+    # top-1 must have cosine >= top-2 for each query
+    for q in range(3):
+        assert rows[(q, 1)][1] >= rows[(q, 2)][1]
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q = _queries(emb, 10)
+    exact = {
+        (r.query_id, r.vec_id) for r in SIM.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in SIM.ivf_topk(emb, q, k=5, nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall} collapsed"
+
+
+def test_lsh_candidates_share_bucket_and_rank_correctly(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _queries(emb, 5)
+    got = SIM.lsh_bucket_topk(emb, q, k=5, n_planes=4).collect()
+    assert len(got) > 0
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rn, r.cos))
+    for rows in by_q.values():
+        rows.sort()
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_cosine_dup_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.01], 0),   # near-dup of 1, same block
+            (3, [0.0, 1.0], 0),    # same block, dissimilar
+            (4, [1.0, 0.0], 1),    # identical to 1 but different block → not a candidate
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {(r.id_a, r.id_b) for r in SIM.cosine_dup_pairs(df, threshold=0.95).collect()}
+    assert got == {(1, 2)}
