@@ -101,10 +101,13 @@ def lang_id(text: Column | str) -> Column:
     """
     col = F.col(text) if isinstance(text, str) else text
     toks = tokens(col)
-    scores = {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # NB: a default-arg lambda breaks here — PySpark binds a lambda
+        # variable to every parameter it sees, including defaults.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     for lang in reversed(list(LANG_MARKERS)):  # build CASE en > es > de > fr

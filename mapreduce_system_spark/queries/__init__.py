@@ -9,4 +9,9 @@ MapReduce-core workloads (the reference's own surface) live in
 
 from __future__ import annotations
 
-from mapreduce_system_spark.queries import dedup, relational, similarity  # noqa: F401
+from mapreduce_system_spark.queries import (  # noqa: F401
+    dedup,
+    relational,
+    similarity,
+    textstats,
+)

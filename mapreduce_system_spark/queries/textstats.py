@@ -1,0 +1,230 @@
+"""Registered text-analysis queries over the documents corpus.
+
+Every Spark-side expression in ``functions.text`` was written to be
+oracle-matchable; these queries prove it — the DuckDB SQL replicates the
+token algebra (split/filter/ratio/CASE) step for step, and ratios are
+rounded identically on both sides.
+
+Scale notes: all of these are scan + per-row JVM expressions + one bounded
+aggregation — the cheapest possible shapes. TF-IDF shuffles (doc,term)
+pairs twice (df computation + join), both on the term key where partial
+aggregation collapses zipfian skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.functions import text as TXT
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+
+# DuckDB fragments mirroring functions.text primitives.
+_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"
+_STOPLIST = "['" + "', '".join(TXT.STOPWORDS) + "']"
+
+
+_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         {_TOKS} AS ts
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         n_chars,
+         len(ts) AS n_tokens,
+         n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(ts, t -> list_contains({_STOPLIST}, t)))::DOUBLE
+           / greatest(len(ts), 1) AS stopword_ratio,
+         CASE WHEN len(ts) > 0
+              THEN list_sum(list_transform(ts, t -> length(t)))::DOUBLE / len(ts)
+              ELSE 0.0 END AS mean_word_len
+  FROM base
+)
+SELECT doc_id,
+       n_chars,
+       n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@register("txt_quality_profile", _QUALITY_SQL)
+def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score — pure JVM column
+    expressions, one scan, no shuffle (ordering aside)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    feats = TXT.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(TXT.quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _marker_score_sql(lang: str) -> str:
+    markers = "['" + "', '".join(TXT.LANG_MARKERS[lang]) + "']"
+    return f"len(list_filter(ts, t -> list_contains({markers}, t)))"
+
+
+_LANG_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS ts FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         {_marker_score_sql('en')} AS s_en,
+         {_marker_score_sql('es')} AS s_es,
+         {_marker_score_sql('de')} AS s_de,
+         {_marker_score_sql('fr')} AS s_fr
+  FROM toks
+), pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+              WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+              WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+              WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+              ELSE 'und' END AS predicted
+  FROM scores
+)
+SELECT lang, predicted, count(*) AS cnt
+FROM pred
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+@register("txt_lang_confusion", _LANG_SQL)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion matrix against the corpus's labeled
+    lang column (marker-word argmax with fixed tie order)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return (
+        docs.select("lang", TXT.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_TOKEN_STATS_SQL = rf"""
+WITH t AS (SELECT source, len({_TOKS}) AS n FROM documents)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n), 4) AS avg_tokens,
+       CAST(min(n) AS BIGINT) AS min_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens,
+       count(*) AS n_docs
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("txt_token_stats", _TOKEN_STATS_SQL)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count statistics per source — the corpus-profiling pass every
+    training-data pipeline runs first."""
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    n = TXT.token_count("text")
+    return (
+        docs.select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.round(F.avg("n"), 4).alias("avg_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# TF-IDF with the smooth-idf formula: idf = ln((N+1)/(df+1)) + 1.
+_TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT word,
+       round(avg(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 6) AS avg_tfidf,
+       CAST(max(df) AS BIGINT) AS df
+FROM tf JOIN df USING (word) CROSS JOIN n
+GROUP BY word
+ORDER BY avg_tfidf DESC, word
+LIMIT 20
+"""
+
+
+@register("txt_tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by mean TF-IDF (smooth idf). Two shuffles on the term
+    key; df side is broadcast back (vocabulary ≪ corpus)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .groupBy("word")
+        .agg(
+            F.round(F.avg(F.col("tf") * idf), 6).alias("avg_tfidf"),
+            F.max("df").alias("df"),
+        )
+        .orderBy(F.col("avg_tfidf").desc(), "word")
+        .limit(20)
+    )
+
+
+_BIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT unnest(list_distinct([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))])) AS bigram
+  FROM toks
+  WHERE len(ts) >= 2
+)
+SELECT bigram, count(*) AS n_docs
+FROM grams
+GROUP BY bigram
+ORDER BY n_docs DESC, bigram
+LIMIT 20
+"""
+
+
+@register("txt_top_bigrams", _BIGRAM_SQL)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by document frequency (distinct per doc — the n-gram
+    profile used for shingle/boilerplate analysis)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        docs.select(F.explode(TXT.shingles("text", n=2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "bigram")
+        .limit(20)
+    )

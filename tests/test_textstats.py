@@ -1,0 +1,60 @@
+"""Text-analysis column functions: exact semantics on hand-built docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.functions import text as TXT
+
+
+def one(spark, text, expr):
+    df = spark.createDataFrame([Row(text=text)])
+    return df.select(expr.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    assert one(spark, "Hello, world! 123", TXT.token_count("text")) == 3
+    assert one(spark, "", TXT.token_count("text")) == 0
+
+
+def test_shingles_boundaries(spark):
+    assert one(spark, "a b c d", TXT.shingles("text", 3)) == ["a b c", "b c d"]
+    assert one(spark, "a b", TXT.shingles("text", 3)) == []  # shorter than n
+    assert one(spark, "", TXT.shingles("text", 3)) == []
+    # distinct semantics
+    assert one(spark, "x y z x y z x y z", TXT.shingles("text", 3)) == [
+        "x y z", "y z x", "z x y"
+    ]
+
+
+def test_quality_features_ratios(spark):
+    df = spark.createDataFrame([Row(text="the cat!!")])
+    feats = TXT.quality_features("text")
+    row = df.select(
+        feats["n_chars"].alias("nc"),
+        feats["n_tokens"].alias("nt"),
+        feats["punct_ratio"].alias("pr"),
+        feats["stopword_ratio"].alias("sr"),
+        feats["mean_word_len"].alias("mw"),
+    ).collect()[0]
+    assert row.nc == 9 and row.nt == 2
+    assert abs(row.pr - 2 / 9) < 1e-9   # two '!' of 9 chars
+    assert abs(row.sr - 0.5) < 1e-9     # 'the' of 2 tokens
+    assert abs(row.mw - 3.0) < 1e-9     # (3+3)/2
+
+
+def test_lang_id_markers_and_ties(spark):
+    assert one(spark, "the dog is here", TXT.lang_id("text")) == "en"
+    assert one(spark, "el gato de la casa y", TXT.lang_id("text")) == "es"
+    assert one(spark, "der hund und die katze ist", TXT.lang_id("text")) == "de"
+    assert one(spark, "xyz qqq zzz", TXT.lang_id("text")) == "und"
+    # tie (one marker each) breaks by fixed order en > es
+    assert one(spark, "the el", TXT.lang_id("text")) == "en"
+
+
+def test_fingerprint_normalization(spark):
+    a = one(spark, "Hello,   World!", TXT.fingerprint("text"))
+    b = one(spark, "hello world", TXT.fingerprint("text"))
+    c = one(spark, "hello worlds", TXT.fingerprint("text"))
+    assert a == b and a != c
