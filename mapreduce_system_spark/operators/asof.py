@@ -1,0 +1,89 @@
+"""As-of and range (band) joins — no Spark builtin; composed from
+primitives (SURVEY.md §7 P4, the one genuinely hard reference-absent op).
+
+``asof_join`` uses the union + partitioned-window formulation:
+
+1. tag right rows (carry payload) and left rows (payload null), union;
+2. one window per key ordered by (time, right-first at ties);
+3. ``last(payload, ignoreNulls=True)`` over unbounded-preceding..current
+   propagates the most recent right payload forward;
+4. keep left rows.
+
+This is one shuffle on the join key + one per-partition sort — the same
+cost as a sort-merge join, with per-key (not global) ordering, so it
+scales like any keyed window. Equal timestamps match (right sorts before
+left at ties), i.e. ``right_time <= left_time`` semantics — identical to
+DuckDB/kdb ASOF JOIN, which the oracle uses.
+
+``range_join`` joins a fact column into literal bands via broadcast —
+Catalyst plans BroadcastNestedLoopJoin with the band predicate, which is
+the right physical plan when the band table is small (always, for bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right payload with
+    ``right[right_time] <= left[left_time]`` within the same ``on`` key.
+
+    ``right`` must be unique per (on, right_time) — pre-aggregate ties
+    first (see ``latest_per_key_time``) to keep results deterministic.
+    Returns all left columns + payload_cols (null when no prior right row).
+    """
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__r"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__r"),
+        F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
+        *payload_cols,
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__r").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = lt.unionByName(rt).select(
+        "__r",
+        "__left",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.where(F.col("__r") == 0).select("__left.*", *payload_cols)
+
+
+def latest_per_key_time(
+    df: DataFrame, key: str, time_col: str, tiebreak: str
+) -> DataFrame:
+    """Deduplicate to one row per (key, time): max-tiebreak survivor."""
+    w = W.partitionBy(key, time_col).orderBy(F.col(tiebreak).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band join: fact rows matched to [lo, hi) intervals (broadcast)."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond)

@@ -13,5 +13,6 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     dedup,
     relational,
     similarity,
+    temporal,
     textstats,
 )
