@@ -13,6 +13,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     dedup,
     relational,
     similarity,
+    streaming,
     temporal,
     textstats,
 )

@@ -1,0 +1,130 @@
+"""Batch twins of the streaming window operators, DuckDB-oracled.
+
+DuckDB can't execute a stream, so the correctness strategy (SURVEY.md §5)
+is streaming-batch parity: these queries run the *same functions* from
+``streaming.windows`` on the batch events table and carry exact SQL
+oracles; tests/test_streaming.py then drives the identical functions
+through a real file-source stream and asserts the results match batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+from mapreduce_system_spark.streaming import windows as SW
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+_TUMBLING_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{_TS_FMT_DUCK}') AS w_start,
+       event_type,
+       count(*) AS cnt
+FROM events
+GROUP BY w_start, event_type
+ORDER BY w_start, event_type
+"""
+
+
+@register("stream_tumbling_event_counts", _TUMBLING_SQL)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling counts per event type (batch twin)."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "event_type"])
+    out = SW.tumbling_counts(ev, duration="15 minutes", group_cols=["event_type"])
+    return out.select(
+        F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("w_start"),
+        "event_type",
+        "cnt",
+    ).orderBy("w_start", "event_type")
+
+
+_SLIDING_SQL = f"""
+WITH e AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS b0, value FROM events
+), x AS (
+  SELECT unnest([b0, b0 - INTERVAL '15 minutes']) AS ws, value FROM e
+)
+SELECT strftime(ws, '{_TS_FMT_DUCK}') AS w_start,
+       count(*) AS cnt,
+       round(avg(value), 6) AS avg_value
+FROM x
+GROUP BY w_start
+ORDER BY w_start
+"""
+
+
+@register("stream_sliding_avg_value", _SLIDING_SQL)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding by 15 — every event lands in two windows
+    (the oracle unnests the two containing window starts)."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "value"])
+    out = SW.sliding_avg(ev, duration="30 minutes", slide="15 minutes")
+    return out.select(
+        F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("w_start"),
+        "cnt",
+        F.round("avg_value", 6).alias("avg_value"),
+    ).orderBy("w_start")
+
+
+# Session semantics: a new session starts when the gap to the previous
+# event EXCEEDS 5 minutes (Spark merges an exactly-gap-sized interval —
+# verified in tests/test_streaming.py::test_session_window_gap_semantics).
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS cnt
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session_counts_user", _SESSION_SQL)
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (5-minute inactivity gap) — the oracle is
+    the gaps-and-islands SQL equivalent."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "user_id"])
+    out = SW.session_counts(ev, key_col="user_id", gap="5 minutes")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "cnt",
+    ).orderBy("user_id", "session_start")
+
+
+_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_user_totals_batch", _TOTALS_SQL)
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful running-totals operator
+    (streaming.stateful.user_running_totals) — the stream's final state
+    must equal this result (asserted in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "value"])
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,86 @@
+"""Event-time windowed aggregations, shared by batch and streaming.
+
+The reference is batch-only (its stages are a one-shot pipeline,
+coordinator.go:126-141); SURVEY.md §7 P5 mandates a streaming surface over
+the ``events`` fixture. Each operator here takes *any* DataFrame — batch
+or streaming — because ``F.window`` / ``F.session_window`` are identical
+in both modes. That gives streaming-batch parity for free: the registered
+batch queries (queries/streaming.py) run the same code the streaming
+pytest drives through a file-source stream, and the DuckDB oracle checks
+the batch twin (SURVEY.md §5: DuckDB can't run the stream itself).
+
+Scale notes: windowed aggregation shuffles on (window, keys) — partial
+aggregation applies, so shuffle volume ∝ distinct windows × keys. With a
+watermark, state for closed windows is evicted; without one a streaming
+agg's state grows unboundedly — ``with_watermark`` is therefore mandatory
+in every streaming pipeline here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.sources.tables import SCHEMAS, table_path
+
+
+def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over an events parquet *directory* with the same
+    nanos→micros normalization as the batch loader (sources/tables.py).
+
+    The file source requires a directory (new files arriving = new
+    micro-batches); to stream the single-file fixture, place a symlink to
+    ``events.parquet`` in a scratch directory (see tests/test_streaming.py).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    df = reader.schema(raw_schema).parquet(events_dir)
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.select(*[f.name for f in SCHEMAS["events"].fields])
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound: rows older than max(event time) - delay are dropped
+    by streaming aggs, and window state older than that is evicted."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "15 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts: every event in exactly one window."""
+    keys = [F.window(ts_col, duration).alias("w")] + [F.col(c) for c in (group_cols or [])]
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def sliding_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    duration: str = "30 minutes",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window average: each event lands in duration/slide windows."""
+    return df.groupBy(F.window(ts_col, duration, slide).alias("w")).agg(
+        F.count("*").alias("cnt"), F.avg(value_col).alias("avg_value")
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Session windows per key: events merge while the inter-event gap is
+    ≤ gap (an exactly-gap-sized interval still merges); a strictly larger
+    gap starts a new session."""
+    return df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col)).agg(
+        F.count("*").alias("cnt")
+    )

@@ -1,0 +1,128 @@
+"""Structured Streaming: batch parity, watermark late-drop, stateful ops."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.sources.tables import load_table
+from mapreduce_system_spark.streaming import stateful as ST
+from mapreduce_system_spark.streaming import windows as SW
+
+
+def _run_stream(df, name, output_mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming-batch parity: same function, file stream vs batch scan."""
+    import os
+
+    events_dir = tmp_path / "events-src"
+    events_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+    stream = SW.stream_events(spark, str(events_dir))
+    q = _run_stream(
+        SW.tumbling_counts(stream, duration="15 minutes", group_cols=["event_type"]),
+        "t_tumbling",
+    )
+    try:
+        got = {
+            (r["w"]["start"], r["event_type"]): r["cnt"]
+            for r in spark.table("t_tumbling").collect()
+        }
+        batch = load_table(spark, sf_dir, "events", columns=["ts", "event_type"])
+        want = {
+            (r["w"]["start"], r["event_type"]): r["cnt"]
+            for r in SW.tumbling_counts(batch, duration="15 minutes", group_cols=["event_type"]).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving behind the watermark is excluded from its window."""
+    src = str(tmp_path / f"wm-{uuid.uuid4().hex}")
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    _write_events(spark, src, [(1, t("2024-01-01T09:00:00"), 1.0), (1, t("2024-01-01T11:00:00"), 1.0)])
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    agg = SW.tumbling_counts(SW.with_watermark(stream, "ts", "10 minutes"), duration="15 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("t_wm").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()  # watermark advances to 10:50 — 9:00 window finalizes
+        # batch 2: one late row for the closed 9:00 window + one fresh row
+        _write_events(
+            spark, src, [(1, t("2024-01-01T09:01:00"), 1.0), (1, t("2024-01-01T11:30:00"), 1.0)]
+        )
+        q.processAllAvailable()
+        emitted = {
+            r["w"]["start"]: r["cnt"] for r in spark.table("t_wm").collect()
+        }
+        # the 9:00-9:15 window must have finalized with ONLY the on-time row
+        assert emitted[t("2024-01-01T09:00:00")] == 1
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates state across micro-batches."""
+    src = str(tmp_path / f"st-{uuid.uuid4().hex}")
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    _write_events(spark, src, [(7, t("2024-01-01T09:00:00"), 2.0), (7, t("2024-01-01T09:01:00"), 3.0)])
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    q = (
+        ST.user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(spark, src, [(7, t("2024-01-01T09:02:00"), 5.0)])
+        q.processAllAvailable()
+        rows = spark.table("t_state").collect()
+        totals = [(r.n_events, r.total_value) for r in rows if r.user_id == 7]
+        assert (2, 5.0) in totals   # after batch 1
+        assert (3, 10.0) in totals  # after batch 2 — state carried over
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_session_window_gap_semantics(spark):
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T09:00:00")),
+            (1, t("2024-01-01T09:04:00")),   # < 5 min gap → same session
+            (1, t("2024-01-01T09:09:00")),   # exactly 5 min gap → still merges
+            (1, t("2024-01-01T09:14:01")),   # > 5 min gap → NEW session
+            (2, t("2024-01-01T09:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = SW.session_counts(df, key_col="user_id", gap="5 minutes").collect()
+    got = sorted((r.user_id, r.cnt) for r in out)
+    assert got == [(1, 1), (1, 3), (2, 1)]
