@@ -18,11 +18,14 @@ distinct keys per partition, not input rows.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterable
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.functions.text import tokens
+from mapreduce_system_spark.pyfiles import ensure_package_on_executors
 
 
 def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -144,6 +147,7 @@ def map_reduce(
     stays in the DataFrame API. Results are (key, value) strings like
     ``mr-out-*`` files (``worker.go:167``).
     """
+    ensure_package_on_executors(spark)
     pair_rdd = df.select(key_col, value_col).rdd.flatMap(lambda row: mapf(row[0], row[1]))
     pairs = spark.createDataFrame(pair_rdd, "key string, value string")
     reduce_udf = F.udf(lambda k, vs: reducef(k, list(vs)), "string")
@@ -157,3 +161,45 @@ def map_reduce(
         .repartition(n_reduce, "key")
         .sortWithinPartitions("key")
     )
+
+
+def map_reduce_scalable(
+    df: DataFrame,
+    mapf: Callable[[str, str], Iterable[tuple[str, str]]],
+    reducef: Callable[[str, list[str]], str],
+    key_col: str = "file",
+    value_col: str = "content",
+) -> DataFrame:
+    """The scalable twin of ``map_reduce``: same (mapf, reducef) user
+    contract (worker.go:51, README.MD:82), Arrow-batched execution.
+
+    - map phase: ``mapInPandas`` — columnar batches in/out, no pickled
+      rows (vs the RDD flatMap in ``map_reduce``);
+    - reduce phase: ``applyInPandas`` — one pandas frame per key with the
+      full sorted value list, honoring the reference's reducef contract
+      (``values []string`` per key, worker.go:161-165).
+
+    The whole-group-per-task memory shape is inherent to that contract
+    (the reference has it too, worker.go:142-153); for unbounded 100 TB
+    groups use algebraic DataFrame aggregates instead.
+    """
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            vals: list[str] = []
+            for k, v in zip(pdf[key_col], pdf[value_col]):
+                for ok, ov in mapf(k, v):
+                    keys.append(ok)
+                    vals.append(ov)
+            yield pd.DataFrame({"key": keys, "value": vals}, dtype=object)
+
+    pairs = df.select(key_col, value_col).mapInPandas(map_batches, "key string, value string")
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        return pd.DataFrame({"key": [key], "value": [reducef(key, sorted(pdf["value"]))]})
+
+    return pairs.groupBy("key").applyInPandas(reduce_group, "key string, value string")

@@ -1,0 +1,144 @@
+"""Multimodal columns: opaque binary blobs + typed metadata.
+
+North-star LLM-pipeline surface. The design treats image/audio/video as
+``BinaryType`` columns with a metadata struct alongside; all processing is
+Arrow-batched ``mapInPandas`` (columnar transfer, no pickled rows). The
+actual media *decode* step needs codec libraries that are not in this
+container — it is stubbed behind an import-try with a clearly-marked
+deterministic fallback, while everything Spark-side (schemas, batch
+shapes, UDF signatures, partitioning) is real and tested.
+
+Scale notes: blobs ride the shuffle only if you shuffle them — keep
+feature extraction *before* any groupBy/join and project blobs away as
+soon as features are out (these functions do). ``maxPartitionBytes``
+governs scan-task sizing; Arrow batch size
+(``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds per-batch
+memory for wide blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+
+BLOB_SCHEMA = "id long, blob binary, content_type string, n_bytes long"
+FEATURE_SCHEMA = "id long, n_bytes long, md5 string"
+IMAGE_FEATURE_SCHEMA = "id long, width int, height int, mean_value double, decoder string"
+FRAME_SCHEMA = "id long, frame_idx int, frame binary"
+
+
+def binarize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Demo ingestion path: text → (id, blob, content_type, n_bytes).
+
+    Stands in for reading real media files; at scale the blob column comes
+    from ``spark.read.format("binaryFile")`` with identical downstream
+    shape.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        F.lit("text/plain").alias("content_type"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def blob_features(df: DataFrame, id_col: str = "id", blob_col: str = "blob") -> DataFrame:
+    """Byte-level features per blob via Arrow-batched mapInPandas:
+    (id, n_bytes, md5). The pattern every decode/extract op follows."""
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "md5": blobs.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def _decode_image_real(blob: bytes):
+    """Real decoder — requires an imaging library absent from this
+    container. Cited for the intended production path."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        img = Image.open(io.BytesIO(blob))
+        return img.width, img.height, float(sum(img.convert("L").getdata())) / (
+            img.width * img.height
+        ), "pil"
+    except ImportError:
+        return None
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Image decode + feature extraction (width/height/mean-intensity).
+
+    Uses PIL when importable; otherwise a DETERMINISTIC FAKE decoder
+    (fixed 16×16 "image" whose mean intensity is the blob's mean byte
+    value) so the Spark plumbing — Arrow batches, schema, partitioning —
+    runs and is testable everywhere. Replace the fake by installing the
+    codec library; no engine code changes."""
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"id": [], "width": [], "height": [], "mean_value": [], "decoder": []}
+            for id_, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                decoded = _decode_image_real(b)
+                if decoded is None:
+                    # deterministic fake: 16x16, mean intensity = mean byte
+                    decoded = (16, 16, (sum(b) / len(b)) if b else 0.0, "fake")
+                w, h, mean, dec = decoded
+                rows["id"].append(id_)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_value"].append(mean)
+                rows["decoder"].append(dec)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Frame sampling for video blobs: emit n_frames evenly-spaced chunks
+    per blob (1→N mapInPandas, the UDTF shape). Real codecs would seek
+    keyframes; the deterministic stand-in slices byte ranges — the
+    dataflow (explode factor, schema, batch shape) is identical."""
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "frame_idx": [], "frame": []}
+            for id_, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    chunk = b[i * step : (i + 1) * step]
+                    if not chunk:
+                        break
+                    out["id"].append(id_)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(chunk)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
     dedup,
+    multimodal,
     relational,
     similarity,
     streaming,

@@ -166,6 +166,56 @@ def q_per_key_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MR.per_key_fold(li, "l_orderkey", "l_linenumber")
 
 
+_POSTING_PAIRS_SQL = r"""
+SELECT DISTINCT word, doc_id
+FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word, doc_id FROM documents)
+WHERE word <> ''
+ORDER BY word, doc_id
+"""
+
+
+@register("mr_posting_pairs", _POSTING_PAIRS_SQL)
+def q_posting_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path inverted index: distinct (word, doc_id) pairs — the
+    representation that never holds a posting list in one task's memory
+    (the registered array form ``mr_inverted_index`` is the fidelity twin).
+    """
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return MR.posting_pairs(docs).orderBy("word", "doc_id")
+
+
+_GENERIC_WC_SQL = r"""
+SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY key
+"""
+
+
+def _wc_mapf(fname: str, content: str) -> list[tuple[str, str]]:
+    import re
+
+    return [(w, "1") for w in re.split(r"\W+", content.lower()) if w]
+
+
+def _wc_reducef(key: str, values: list[str]) -> str:
+    return str(len(values))
+
+
+@register("mr_generic_contract_word_count", _GENERIC_WC_SQL)
+def q_generic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's raw (mapf, reducef) user contract (worker.go:51,
+    plugin-injected per README.MD:82) run through the Arrow-batched
+    generic engine — word count as the canonical program, verified against
+    the declarative oracle."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("file"), F.col("text").alias("content")
+    )
+    return MR.map_reduce_scalable(files, _wc_mapf, _wc_reducef).orderBy("key")
+
+
 # Domain query modules (relational / LLM-pipeline / temporal / streaming /
 # multimodal) self-register on import — keep this at the bottom so
 # ``register`` and the core MR queries above already exist.

@@ -41,6 +41,9 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     Emits the updated totals for every user seen in the current batch
     (update-mode semantics).
     """
+    from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _update_totals,
         outputStructType=OUTPUT_SCHEMA,

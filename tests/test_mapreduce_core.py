@@ -68,3 +68,22 @@ def test_generic_map_reduce_word_count(spark):
 
     out = {r.key: r.value for r in MR.map_reduce(spark, df, mapf, reducef, n_reduce=4).collect()}
     assert out == {"hello": "2", "is": "2", "my": "1", "name": "3"}
+
+
+def test_map_reduce_scalable_matches_rdd_variant(spark):
+    """Arrow-batched generic engine ≡ RDD fidelity engine on the same job."""
+    df = spark.createDataFrame(
+        [("f1", "Hello my name is"), ("f2", "name name Hello is")], ["file", "content"]
+    )
+
+    def mapf(fname, content):
+        import re
+
+        return [(w, "1") for w in re.split(r"\W+", content.lower()) if w]
+
+    def reducef(key, values):
+        return str(len(values))
+
+    scalable = {r.key: r.value for r in MR.map_reduce_scalable(df, mapf, reducef).collect()}
+    rdd_based = {r.key: r.value for r in MR.map_reduce(spark, df, mapf, reducef, n_reduce=4).collect()}
+    assert scalable == rdd_based == {"hello": "2", "is": "2", "my": "1", "name": "3"}

@@ -1,0 +1,51 @@
+"""Multimodal blob plumbing: schemas, determinism, batch shapes."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+
+from mapreduce_system_spark.operators import multimodal as MM
+
+
+def blobs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="xyz")]
+    )
+    return MM.binarize_text(df)
+
+
+def test_binarize_schema_and_bytes(spark):
+    got = {r.id: (bytes(r.blob), r.content_type, r.n_bytes) for r in blobs(spark).collect()}
+    assert got[1] == (b"hello world", "text/plain", 11)
+    assert got[2] == (b"xyz", "text/plain", 3)
+
+
+def test_blob_features_md5_matches_hashlib(spark):
+    got = {r.id: (r.n_bytes, r.md5) for r in MM.blob_features(blobs(spark)).collect()}
+    assert got[1] == (11, hashlib.md5(b"hello world").hexdigest())
+    assert got[2] == (3, hashlib.md5(b"xyz").hexdigest())
+
+
+def test_image_features_deterministic_fake(spark):
+    got = {r.id: r for r in MM.extract_image_features(blobs(spark)).collect()}
+    r = got[2]
+    assert (r.width, r.height, r.decoder) == (16, 16, "fake")
+    assert abs(r.mean_value - (ord("x") + ord("y") + ord("z")) / 3) < 1e-9
+    # determinism: second run bit-identical
+    again = {r.id: r.mean_value for r in MM.extract_image_features(blobs(spark)).collect()}
+    assert again[2] == r.mean_value
+
+
+def test_sample_frames_explode_shape(spark):
+    frames = MM.sample_frames(blobs(spark), n_frames=4).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append((r.frame_idx, bytes(r.frame)))
+    # 11-byte blob → step 2 → 4 frames of 2 bytes
+    f1 = sorted(by_id[1])
+    assert [i for i, _ in f1] == [0, 1, 2, 3]
+    assert b"".join(c for _, c in f1) == b"hello wo"[:8]
+    # 3-byte blob → step 1 → 3 frames (short blob truncates)
+    assert len(by_id[2]) == 3
