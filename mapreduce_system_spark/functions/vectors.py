@@ -43,3 +43,25 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     n = norm(a) * norm(b)
     return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Dot product for arrays already in double precision (no casts) —
+    the pair-scoring hot path over precomputed unit vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_unit_vector(df, vec_col: str, unit_col: str = "unit"):
+    """Add ``unit_col`` = vec/‖vec‖ (all-zeros when ‖vec‖=0).
+
+    Norms are computed ONCE PER ROW here; pairwise cosine then reduces to
+    a single dot product — at Q queries or B-sized blocks this turns
+    O(pairs·3d) fold work into O(rows·2d + pairs·d)."""
+    dbl = _as_double(F.col(vec_col))
+    df = df.withColumn("__norm", norm(F.col(vec_col)))
+    u = F.when(
+        F.col("__norm") > 0, F.transform(dbl, lambda x: x / F.col("__norm"))
+    ).otherwise(F.transform(dbl, lambda x: F.lit(0.0)))
+    return df.withColumn(unit_col, u).drop("__norm")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.functions.text import fingerprint, shingles, tokens
+from mapreduce_system_spark.sources.tables import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -44,9 +45,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle_set) — the unit both Jaccard variants share."""
-    return df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sg")).where(
-        F.size("sg") > 0
+    """(id, shingle_set) — the unit both Jaccard variants share.
+
+    The shingle expression is the CPU hot spot — spread it across all
+    cores even when the input is one parquet split."""
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sg"))
+        .where(F.size("sg") > 0)
     )
 
 
@@ -66,9 +72,10 @@ def jaccard_pairs(
     join's skew at corpus scale (alters recall only for pairs whose every
     shared shingle is a stop-shingle — i.e. templates).
     """
-    sets = shingle_sets(df, n, text_col, id_col).cache()
-    sizes = sets.select("id", F.size("sg").alias("sz"))
-    exploded = sets.select("id", F.explode("sg").alias("shingle"))
+    sets = shingle_sets(df, n, text_col, id_col)
+    # carry |set| through the explode: the pair group then has both sizes
+    # in-row — no post-join size lookups.
+    exploded = sets.select("id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle"))
     if max_shingle_df is not None:
         hot = (
             exploded.groupBy("shingle")
@@ -79,14 +86,15 @@ def jaccard_pairs(
         exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
-    shared = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -94,7 +102,6 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(
@@ -181,7 +188,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Python, no per-row loops.
     """
     tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
         .withColumn("th", F.xxhash64("token"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_system_spark.functions.text import tokens
 from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+from mapreduce_system_spark.sources.tables import ensure_parallelism
 
 
 def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -37,7 +38,8 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     collapses the skew before the shuffle, so no salting is needed.
     """
     return (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        ensure_parallelism(df)
+        .select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .orderBy("word")
@@ -72,7 +74,7 @@ def inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     the exploded (word, doc_id) pairs sorted+bucketed by word instead —
     ``posting_pairs`` below is that scalable representation.
     """
-    pairs = df.select(F.explode(tokens(text_col)).alias("word"), F.col(id_col))
+    pairs = ensure_parallelism(df).select(F.explode(tokens(text_col)).alias("word"), F.col(id_col))
     return (
         pairs.groupBy("word")
         .agg(F.sort_array(F.collect_set(id_col)).alias("postings"))
@@ -87,7 +89,11 @@ def posting_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     At 100 TB this is the materialization to bucket/sort by word; no
     per-word array ever lives in one task's memory.
     """
-    return df.select(F.explode(tokens(text_col)).alias("word"), F.col(id_col)).distinct()
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(tokens(text_col)).alias("word"), F.col(id_col))
+        .distinct()
+    )
 
 
 def key_access_count(df: DataFrame, key_col: str) -> DataFrame:
@@ -185,6 +191,7 @@ def map_reduce_scalable(
     """
 
     ensure_package_on_executors(df.sparkSession)
+    df = ensure_parallelism(df)
 
     def map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+from mapreduce_system_spark.sources.tables import ensure_parallelism
 
 BLOB_SCHEMA = "id long, blob binary, content_type string, n_bytes long"
 FEATURE_SCHEMA = "id long, n_bytes long, md5 string"
@@ -40,7 +41,7 @@ def binarize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     from ``spark.read.format("binaryFile")`` with identical downstream
     shape.
     """
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.encode(F.col(text_col), "UTF-8").alias("blob"),
         F.lit("text/plain").alias("content_type"),

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mapreduce_system_spark.functions.vectors import cosine
+from mapreduce_system_spark.functions.vectors import cosine, dot_double, with_unit_vector
 
 
 def brute_force_topk(
@@ -44,13 +44,15 @@ def brute_force_topk(
     scanned once with no shuffle; the per-query ranked window shuffles only
     the scored rows (N·Q), partitioned by query id.
     """
+    c = with_unit_vector(corpus, vec_col, "__cu")
+    q = with_unit_vector(queries, query_vec_col, "__qu")
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        c.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+            dot_double(F.col("__qu"), F.col("__cu")).alias("cos"),
         )
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
@@ -100,9 +102,10 @@ def ivf_topk(
         .select(query_id_col, query_vec_col, partition_col)
     )
     scored = (
-        corpus.join(F.broadcast(probes), partition_col)
+        with_unit_vector(corpus, vec_col, "__cu")
+        .join(F.broadcast(with_unit_vector(probes, query_vec_col, "__qu")), partition_col)
         .where(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"))
+        .select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
@@ -146,12 +149,18 @@ def lsh_bucket_topk(
     """
     dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-    q_bucketed = queries.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes))
+    bucketed = with_unit_vector(
+        corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes)), vec_col, "__cu"
+    )
+    q_bucketed = with_unit_vector(
+        queries.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes)),
+        query_vec_col,
+        "__qu",
+    )
     scored = (
         bucketed.join(F.broadcast(q_bucketed), "bucket")
         .where(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"))
+        .select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
@@ -170,15 +179,16 @@ def cosine_dup_pairs(
     Blocking is what makes pairwise near-dup feasible at scale — candidates
     are same-block pairs, never the full n² cross product. With no natural
     block, derive one (IVF assignment or LSH bucket)."""
-    a = corpus.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    units = with_unit_vector(corpus, vec_col, "__u")
+    a = units.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col("__u").alias("ua")
     )
-    b = corpus.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    b = units.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col("__u").alias("ub")
     )
     return (
         a.join(b, "blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select("id_a", "id_b", dot_double(F.col("ua"), F.col("ub")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

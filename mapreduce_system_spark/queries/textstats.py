@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 
 from mapreduce_system_spark.functions import text as TXT
 from mapreduce_system_spark.registry import register
-from mapreduce_system_spark.sources.tables import load_table
+from mapreduce_system_spark.sources.tables import ensure_parallelism, load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str, columns: list[str]) -> DataFrame:
+    """Documents scan spread across cores — the token-algebra expressions
+    below are CPU-bound."""
+    return ensure_parallelism(load_table(spark, sf_dir, "documents", columns=columns))
 
 # DuckDB fragments mirroring functions.text primitives.
 _TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"
@@ -62,7 +68,7 @@ ORDER BY doc_id
 def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score — pure JVM column
     expressions, one scan, no shuffle (ordering aside)."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _docs(spark, sf_dir, ["doc_id", "text"])
     feats = TXT.quality_features("text")
     return docs.select(
         "doc_id",
@@ -110,7 +116,7 @@ ORDER BY lang, predicted
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID confusion matrix against the corpus's labeled
     lang column (marker-word argmax with fixed tie order)."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    docs = _docs(spark, sf_dir, ["doc_id", "text", "lang"])
     return (
         docs.select("lang", TXT.lang_id("text").alias("predicted"))
         .groupBy("lang", "predicted")
@@ -137,7 +143,7 @@ ORDER BY source
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count statistics per source — the corpus-profiling pass every
     training-data pipeline runs first."""
-    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    docs = _docs(spark, sf_dir, ["source", "text"])
     n = TXT.token_count("text")
     return (
         docs.select("source", n.alias("n"))
@@ -178,7 +184,7 @@ LIMIT 20
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 terms by mean TF-IDF (smooth idf). Two shuffles on the term
     key; df side is broadcast back (vocabulary ≪ corpus)."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _docs(spark, sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
     tf = (
         docs.select("doc_id", F.explode(TXT.tokens("text")).alias("word"))
@@ -220,7 +226,7 @@ LIMIT 20
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigrams by document frequency (distinct per doc — the n-gram
     profile used for shingle/boilerplate analysis)."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _docs(spark, sf_dir, ["doc_id", "text"])
     return (
         docs.select(F.explode(TXT.shingles("text", n=2)).alias("bigram"))
         .groupBy("bigram")

@@ -157,6 +157,20 @@ def load_table(
     return df
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to defaultParallelism when the scan has fewer input
+    partitions than cores (single-file fixture parquet ⇒ 1 split).
+
+    Heavy per-row work (shingle expressions, Arrow-batched Python) would
+    otherwise run on one core. At production scale inputs already have
+    ≥cores splits, so this is a no-op — the guard makes it safe to apply
+    unconditionally at the head of expression-heavy operators."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every fixture table as a temp view for the SQL API."""
     for name in names:
