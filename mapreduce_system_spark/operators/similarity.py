@@ -166,6 +166,68 @@ def lsh_bucket_topk(
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul — the BLAS formulation.
+
+    The (small, by contract) query set is collected once and shipped in
+    the task closure as a normalized float64 matrix; each corpus Arrow
+    batch scores B×Q with one matmul and emits only its per-batch top-k
+    per query (a per-partition heap — candidates ∝ partitions·Q·k, never
+    the corpus). A final per-query window picks the global top-k from
+    candidates. Same O(N·Q·d) flops as the JVM fold, executed as
+    vectorized BLAS — the right shape when d·Q is large.
+    """
+    import numpy as np
+
+    from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qm = qm / qn[:, None]
+
+    import pandas as pd
+    from typing import Iterator
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            s = (m / n[:, None]) @ qm.T  # B×Q cosine matrix
+            out = {"query_id": [], "vec_id": [], "cos": []}
+            for j, qid in enumerate(qids):
+                col = s[:, j]
+                mask = ids != qid
+                order = np.lexsort((ids[mask], -col[mask]))[:k]
+                sel_ids = ids[mask][order]
+                sel_cos = col[mask][order]
+                out["query_id"].extend([qid] * len(sel_ids))
+                out["vec_id"].extend(sel_ids.tolist())
+                out["cos"].extend(sel_cos.tolist())
+            yield pd.DataFrame(out)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, cos double"
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return cand.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

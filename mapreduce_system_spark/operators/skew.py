@@ -1,0 +1,66 @@
+"""Skew mitigation: salted aggregation and salted joins.
+
+At 100 TB, zipfian keys turn one reducer into the job's critical path —
+the classic MapReduce failure mode (the reference has no combiner at all,
+README.MD:31-38, so *every* hot-key pair lands on one reduce worker).
+Spark's AQE skew-join splitting handles joins at runtime; these operators
+are the explicit, planner-independent formulations:
+
+- ``salted_agg_sum_count``: two-phase aggregation — phase 1 groups on
+  (key, salt) spreading a hot key over ``n_salts`` reducers, phase 2
+  re-aggregates the per-salt partials. Correct for any algebraic
+  aggregate (sum/count here; avg = sum/count downstream).
+- ``salted_join``: replicates the small side ``n_salts``× (explode) and
+  salts the big side deterministically, so one hot join key fans out to
+  ``n_salts`` tasks. Exact same join result, bounded per-task fan-in.
+
+Salt assignment is deterministic (xxhash64 of a supplied column), keeping
+results reproducible — no ``rand()`` in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg_sum_count(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    salt_src_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) sum/count per key: (key, sum_value, cnt).
+
+    Phase 1 shuffles on (key, salt) — a key with R rows sends ≤ R/n_salts
+    rows to any single reducer; phase 2 shuffles n_salts rows per key.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts)))
+    partial = salted.groupBy(key_col, "__salt").agg(
+        F.sum(value_col).alias("__s"), F.count("*").alias("__c")
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("__s").alias("sum_value"), F.sum("__c").alias("cnt")
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_src_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    Result ≡ ``big.join(small, key)``; the per-key fan-in of any single
+    task drops by n_salts at the cost of shuffling the small side
+    n_salts×. Use when one side is hot-keyed but too large to broadcast
+    (otherwise prefer ``broadcast`` or AQE's runtime skew split).
+    """
+    big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts)))
+    small_r = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    return big_s.join(small_r, [key, "__salt"]).drop("__salt")

@@ -10,6 +10,7 @@ MapReduce-core workloads (the reference's own surface) live in
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
+    advanced,
     dedup,
     multimodal,
     relational,

@@ -1,0 +1,179 @@
+"""Advanced surface: skew mitigation, quantiles, custom UDAF, bag set ops,
+and the BLAS-shaped similarity search — each proven equivalent to its
+declarative twin via the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.functions.udafs import weighted_mean
+from mapreduce_system_spark.operators import similarity as SIM
+from mapreduce_system_spark.operators import skew as SK
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+
+# Salted two-phase aggregation must equal the plain aggregation — the
+# oracle IS the plain GROUP BY.
+_SALTED_AGG_SQL = """
+SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("skew_salted_agg", _SALTED_AGG_SQL)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5-key (hot) event_type column:
+    phase 1 spreads each key over 16 salts, phase 2 merges partials.
+    Result must be bit-equal to the unsalted GROUP BY (the oracle)."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value", "event_id"])
+    out = SK.salted_agg_sum_count(ev, "event_type", "value", salt_src_col="event_id", n_salts=16)
+    return out.select(
+        "event_type", F.round("sum_value", 2).alias("sum_value"), "cnt"
+    ).orderBy("event_type")
+
+
+_SALTED_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("skew_salted_join", _SALTED_JOIN_SQL)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-fact join (big side salted on linenumber hash, orders
+    side replicated 8×) — result must equal the plain equi-join."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = SK.salted_join(li, orders, key="l_orderkey", salt_src_col="l_linenumber", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_quantiles", _QUANTILES_SQL)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB prefer
+    ``approx_percentile`` (t-digest, mergeable) — exact percentile sorts
+    each group."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WMEAN_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS weighted_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_weighted_mean_udaf", _WMEAN_SQL)
+def q_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (Arrow GROUPED_AGG pandas_udf): quantity-weighted mean
+    price — verified against the algebraic SQL identity."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(weighted_mean()("l_extendedprice", "l_quantity"), 6).alias("weighted_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+_BAG_SET_SQL = """
+SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS cnt FROM
+  (SELECT l_orderkey FROM lineitem EXCEPT ALL SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS cnt FROM
+  (SELECT l_orderkey FROM lineitem INTERSECT ALL SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS cnt FROM
+  (SELECT l_orderkey FROM lineitem UNION ALL SELECT o_orderkey FROM orders)
+ORDER BY op
+"""
+
+
+@register("rel_set_ops_bag", _BAG_SET_SQL)
+def q_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (multiplicity-aware ALL variants) on the
+    duplicate-heavy orderkey multisets."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    ok = load_table(spark, sf_dir, "orders", columns=["o_orderkey"]).withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("cnt")).select(F.lit(name).alias("op"), "cnt")
+
+    return (
+        tag(li.exceptAll(ok), "except_all")
+        .unionByName(tag(li.intersectAll(ok), "intersect_all"))
+        .unionByName(tag(li.unionAll(ok), "union_all"))
+        .orderBy("op")
+    )
+
+
+# Same oracle as sim_topk_bruteforce: the BLAS path is exact.
+_TOPK_ARROW_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT query_id, vec_id,
+         list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
+  FROM q CROSS JOIN embeddings
+  WHERE vec_id <> query_id
+), r AS (
+  SELECT query_id, vec_id, c,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+  FROM s
+)
+SELECT query_id, vec_id, round(c, 6) AS cos, rn
+FROM r WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@register("sim_topk_arrow", _TOPK_ARROW_SQL)
+def q_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors via Arrow-batched numpy matmul (per-batch
+    heap → global merge) — the vectorized twin of sim_topk_bruteforce,
+    sharing its oracle."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.brute_force_topk_arrow(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
+    ).orderBy("query_id", "rn")
