@@ -117,6 +117,79 @@ def extract_image_features(
     return df.select(id_col, blob_col).mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "id long, width int, height int, pixels binary, decoder string"
+AUDIO_FEATURE_SCHEMA = "id long, n_samples long, duration_s double, rms double, decoder string"
+
+
+def resize_image(
+    df: DataFrame, width: int = 8, height: int = 8, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Resize to a fixed grid (the embedding-model preprocessing shape).
+
+    Without a codec library the DETERMINISTIC STAND-IN treats the blob as
+    a 1-D byte signal and mean-pools it into width×height buckets — the
+    output schema, batch shape, and byte budget (w·h per row) are exactly
+    what a real bilinear resize would produce."""
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_px = width * height
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "pixels": [], "decoder": []}
+            for id_, blob in zip(pdf[id_col], pdf[blob_col]):
+                sig = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if len(sig) >= n_px:
+                    step = len(sig) // n_px
+                    px = (
+                        sig[: n_px * step]
+                        .reshape(n_px, step)
+                        .mean(axis=1)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                else:  # shorter than the grid → zero-pad
+                    px = sig.tobytes() + bytes(n_px - len(sig))
+                out["id"].append(id_)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["pixels"].append(px)
+                out["decoder"].append("fake")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame, sample_rate: int = 16000, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Audio feature extraction: sample count, duration, RMS energy.
+
+    Stand-in decoder interprets the blob as unsigned 8-bit PCM (real
+    codecs slot in behind the same signature); RMS is computed over the
+    zero-centered signal — deterministic, vectorized numpy per batch."""
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"id": [], "n_samples": [], "duration_s": [], "rms": [], "decoder": []}
+            for id_, blob in zip(pdf[id_col], pdf[blob_col]):
+                sig = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64) - 128.0
+                out["id"].append(id_)
+                out["n_samples"].append(len(sig))
+                out["duration_s"].append(len(sig) / sample_rate)
+                out["rms"].append(float(np.sqrt((sig**2).mean())) if len(sig) else 0.0)
+                out["decoder"].append("fake")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, n_frames: int = 4, id_col: str = "id", blob_col: str = "blob"
 ) -> DataFrame:

@@ -43,6 +43,30 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register("mm_resize_grid")  # stand-in decoder → rows-only
+def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resize plumbing: every row yields an 8×8 pixel buffer."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    out = MM.resize_image(MM.binarize_text(docs), width=8, height=8)
+    return out.select(
+        "id", "width", "height", F.octet_length("pixels").alias("n_px"), "decoder"
+    ).orderBy("id")
+
+
+@register("mm_audio_features")  # stand-in decoder → rows-only
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing: PCM-interpreted blobs → duration + RMS."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    out = MM.extract_audio_features(MM.binarize_text(docs))
+    return out.select(
+        "id",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "decoder",
+    ).orderBy("id")
+
+
 @register("mm_frame_sample_counts")  # frame blobs → rows-only
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling dataflow (1→N mapInPandas): frames per blob +

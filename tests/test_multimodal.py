@@ -49,3 +49,19 @@ def test_sample_frames_explode_shape(spark):
     assert b"".join(c for _, c in f1) == b"hello wo"[:8]
     # 3-byte blob → step 1 → 3 frames (short blob truncates)
     assert len(by_id[2]) == 3
+
+
+def test_resize_fixed_grid(spark):
+    out = {r.id: r for r in MM.resize_image(blobs(spark), width=8, height=8).collect()}
+    assert all(len(bytes(r.pixels)) == 64 for r in out.values())
+    # determinism
+    again = {r.id: bytes(r.pixels) for r in MM.resize_image(blobs(spark), 8, 8).collect()}
+    assert again[1] == bytes(out[1].pixels)
+
+
+def test_audio_features_rms(spark):
+    out = {r.id: r for r in MM.extract_audio_features(blobs(spark)).collect()}
+    r = out[2]  # b"xyz" → uint8 [120,121,122] - 128 → [-8,-7,-6]
+    assert r.n_samples == 3
+    assert abs(r.duration_s - 3 / 16000) < 1e-12
+    assert abs(r.rms - (((8**2 + 7**2 + 6**2) / 3) ** 0.5)) < 1e-9
