@@ -72,7 +72,11 @@ def jaccard_pairs(
     join's skew at corpus scale (alters recall only for pairs whose every
     shared shingle is a stop-shingle — i.e. templates).
     """
-    sets = shingle_sets(df, n, text_col, id_col)
+    # cache the shingle sets: the expensive shingle expression would
+    # otherwise be evaluated twice below (size + explode reference the
+    # same array), and Spark's cache manager also substitutes this
+    # relation into any concurrent plan with the same subtree (minhash).
+    sets = shingle_sets(df, n, text_col, id_col).cache()
     # carry |set| through the explode: the pair group then has both sizes
     # in-row — no post-join size lookups.
     exploded = sets.select("id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle"))
@@ -142,7 +146,10 @@ def minhash_lsh_pairs(
     Precision is exact; recall = 1-(1-s^r)^b (r=2, b=64 ⇒ >99.99% at
     s=0.5). Candidate volume scales with docs-per-band-bucket, never n².
     """
-    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    sets_cached = shingle_sets(df, n, text_col, id_col).cache()
+    exploded = sets_cached.select("id", F.explode("sg").alias("shingle"))
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = exploded.groupBy("id").agg(*aggs)
     n_bands = num_hashes // rows_per_band
     band_cols = [
         F.xxhash64(
@@ -163,8 +170,9 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Exact verification on candidates only: join back the shingle sets.
-    sets = shingle_sets(df, n, text_col, id_col)
+    # Exact verification on candidates only: join back the (cached)
+    # shingle sets.
+    sets = sets_cached
     out = (
         candidates.join(sets.select(F.col("id").alias("id_a"), F.col("sg").alias("sg_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b")), "id_b")

@@ -78,7 +78,11 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB prefer
     ``approx_percentile`` (t-digest, mergeable) — exact percentile sorts
     each group."""
-    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    from mapreduce_system_spark.sources.tables import ensure_parallelism
+
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
