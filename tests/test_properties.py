@@ -1,0 +1,62 @@
+"""Property-based checks (hypothesis) for the text/dedup invariants.
+
+Each example builds a small DataFrame — examples are capped to keep the
+Spark-job-per-example cost bounded.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+
+from mapreduce_system_spark.functions import text as TXT
+from mapreduce_system_spark.operators import dedup as DD
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=12
+)
+
+SETTINGS = settings(max_examples=8, deadline=None)
+
+_spark = None
+
+
+def _get_spark(spark):
+    global _spark
+    _spark = spark
+    return spark
+
+
+@given(words=WORDS, junk=st.sampled_from([" ", ",", "!!", " .. ", "\t"]))
+@SETTINGS
+def test_fingerprint_invariant_under_separators(spark, words, junk):
+    """fingerprint depends only on the token stream, not separators/case."""
+    s = _get_spark(spark)
+    a = junk.join(words)
+    b = " ".join(w.upper() for w in words)
+    df = s.createDataFrame([Row(text=a), Row(text=b)])
+    fps = [r.fp for r in df.select(TXT.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+@given(words=WORDS)
+@SETTINGS
+def test_tokens_lowercase_nonempty(spark, words):
+    s = _get_spark(spark)
+    df = s.createDataFrame([Row(text="  ".join(words) + " !!")])
+    toks = df.select(TXT.tokens("text").alias("t")).collect()[0].t
+    assert all(t and t == t.lower() and not re.search(r"\W", t) for t in toks)
+    assert toks == [w.lower() for w in words if w]
+
+
+@given(words=st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), min_size=3, max_size=10))
+@SETTINGS
+def test_jaccard_identical_docs_is_one(spark, words):
+    """A doc duplicated verbatim must appear as a pair with jaccard 1.0."""
+    s = _get_spark(spark)
+    text = " ".join(words)
+    df = s.createDataFrame([Row(doc_id=0, text=text), Row(doc_id=1, text=text)])
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.jaccard_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(0, 1): 1.0}
