@@ -49,6 +49,36 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_MAP_SQL = """
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(count(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("fn_json_map_props", _JSON_MAP_SQL)
+def q_json_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-free JSON parsing: props → MapType (from_json map<string,int>)
+    + element_at — the dynamic-payload path when keys aren't known ahead
+    (vs the typed-struct path in fn_json_props)."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "props"])
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select("event_type", F.element_at(m, "k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count("k").alias("with_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _MONTHLY_SQL = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        count(*) AS cnt,

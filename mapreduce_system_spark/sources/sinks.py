@@ -51,3 +51,28 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).csv(path, header=header)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted external table — the co-located join layout.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO exchange (each bucket pair is a task): the pre-shuffled
+    layout a 100 TB fact-fact join should be stored in. Asserted in
+    tests/test_sources.py::test_bucketed_join_has_no_exchange.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -70,3 +70,26 @@ def test_read_text_lines_provenance(spark, tmp_path):
     rows = df.collect()
     assert sorted(r.line for r in rows) == ["l1", "l2"]
     assert all(r.file.endswith("f.txt") for r in rows)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located (bucketed) fact-fact join: zero shuffle in the plan."""
+    from mapreduce_system_spark.plans.checks import formatted_plan
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    sinks.write_bucketed(orders, "t_orders_b", "o_orderkey", 4, str(tmp_path / "ob"))
+    sinks.write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_li_b", "o_orderkey", 4, str(tmp_path / "lb"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_li_b")
+        joined = a.join(b, "o_orderkey")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
