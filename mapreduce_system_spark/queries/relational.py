@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_system_spark.operators import relational as REL
 from mapreduce_system_spark.registry import register
-from mapreduce_system_spark.sources.tables import load_table
+from mapreduce_system_spark.sources.tables import load_table, register_views
 
 
 # ---------------------------------------------------------------------------
@@ -132,6 +132,31 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     big = orders.where(F.col("o_totalprice") > 450000).select("o_custkey")
     return REL.anti_join(cust, big, cust.c_custkey == big.o_custkey).orderBy("c_custkey")
+
+
+# The same ANSI text runs on both engines — the SQL-API entry point
+# (spark.sql over registered views) demonstrated on a TPC-H Q3 shape.
+_SQL_Q3 = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("rel_sql_api_q3", _SQL_Q3)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: identical ANSI text executes on Spark (over
+    registered temp views) and on the DuckDB oracle — Catalyst still
+    broadcasts the dims and pushes the segment filter into the scan."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_SQL_Q3)
 
 
 # ---------------------------------------------------------------------------
