@@ -1,0 +1,68 @@
+"""Head-to-head single-node throughput: DuckDB oracle SQL vs our Spark queries.
+
+Runs every `oracle_sql()` entry in DuckDB over the same sf parquet tables that
+`bench.py` feeds Spark, times each, and prints one JSON line. Used to produce
+the comparison table in BASELINE.md §(c). DuckDB is the strongest practical
+single-node stand-in: the actual reference (a teaching MapReduce runtime with a
+1 s sleep per task RPC, worker.go:186) is not a meaningful timing opponent.
+"""
+import json
+import os
+import sys
+import threading
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    budget = float(os.environ.get("DUCKDB_QUERY_TIMEOUT", "60"))
+    timings, failures = {}, {}
+    for name, sql in oracles.items():
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            wall = time.perf_counter() - t0
+            msg = str(exc).split("\n")[0]
+            if wall >= budget:
+                msg = f"TIMEOUT >{budget}s ({msg})"
+            failures[name] = msg
+        finally:
+            timer.cancel()
+    out = {
+        "metric": "duckdb_oracle_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "failures": failures,
+        "sf": sf_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
