@@ -16,9 +16,12 @@ Scale notes:
   with ``max_shingle_df`` (drops shingles shared by more than that many
   docs; standard stop-gram trick) at corpus scale.
 - ``minhash_lsh_pairs``: fixed 128-hash signature per doc regardless of doc
-  length; banding turns near-dup search into b equi-joins on 64-bit band
-  keys. Candidates are verified with the exact Jaccard before emission, so
-  precision is exact and only recall is probabilistic (1-(1-s^r)^b).
+  length, computed **per-row with higher-order array functions** (one string
+  hash per shingle, then 128 cheap 8-byte re-hashes) — signature generation
+  is embarrassingly parallel with **zero shuffle**; the only exchanges are
+  the b band equi-joins on 64-bit keys. Candidates are verified with the
+  exact Jaccard before emission, so precision is exact and only recall is
+  probabilistic (1-(1-s^r)^b).
 - ``simhash_pairs``: one 64-bit signature per doc; the banded join bounds
   candidate generation the same way.
 """
@@ -108,6 +111,34 @@ def jaccard_pairs(
     )
 
 
+def _rehash(i: int):
+    """Unary HOF lambda hashing an 8-byte element hash with seed index i.
+
+    Must be built by a factory closing over ``i``: a two-parameter lambda
+    (``lambda h, i=i: ...``) would be treated by PySpark as an
+    (element, index) lambda and ``i`` silently rebound to the array index.
+    """
+    return lambda h: F.xxhash64(h, F.lit(i))
+
+
+def _signature_cols(num_hashes: int) -> list:
+    """128 MinHash columns from a per-row ``hs`` element-hash array.
+
+    hᵢ(doc) = min over shingles of xxhash64(xxhash64(shingle), i) —
+    deterministic (no random coefficients; the seed is the hash-function
+    index), reproducible run-to-run and machine-to-machine. The string is
+    hashed once per element; the per-i family re-hashes the resulting
+    8-byte long, which is far cheaper than re-hashing the string num_hashes
+    times. Computed entirely per-row (no explode, no aggregation): at
+    corpus scale this removes a shuffle of every (doc, shingle) pair —
+    the signature stage becomes map-only.
+    """
+    return [
+        F.array_min(F.transform("hs", _rehash(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
@@ -115,19 +146,10 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature columns.
-
-    hᵢ(doc) = min over shingles of xxhash64(shingle, i) — deterministic
-    (no random coefficients; the seed is the hash-function index), so
-    results are reproducible run-to-run and machine-to-machine.
-    """
-    exploded = shingle_sets(df, n, text_col, id_col).select(
-        "id", F.explode("sg").alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    return exploded.groupBy("id").agg(*aggs)
+    """(id, h0..h{k-1}) MinHash signature columns — map-only, zero shuffle."""
+    sets = shingle_sets(df, n, text_col, id_col)
+    hsets = sets.select("id", F.transform("sg", lambda s: F.xxhash64(s)).alias("hs"))
+    return hsets.select("id", *_signature_cols(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -147,9 +169,10 @@ def minhash_lsh_pairs(
     s=0.5). Candidate volume scales with docs-per-band-bucket, never n².
     """
     sets_cached = shingle_sets(df, n, text_col, id_col).cache()
-    exploded = sets_cached.select("id", F.explode("sg").alias("shingle"))
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    sig = exploded.groupBy("id").agg(*aggs)
+    hsets = sets_cached.select(
+        "id", F.transform("sg", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig = hsets.select("id", *_signature_cols(num_hashes))
     n_bands = num_hashes // rows_per_band
     band_cols = [
         F.xxhash64(
@@ -188,28 +211,39 @@ def minhash_lsh_pairs(
     return out
 
 
+def _bit_sum(i: int):
+    """Binary HOF accumulator for F.aggregate: ±1 by bit i of the token hash.
+
+    Factory closure over ``i`` — see ``_rehash`` for why a default-arg
+    lambda would silently mis-bind.
+    """
+    return lambda acc, h: acc + F.when(
+        F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over term frequencies: (id, simhash).
 
-    bit i of the signature = sign of Σ_tokens tf · (±1 by bit i of
-    xxhash64(token)). One aggregation pass with 64 sum expressions — no
-    Python, no per-row loops.
+    bit i of the signature = sign of Σ over token occurrences of (±1 by
+    bit i of xxhash64(token)) — summing per occurrence is identical to the
+    tf-weighted formulation. Computed **per-row** with higher-order array
+    functions (one hash pass over the token array, then 64 bit-sum folds):
+    no explode, no aggregation, zero shuffle — at corpus scale the
+    signature stage is map-only, where the former explode + double groupBy
+    shuffled every (doc, token) pair twice.
     """
-    tf = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
-        .groupBy("id", "token")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("th", F.xxhash64("token"))
+    ths = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda tk: F.xxhash64(tk)).alias("ths"),
     )
-    bit_sums = [
-        F.sum(
-            F.col("tf")
-            * F.when(F.shiftrightunsigned("th", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    sums = tf.groupBy("id").agg(*bit_sums)
+    sums = ths.select(
+        "id",
+        *[
+            F.aggregate("ths", F.lit(0).cast("long"), _bit_sum(i)).alias(f"s{i}")
+            for i in range(bits)
+        ],
+    )
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig.bitwiseOR(
