@@ -42,6 +42,28 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible subset
+# (no lookahead) so the exact same pattern runs in Spark (Java regex) and the
+# DuckDB oracle (RE2): contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Subword tokens under the BPE-style pre-tokenizer regex.
+
+    This is the *pre-tokenization* stage of a BPE tokenizer (the merge
+    table is model-specific and out of scope): the unit a token-budget
+    estimator counts. Pure JVM regex — no Python in the hot path."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword token count — the LLM token-budget estimate per document."""
+    return F.size(bpe_tokens(text)).cast("long")
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings — the dedup/LSH unit.
 

@@ -72,22 +72,31 @@ def ivf_topk(
     partition_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids_list: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the nprobe nearest coarse
     centroids per query, exact cosine within probed partitions.
 
-    Centroids are the per-partition mean vectors (computed here with one
-    aggregation; at 100 TB they come from a sampled k-means and the
-    partition column is the assignment). The corpus side is touched via an
-    equi-join on the partition id — scanned fraction ≈ nprobe/n_partitions.
+    Centroids: pass ``centroids_list`` when the quantizer was just fit
+    (``operators.clustering.kmeans_fit`` — centroid i ↔ partition id i);
+    otherwise they are derived as the per-partition mean vectors with one
+    aggregation. The corpus side is touched via an equi-join on the
+    partition id — scanned fraction ≈ nprobe/n_partitions.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    centroids = (
-        corpus.select(partition_col, *[F.col(vec_col)[i].alias(f"c{i}") for i in range(dim)])
-        .groupBy(partition_col)
-        .agg(*[F.avg(f"c{i}").alias(f"c{i}") for i in range(dim)])
-        .select(partition_col, F.array(*[f"c{i}" for i in range(dim)]).alias("centroid"))
-    )
+    spark = corpus.sparkSession
+    if centroids_list is not None:
+        centroids = spark.createDataFrame(
+            [(j, [float(x) for x in c]) for j, c in enumerate(centroids_list)],
+            f"{partition_col} int, centroid array<double>",
+        )
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+        centroids = (
+            corpus.select(partition_col, *[F.col(vec_col)[i].alias(f"c{i}") for i in range(dim)])
+            .groupBy(partition_col)
+            .agg(*[F.avg(f"c{i}").alias(f"c{i}") for i in range(dim)])
+            .select(partition_col, F.array(*[f"c{i}" for i in range(dim)]).alias("centroid"))
+        )
     probe_w = W.partitionBy(query_id_col).orderBy(F.col("cdist").desc(), F.col(partition_col))
     probes = (
         queries.crossJoin(F.broadcast(centroids))

@@ -79,6 +79,32 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+@register("cluster_kmeans_ivf_topk")  # iterative k-means → rows-only
+def q_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over a *learned* coarse quantizer: deterministic k-means
+    (operators/clustering.py, 8 clusters, 3 Lloyd iterations) replaces the
+    fixture's precomputed label — the self-contained form an ANN index
+    build uses at scale. Iterative, so no SQL oracle (driver records
+    rows-only); recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    from mapreduce_system_spark.operators import clustering as CL
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = CL.kmeans_fit(emb, k=8, max_iter=3)
+    clustered = CL.kmeans_assign(emb, centroids, out_col="cluster")
+    out = SIM.ivf_topk(
+        clustered,
+        _query_set(spark, sf_dir),
+        k=_TOPK,
+        nprobe=3,
+        partition_col="cluster",
+        centroids_list=centroids,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
+    ).orderBy("query_id", "rn")
+
+
 _DUP_PAIRS_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos

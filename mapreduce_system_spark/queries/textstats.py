@@ -159,6 +159,45 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same regex text as functions.text.BPE_SPLIT_RE, with the leading quote
+# doubled for SQL string literals.
+_BPE_RE_SQL = r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'"
+
+_BPE_STATS_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), {_BPE_RE_SQL})) AS n
+  FROM documents)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS total_subwords,
+       round(avg(n), 4) AS avg_subwords,
+       count(*) AS n_docs
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("txt_bpe_subword_stats", _BPE_STATS_SQL)
+def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-budget estimate per source: subword counts under the
+    BPE-style pre-tokenizer regex (functions/text.py::bpe_tokens). The
+    identical RE2-safe pattern runs on both engines, so the oracle is
+    exact."""
+    docs = _docs(spark, sf_dir, ["source", "text"])
+    n = TXT.bpe_token_count("text")
+    return (
+        docs.select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("total_subwords"),
+            F.round(F.avg("n"), 4).alias("avg_subwords"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 # TF-IDF with the smooth-idf formula: idf = ln((N+1)/(df+1)) + 1.
 _TFIDF_SQL = rf"""
 WITH toks AS (
