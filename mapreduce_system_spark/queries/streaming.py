@@ -109,6 +109,29 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+_STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_unique_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_dedup_exact", _STREAM_DEDUP_SQL)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ingestion-time dedup (streaming.windows.dedup_keys):
+    first event per (user_id, event_type) survives; the stream form with
+    ``dropDuplicatesWithinWatermark`` is asserted equal in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    deduped = SW.dedup_keys(ev, ["user_id", "event_type"])
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
 _TOTALS_SQL = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events

@@ -84,3 +84,23 @@ def session_counts(
     return df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col)).agg(
         F.count("*").alias("cnt")
     )
+
+
+def dedup_keys(df: DataFrame, keys: list[str], within_watermark: bool = False) -> DataFrame:
+    """Streaming/batch exact dedup on a key set — the ingestion-time twin
+    of ``operators.dedup.exact_dedup``.
+
+    Streaming (``within_watermark=True``, requires an upstream
+    ``with_watermark``): ``dropDuplicatesWithinWatermark`` keeps the first
+    row per key and — unlike plain ``dropDuplicates`` on a stream, whose
+    key state grows forever — evicts key state once the watermark passes
+    it, so state is bounded by keys-per-watermark-window. That bound is
+    what makes ingestion dedup viable on an unbounded 100 TB/day feed; the
+    trade is that a duplicate arriving later than the watermark delay is
+    re-admitted.
+
+    Batch: plain ``dropDuplicates`` (one hash aggregation on the keys).
+    """
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

@@ -126,3 +126,33 @@ def test_session_window_gap_semantics(spark):
     out = SW.session_counts(df, key_col="user_id", gap="5 minutes").collect()
     got = sorted((r.user_id, r.cnt) for r in out)
     assert got == [(1, 1), (1, 3), (2, 1)]
+
+
+def test_stream_dedup_within_watermark_matches_batch(spark, sf_dir, tmp_path):
+    """Ingestion dedup parity: dropDuplicatesWithinWatermark over the file
+    stream emits exactly the batch-distinct key set (single-batch arrival,
+    so no duplicate outlives the watermark)."""
+    import os
+
+    events_dir = tmp_path / "events-dedup-src"
+    events_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+    stream = SW.with_watermark(SW.stream_events(spark, str(events_dir)), delay="1 hour")
+    deduped = SW.dedup_keys(
+        stream.select("ts", "user_id", "event_type"),
+        ["user_id", "event_type"],
+        within_watermark=True,
+    )
+    q = _run_stream(deduped, "t_dedup", output_mode="append")
+    try:
+        got = {
+            (r.user_id, r.event_type) for r in spark.table("t_dedup").collect()
+        }
+        batch = load_table(spark, sf_dir, "events", columns=["user_id", "event_type"])
+        want = {
+            (r.user_id, r.event_type)
+            for r in SW.dedup_keys(batch, ["user_id", "event_type"]).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
