@@ -146,3 +146,66 @@ def fingerprint(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.trim(F.regexp_replace(F.lower(col), r"\W+", " "))
     return F.md5(normalized)
+
+
+# Winnowing parameters (Schleimer, Wilkerson, Aiken, SIGMOD'03): char
+# k-grams, guarantee window w, polynomial rolling hash mod a Mersenne prime.
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_BASE = 257
+WINNOW_MOD = (1 << 31) - 1
+
+
+def winnow_fingerprints(text: Column | str) -> Column:
+    """Winnowing document fingerprints: distinct min-hash per window.
+
+    The classic rolling-hash fingerprinting scheme: hash every char
+    k-gram with a polynomial rolling hash, slide a w-wide window over the
+    hash sequence, keep each window's minimum — any shared substring of
+    length ≥ k+w-1 between two documents is guaranteed to share a
+    fingerprint. All exact long arithmetic in JVM higher-order functions,
+    so the DuckDB oracle (list_reduce/list_transform twin) matches
+    hash-for-hash. Docs shorter than k chars yield an empty set; hash
+    sequences shorter than w yield the single global minimum.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    # Each stage is wrapped in transform(array(expr), x -> body)[0] — a
+    # let-binding that evaluates the stage ONCE per row and exposes it as
+    # a lambda variable. Referencing the raw expression from every gram
+    # would instead re-evaluate it per reference (a naive version that
+    # re-read lower(text) per character ran ~28× slower).
+    codes = F.transform(F.split(F.lower(col), ""), lambda ch: F.ascii(ch).cast("long"))
+
+    def with_codes(c: Column) -> Column:
+        n = F.size(c)
+        hashes = F.when(
+            n >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+                lambda i: F.aggregate(
+                    F.slice(c, i, WINNOW_K),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: (acc * WINNOW_BASE + x) % WINNOW_MOD,
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+        def with_hashes(hs: Column) -> Column:
+            m = F.size(hs)
+            return (
+                F.when(
+                    m >= WINNOW_W,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(0), m - WINNOW_W),
+                            lambda j: F.array_min(F.slice(hs, j + 1, WINNOW_W)),
+                        )
+                    ),
+                )
+                .when(m > 0, F.array(F.array_min(hs)))
+                .otherwise(F.array().cast("array<long>"))
+            )
+
+        return F.transform(F.array(hashes), with_hashes)[0]
+
+    return F.transform(F.array(codes), with_codes)[0]

@@ -198,6 +198,61 @@ def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing fingerprints — exact twin of functions/text.py::winnow_fingerprints
+# (k=5, w=4, base=257, mod=2^31-1), built from DuckDB list lambdas.
+# list_reduce has no init value, so a 0 is prepended to each code list.
+_WINNOW_FP_SQL = """
+WITH t AS (SELECT doc_id, source, lower(text) AS tt, length(lower(text)) AS n FROM documents),
+h AS (
+  SELECT doc_id, source,
+    CASE WHEN n >= 5 THEN
+      list_transform(range(1, n - 3),
+        i -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(i, i + 5), j -> CAST(ord(tt[j]) AS BIGINT))),
+               (acc, x) -> (acc * 257 + x) % 2147483647))
+    ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM t),
+w AS (
+  SELECT doc_id, source,
+    CASE WHEN len(hs) >= 4 THEN
+      list_distinct(list_transform(range(0, len(hs) - 3), j -> list_min(hs[j+1:j+4])))
+    WHEN len(hs) > 0 THEN [list_min(hs)]
+    ELSE CAST([] AS BIGINT[]) END AS fp
+  FROM h),
+e AS (SELECT source, unnest(fp) AS f FROM w)
+SELECT source,
+       count(*) AS total_fps,
+       CAST(count(DISTINCT f) AS BIGINT) AS distinct_fps,
+       CAST(min(f) AS BIGINT) AS min_fp,
+       CAST(max(f) AS BIGINT) AS max_fp
+FROM e
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("txt_winnow_fingerprints", _WINNOW_FP_SQL)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): per-source profile
+    of the fingerprint sets — totals, distincts, and value range, matched
+    hash-for-hash against the DuckDB list-lambda twin."""
+    docs = _docs(spark, sf_dir, ["source", "text"])
+    exploded = docs.select(
+        "source", F.explode(TXT.winnow_fingerprints("text")).alias("f")
+    )
+    return (
+        exploded.groupBy("source")
+        .agg(
+            F.count("*").alias("total_fps"),
+            F.countDistinct("f").alias("distinct_fps"),
+            F.min("f").alias("min_fp"),
+            F.max("f").alias("max_fp"),
+        )
+        .orderBy("source")
+    )
+
+
 # TF-IDF with the smooth-idf formula: idf = ln((N+1)/(df+1)) + 1.
 _TFIDF_SQL = rf"""
 WITH toks AS (

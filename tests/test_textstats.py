@@ -58,3 +58,47 @@ def test_fingerprint_normalization(spark):
     b = one(spark, "hello world", TXT.fingerprint("text"))
     c = one(spark, "hello worlds", TXT.fingerprint("text"))
     assert a == b and a != c
+
+
+def test_winnow_fingerprints_known_answer(spark):
+    """Winnowing vs an independent pure-Python computation, incl. edge cases."""
+    from mapreduce_system_spark.functions.text import (
+        WINNOW_BASE,
+        WINNOW_K,
+        WINNOW_MOD,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    cases = ["the quick brown fox jumps over", "abcd", "aaaaaaaa", "", "abcde"]
+
+    def ref(text):
+        t = text.lower()
+        hs = []
+        for i in range(len(t) - WINNOW_K + 1):
+            acc = 0
+            for ch in t[i : i + WINNOW_K]:
+                acc = (acc * WINNOW_BASE + ord(ch)) % WINNOW_MOD
+            hs.append(acc)
+        if not hs:
+            return []
+        if len(hs) < WINNOW_W:
+            return sorted({min(hs)})
+        return sorted({min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)})
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], ["i", "text"])
+    got = {r.i: sorted(r.fp) for r in df.select("i", winnow_fingerprints("text").alias("fp")).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == ref(t), (t, got[i], ref(t))
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k+w-1 share a fingerprint."""
+    from mapreduce_system_spark.functions.text import winnow_fingerprints
+
+    shared = "zqxwvuty"  # length 8 = k+w-1
+    df = spark.createDataFrame(
+        [(1, f"aaa {shared} bbb"), (2, f"ccc {shared} ddd")], ["i", "text"]
+    )
+    got = {r.i: set(r.fp) for r in df.select("i", winnow_fingerprints("text").alias("fp")).collect()}
+    assert got[1] & got[2], "no shared fingerprint for shared substring"
