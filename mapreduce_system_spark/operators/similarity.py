@@ -263,3 +263,48 @@ def cosine_dup_pairs(
         .select("id_a", "id_b", dot_double(F.col("ua"), F.col("ub")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embed ``in_dim`` vectors
+    into ``out_dim`` dims preserving pairwise distances within
+    O(sqrt(ln n / out_dim)) relative error.
+
+    The projection matrix is a fixed seeded Gaussian (scaled 1/sqrt(k)),
+    generated identically on every executor from the seed — nothing is
+    shuffled or broadcast; the map is embarrassingly parallel Arrow-batched
+    numpy matmul. The standard pre-step before expensive ANN indexing when
+    d is large."""
+    import numpy as np
+
+    from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    rng = np.random.default_rng(seed)
+    R = (rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)).astype(np.float64)
+    other_cols = [c for c in df.columns if c != vec_col]
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            proj = m @ R.T
+            out = pdf[other_cols].copy()
+            out[out_col] = [row.tolist() for row in proj]
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != vec_col]
+        + [f"{out_col} array<double>"]
+    )
+    return df.mapInPandas(project, schema=schema)

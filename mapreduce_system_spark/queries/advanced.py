@@ -181,3 +181,28 @@ def q_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
     ).orderBy("query_id", "rn")
+
+
+@register("agg_approx_quantiles")  # t-digest-style sketch: approximate → rows-only
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``agg_quantiles``: ``approx_percentile`` builds a
+    bounded-size mergeable sketch per partition (partial+final agg, no
+    per-group value collection), so memory is O(accuracy), not O(group).
+    Accuracy 10000 → relative rank error ≤ 1/10000 (asserted against the
+    exact percentiles in tests/test_relational.py)."""
+    from mapreduce_system_spark.sources.tables import ensure_parallelism
+
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    )
+    pcts = F.array(F.lit(0.5), F.lit(0.9))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_percentile("l_extendedprice", pcts, F.lit(10000)).alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )

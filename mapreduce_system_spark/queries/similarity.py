@@ -122,3 +122,24 @@ def q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     out = SIM.cosine_dup_pairs(emb, threshold=0.4, block_col="label")
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
+
+
+@register("emb_random_projection_profile")  # randomized transform → rows-only
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 projection profile per label: norm
+    compression ratio ≈ 1 when distances are preserved. Deterministic
+    seeded matrix, but not SQL-expressible → rows-only check; distance
+    preservation is asserted in tests/test_similarity.py."""
+    from mapreduce_system_spark.functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    proj = SIM.random_projection(emb, in_dim=64, out_dim=16)
+    return (
+        proj.select(
+            "label",
+            (norm(F.col("projected")) / norm(F.col("embedding"))).alias("ratio"),
+        )
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("ratio"), 3).alias("avg_norm_ratio"))
+        .orderBy("label")
+    )

@@ -74,3 +74,16 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     exact = li.agg(F.countDistinct("l_partkey")).collect()[0][0]
     approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.01)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """approx_percentile(accuracy=10000) must land within 1% of exact."""
+    from mapreduce_system_spark.queries.advanced import q_approx_quantiles, q_quantiles
+
+    exact = {r.l_returnflag: (r.p50, r.p90) for r in q_quantiles(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: (r.p50, r.p90) for r in q_approx_quantiles(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for flag, (e50, e90) in exact.items():
+        a50, a90 = approx[flag]
+        assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
+        assert abs(a90 - e90) / e90 < 0.01, (flag, a90, e90)

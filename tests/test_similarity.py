@@ -76,3 +76,26 @@ def test_cosine_dup_pairs_blocked(spark):
     )
     got = {(r.id_a, r.id_b) for r in SIM.cosine_dup_pairs(df, threshold=0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL lemma sanity: 64→16 projection keeps pairwise distances within a
+    loose relative band, and the norm-ratio distribution centers near 1."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).limit(50)
+    proj = SIM.random_projection(emb, in_dim=64, out_dim=16)
+    rows = proj.join(emb, "vec_id").select("vec_id", "embedding", "projected").collect()
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in rows}
+    low = {r.vec_id: np.asarray(r.projected, dtype=float) for r in rows}
+    ids = sorted(orig)[:20]
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d0 = np.linalg.norm(orig[ids[i]] - orig[ids[j]])
+            d1 = np.linalg.norm(low[ids[i]] - low[ids[j]])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    ratios = np.asarray(ratios)
+    assert 0.8 < ratios.mean() < 1.2, ratios.mean()
+    assert (ratios > 0.3).all() and (ratios < 2.0).all()
