@@ -27,6 +27,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from mapreduce_system_spark import caches  # noqa: E402
 from mapreduce_system_spark.session import get_spark  # noqa: E402
 
 
@@ -51,6 +52,7 @@ def main() -> int:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    failures = 0
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
@@ -60,13 +62,19 @@ def main() -> int:
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
+            failures += 1
             print(f"# bench error {name}: {e}", file=sys.stderr)
+        finally:
+            caches.release()  # operator-level caches must not span queries
 
+    # failures is explicit so regression gating can tell "faster" from
+    # "fewer queries ran" (a -1 entry is excluded from the total).
     result = {
         "metric": "total_query_wall",
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
+        "failures": failures,
         "sf": sf,
     }
     print(json.dumps(result))

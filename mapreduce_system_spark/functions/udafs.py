@@ -2,9 +2,14 @@
 
 The reference's ``reducef`` is a UDAF with the full-value-list contract
 (worker.go:161-165) — honored by ``operators.mapreduce.per_key_fold`` /
-``map_reduce``. Here is the *scalable* custom-aggregate path: Arrow-batched
-``pandas_udf`` GROUPED_AGG, which Catalyst runs with partial batches per
-group — constant driver memory, vectorized numpy inside.
+``map_reduce``. Here is the Arrow-batched custom-aggregate path:
+``pandas_udf`` GROUPED_AGG. Note its scaling contract honestly: Spark's
+AggregateInPandas ships **each whole group to one executor task** (there
+is no partial/merge phase for GROUPED_AGG), so memory per task is O(max
+group size). That is fine for bounded groups (the registered query groups
+by a low-cardinality dimension); an *unbounded* group needs the algebraic
+rewrite instead — emit sum(value*weight) and sum(weight) with built-in
+aggregates (which DO combine map-side) and divide the two columns.
 
 UDFs are built lazily (``pandas_udf`` requires an active SparkSession, so
 decorating at import time would break imports in session-less processes).

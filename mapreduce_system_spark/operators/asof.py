@@ -5,9 +5,11 @@ primitives (SURVEY.md §7 P4, the one genuinely hard reference-absent op).
 
 1. tag right rows (carry payload) and left rows (payload null), union;
 2. one window per key ordered by (time, right-first at ties);
-3. ``last(payload, ignoreNulls=True)`` over unbounded-preceding..current
-   propagates the most recent right payload forward;
-4. keep left rows.
+3. ``last(struct(payloads), ignoreNulls=True)`` over
+   unbounded-preceding..current propagates the most recent right row's
+   payload struct forward (a single struct, so a NULL field inside the
+   matched row is preserved rather than filled from an older row);
+4. keep left rows, unpack the struct.
 
 This is one shuffle on the join key + one per-partition sort — the same
 cost as a sort-merge join, with per-key (not global) ordering, so it
@@ -42,19 +44,26 @@ def asof_join(
     first (see ``latest_per_key_time``) to keep results deterministic.
     Returns all left columns + payload_cols (null when no prior right row).
     """
+    # Payloads are propagated as ONE non-null struct, not per-column
+    # last(ignorenulls): with per-column fill, a matched right row whose
+    # payload field is legitimately NULL would be skipped and an *older*
+    # row's non-null value would leak through — diverging from DuckDB/kdb
+    # ASOF semantics, which take all fields from the single matched row.
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__r"),
+        F.struct(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema]
+        ).alias("__left"),
+        F.struct(*payload_cols).alias("__p"),
+    )
     lt = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__r"),
         F.struct(*left.columns).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
-    )
-    rt = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_time).alias("__t"),
-        F.lit(1).alias("__r"),
-        F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
-        *payload_cols,
+        F.lit(None).cast(rt.schema["__p"].dataType).alias("__p"),
     )
     w = (
         W.partitionBy("__k")
@@ -64,9 +73,11 @@ def asof_join(
     filled = lt.unionByName(rt).select(
         "__r",
         "__left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.where(F.col("__r") == 0).select("__left.*", *payload_cols)
+    return filled.where(F.col("__r") == 0).select(
+        "__left.*", *[F.col("__p")[c].alias(c) for c in payload_cols]
+    )
 
 
 def latest_per_key_time(

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_system_spark.caches import tracked_cache
 from mapreduce_system_spark.functions.text import fingerprint, shingles, tokens
 from mapreduce_system_spark.sources.tables import ensure_parallelism
 
@@ -79,7 +80,8 @@ def jaccard_pairs(
     # otherwise be evaluated twice below (size + explode reference the
     # same array), and Spark's cache manager also substitutes this
     # relation into any concurrent plan with the same subtree (minhash).
-    sets = shingle_sets(df, n, text_col, id_col).cache()
+    # Tracked so multi-query harnesses can caches.release() between runs.
+    sets = tracked_cache(shingle_sets(df, n, text_col, id_col))
     # carry |set| through the explode: the pair group then has both sizes
     # in-row — no post-join size lookups.
     exploded = sets.select("id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle"))
@@ -168,7 +170,7 @@ def minhash_lsh_pairs(
     Precision is exact; recall = 1-(1-s^r)^b (r=2, b=64 ⇒ >99.99% at
     s=0.5). Candidate volume scales with docs-per-band-bucket, never n².
     """
-    sets_cached = shingle_sets(df, n, text_col, id_col).cache()
+    sets_cached = tracked_cache(shingle_sets(df, n, text_col, id_col))
     hsets = sets_cached.select(
         "id", F.transform("sg", lambda s: F.xxhash64(s)).alias("hs")
     )
@@ -264,7 +266,15 @@ def simhash_pairs(
     within Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so the
     candidate set is 4 equi-joins on 16-bit band keys — never all-pairs.
     """
-    sig = simhash(df, text_col, id_col)
+    return simhash_pairs_from_sig(simhash(df, text_col, id_col), max_hamming)
+
+
+def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming pair search over a precomputed (id, simhash) table.
+
+    Split out so the signature table can be materialized once (e.g. to
+    parquet, where a SQL oracle can verify the pair logic all-pairs) and
+    the banding reused on the read-back."""
     bands = sig.select(
         "id",
         "simhash",

@@ -272,6 +272,7 @@ def random_projection(
     vec_col: str = "embedding",
     out_col: str = "projected",
     seed: int = 42,
+    keep_input: bool = False,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: embed ``in_dim`` vectors
     into ``out_dim`` dims preserving pairwise distances within
@@ -281,7 +282,12 @@ def random_projection(
     generated identically on every executor from the seed — nothing is
     shuffled or broadcast; the map is embarrassingly parallel Arrow-batched
     numpy matmul. The standard pre-step before expensive ANN indexing when
-    d is large."""
+    d is large.
+
+    ``keep_input=True`` carries ``vec_col`` through to the output (needed
+    when downstream expressions reference both the original and projected
+    vectors, e.g. norm-preservation profiling); default drops it, since at
+    scale the whole point is to shed the wide column before the shuffle."""
     import numpy as np
 
     from mapreduce_system_spark.pyfiles import ensure_package_on_executors
@@ -289,7 +295,7 @@ def random_projection(
     ensure_package_on_executors(df.sparkSession)
     rng = np.random.default_rng(seed)
     R = (rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)).astype(np.float64)
-    other_cols = [c for c in df.columns if c != vec_col]
+    out_cols = [c for c in df.columns if keep_input or c != vec_col]
 
     def project(batches):
         import pandas as pd
@@ -299,12 +305,12 @@ def random_projection(
                 continue
             m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
             proj = m @ R.T
-            out = pdf[other_cols].copy()
+            out = pdf[out_cols].copy()
             out[out_col] = [row.tolist() for row in proj]
             yield out
 
     schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != vec_col]
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name in out_cols]
         + [f"{out_col} array<double>"]
     )
     return df.mapInPandas(project, schema=schema)

@@ -5,17 +5,24 @@ pipeline, temporal, streaming-parity, multimodal) into
 ``mapreduce_system_spark.registry.QUERIES`` / ``ORACLE_SQL``. The
 MapReduce-core workloads (the reference's own surface) live in
 ``registry.py`` itself.
+
+IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep covers the
+first 50 registered queries in registration order. Modules whose queries
+most need a fresh driver correctness row this round (changed semantics,
+new oracles, or no row yet in any CORRECTNESS_r*.json) are imported
+first; queries pushed past the window all have driver-green rows in
+CORRECTNESS_r02.json, so nothing loses its on-record evidence.
 """
 
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    advanced,
-    dedup,
-    multimodal,
-    relational,
-    similarity,
-    streaming,
-    temporal,
-    textstats,
+    temporal,      # asof (semantics fixed r3), range join, date/json fns — no r02 rows
+    textstats,     # 7 txt_* (tfidf reworked r3) — no r02 rows
+    streaming,     # session/dedup/totals tail had no r02 rows
+    dedup,         # jaccard stop-shingle cap + simhash exact oracle (new r3)
+    similarity,    # emb_random_projection_profile fixed r3
+    relational,    # all driver-green r02; first ~half re-verify in-window
+    advanced,      # driver-green r02
+    multimodal,    # driver-green/rows-only r02
 )

@@ -60,13 +60,60 @@ WHERE j >= 0.5
 ORDER BY id_a, id_b
 """
 
+# Cap for stop-shingles: a shingle shared by D docs contributes D² candidate
+# rows to the share-join, so one boilerplate shingle is the job-killing skew
+# key at corpus scale. 100 ≈ 20% of the sf0.01 corpus — well above any real
+# near-dup cluster, low enough to kill template text.
+_MAX_SHINGLE_DF = 100
 
-@register("dedup_jaccard_pairs", _JACCARD_SQL)
+# Same pair algebra with the stop-shingle cap mirrored: hot shingles
+# (df > cap) are removed from the *intersection*, while set sizes stay the
+# full |A|,|B| — exactly what the Spark plan computes (sizes are carried
+# through the explode before the anti-join drops hot shingles).
+_JACCARD_CAPPED_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]) AS sg
+  FROM toks
+  WHERE len(ts) >= 3
+), hot AS (
+  SELECT COALESCE(list(shingle), []) AS hots
+  FROM (
+    SELECT shingle FROM (SELECT doc_id, unnest(sg) AS shingle FROM sh)
+    GROUP BY shingle HAVING count(*) > {_MAX_SHINGLE_DF}
+  )
+), shf AS (
+  SELECT doc_id, len(sg) AS sz,
+         list_filter(sg, s -> NOT list_contains(hots, s)) AS sgf
+  FROM sh CROSS JOIN hot
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sgf, b.sgf))::DOUBLE
+           / (a.sz + b.sz - len(list_intersect(a.sgf, b.sgf))) AS j
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sgf, b.sgf)) > 0
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard
+FROM pairs
+WHERE j >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_jaccard_pairs", _JACCARD_CAPPED_SQL)
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the
-    shingle-share equi-join — never all-pairs."""
+    shingle-share equi-join — never all-pairs, and with the stop-shingle
+    cap applied (``max_shingle_df=100``) so candidate volume per shingle is
+    bounded by the cap², not corpus², under boilerplate skew. Recall is
+    altered only for pairs whose *every* shared shingle is a stop-shingle
+    (pure templates)."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    out = DD.jaccard_pairs(docs, n=3, threshold=0.5)
+    out = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )
@@ -88,9 +135,35 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_pairs")  # hash family not in DuckDB → rows-only
+# xxhash64 isn't in DuckDB, so the *signatures* can't be recomputed there —
+# but at a fixed corpus they are deterministic. The registered query
+# materializes them once (parquet at a fixed path), and the oracle verifies
+# the banding + Hamming pair logic over that exported table: the pigeonhole
+# banding (any pair at Hamming ≤ 3 agrees on ≥1 of 4 16-bit bands) makes
+# the banded equi-join's pair set IDENTICAL to the all-pairs formulation,
+# which is what the SQL twin computes directly.
+_SIMHASH_SIG_PATH = "/tmp/spark_graft_simhash_sigs"
+
+_SIMHASH_SQL = f"""
+WITH s AS (SELECT id, simhash FROM read_parquet('{_SIMHASH_SIG_PATH}/*.parquet'))
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_SQL)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit tf-weighted simhash),
-    banded 4×16-bit candidate join."""
+    banded 4×16-bit candidate join — value-checked: signatures are
+    exported to parquet and the oracle recomputes the pair set all-pairs
+    in SQL (equivalent by the pigeonhole argument in operators/dedup.py).
+    """
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    return DD.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    DD.simhash(docs).write.mode("overwrite").parquet(_SIMHASH_SIG_PATH)
+    # compute pairs FROM the exported table so both engines read the very
+    # same signatures (no recompute drift; reads are pruned to id+simhash).
+    sig_back = spark.read.parquet(_SIMHASH_SIG_PATH)
+    return DD.simhash_pairs_from_sig(sig_back, max_hamming=3).orderBy("id_a", "id_b")

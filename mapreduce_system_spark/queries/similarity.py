@@ -133,7 +133,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_system_spark.functions.vectors import norm
 
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
-    proj = SIM.random_projection(emb, in_dim=64, out_dim=16)
+    proj = SIM.random_projection(emb, in_dim=64, out_dim=16, keep_input=True)
     return (
         proj.select(
             "label",

@@ -277,18 +277,22 @@ LIMIT 20
 @register("txt_tfidf_top_terms", _TFIDF_SQL)
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 terms by mean TF-IDF (smooth idf). Two shuffles on the term
-    key; df side is broadcast back (vocabulary ≪ corpus)."""
+    key; df side is broadcast back (vocabulary ≪ corpus). N is a 1-row
+    aggregate broadcast-cross-joined into the plan — no blocking
+    driver-side ``count()`` and no extra pass over the corpus before the
+    real job."""
     docs = _docs(spark, sf_dir, ["doc_id", "text"])
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(TXT.tokens("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
         tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
         .groupBy("word")
         .agg(
             F.round(F.avg(F.col("tf") * idf), 6).alias("avg_tfidf"),

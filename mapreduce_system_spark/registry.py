@@ -216,6 +216,35 @@ def q_generic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MR.map_reduce_scalable(files, _wc_mapf, _wc_reducef).orderBy("key")
 
 
+@register("mr_whole_text_files_wc", _WORD_COUNT_SQL)
+def q_whole_text_files_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count whose source is the reference's NATIVE input contract —
+    whole text files read as (file, content) pairs (worker.go:94-104) —
+    not the parquet stand-in.
+
+    The corpus is staged once per (sf, run) through the engine's own text
+    sink (``df.write.text`` — the same partitioned-file + rename-commit
+    protocol as the reference's output, coordinator.go:50-79), then read
+    back with ``wholeTextFiles``. Concatenating documents into per-
+    partition files preserves word counts exactly: the newline joining two
+    documents is a ``\\W`` token boundary, and empty tokens are filtered.
+    Oracle: the same word-count SQL over the documents table.
+    """
+    from pathlib import Path
+
+    staged = f"/tmp/spark_graft_wtf_{Path(sf_dir).name}"
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    # text sink rejects nulls; an empty line contributes zero tokens on
+    # both engines, so the oracle is unaffected.
+    docs.select(F.coalesce(F.col("text"), F.lit("")).alias("text")).write.mode(
+        "overwrite"
+    ).text(staged)
+    from mapreduce_system_spark.sources.text import whole_text_files
+
+    files = whole_text_files(spark, staged + "/part-*")
+    return MR.word_count(files, "content")
+
+
 # Domain query modules (relational / LLM-pipeline / temporal / streaming /
 # multimodal) self-register on import — keep this at the bottom so
 # ``register`` and the core MR queries above already exist.
