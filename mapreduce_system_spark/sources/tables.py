@@ -157,6 +157,17 @@ def load_table(
     return df
 
 
+def _parse_bytes(size: str) -> int:
+    """Parse a Spark size conf value ('134217728', '128MB', '64m', '1g')."""
+    s = size.strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to defaultParallelism when the scan has fewer input
     partitions than cores (single-file fixture parquet ⇒ 1 split).
@@ -164,8 +175,29 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     Heavy per-row work (shingle expressions, Arrow-batched Python) would
     otherwise run on one core. At production scale inputs already have
     ≥cores splits, so this is a no-op — the guard makes it safe to apply
-    unconditionally at the head of expression-heavy operators."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    unconditionally at the head of expression-heavy operators.
+
+    The split count is estimated from catalog metadata (input file sizes /
+    ``maxPartitionBytes``) — no ``df.rdd`` conversion, which would build a
+    throwaway physical plan per call just to read its partition count. The
+    RDD probe remains only as the fallback for non-file relations."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = [f for f in df.inputFiles() if f.startswith("file:")]
+    if files:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        if len(files) >= target:
+            return df
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        splits = sum(
+            max(1, -(-os.path.getsize(unquote(urlparse(f).path)) // max_pb))
+            for f in files
+        )
+        return df if splits >= target else df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
