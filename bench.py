@@ -50,6 +50,14 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the Python worker pool + Arrow serialization path, so the
+    # first pandas-UDF query in registration order doesn't absorb the
+    # daemon cold-start (~1-2 s) into its own number.
+    from pyspark.sql import functions as F
+
+    spark.range(1000).select(
+        F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     failures = 0

@@ -20,6 +20,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     temporal,      # asof (semantics fixed r3), range join, date/json fns — no r02 rows
     textstats,     # 7 txt_* (tfidf reworked r3) — no r02 rows
     pipeline,      # composite pack/clean pipelines (new r3)
+    sinks,         # partitioned-sink round trip with pruned re-scan (new r3)
     streaming,     # session/dedup/totals tail had no r02 rows
     dedup,         # jaccard stop-shingle cap + simhash exact oracle (new r3)
     similarity,    # emb_random_projection_profile fixed r3

@@ -1,0 +1,51 @@
+"""Partitioned-sink round trip: value preservation AND partition pruning.
+
+The pruning assertion is the point — a re-scan that lists all 5 priority
+directories for a 2-priority filter would silently read 2.5× the bytes at
+100 TB. PartitionFilters (not PushedFilters) is where a partition-column
+predicate must land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.plans.checks import formatted_plan
+from mapreduce_system_spark.queries.sinks import (
+    _PRIORITIES,
+    partitioned_sink_path,
+    q_sink_partitioned_roundtrip,
+)
+from mapreduce_system_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_roundtrip_matches_direct_aggregate(spark):
+    got = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (r["n_orders"], r["revenue"])
+        for r in q_sink_partitioned_roundtrip(spark, SF_DIR).collect()
+    }
+    direct = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (r["n"], r["rev"])
+        for r in (
+            load_table(spark, SF_DIR, "orders")
+            .where(F.col("o_orderpriority").isin(*_PRIORITIES))
+            .groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+            .collect()
+        )
+    }
+    assert got == direct and got
+
+
+def test_rescan_prunes_partitions(spark):
+    # build the plan over the already-written sink dir (the round-trip test
+    # above ran first and staged it)
+    q_sink_partitioned_roundtrip(spark, SF_DIR)
+    back = spark.read.parquet(partitioned_sink_path(SF_DIR)).where(
+        F.col("o_orderpriority").isin(*_PRIORITIES)
+    )
+    plan = formatted_plan(back.groupBy("o_orderstatus").count())
+    # partition-column predicate must be a PartitionFilters entry on the scan
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2 and not seg[1].startswith("]"), plan
