@@ -69,16 +69,26 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
     Built from built-ins only: tokens → transform over sliding offsets →
     concat. Returns distinct shingles (set semantics for Jaccard).
+
+    The token array is let-bound (``transform(array(tokens), t -> ...)[0]``
+    — same trick as ``winnow_fingerprints``) so it is evaluated ONCE per
+    row: referencing the raw ``tokens()`` expression from the per-gram
+    lambda would re-tokenize the document once per gram — O(L²) per doc
+    (measured 4× slower on the sf0.1 shingle stage).
     """
-    toks = tokens(text)
-    k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), k - 1)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    # Guard short docs: sequence(0, k-1) with k<1 would yield a descending
-    # range and slice(start=0) raises — emit an empty shingle set instead.
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def with_toks(toks: Column) -> Column:
+        k = F.size(toks) - F.lit(n - 1)
+        idx = F.sequence(F.lit(0), k - 1)
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        # Guard short docs: sequence(0, k-1) with k<1 would yield a
+        # descending range and slice(start=0) raises — emit an empty
+        # shingle set instead.
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(tokens(text)), with_toks)[0]
 
 
 def quality_features(text: Column | str) -> dict[str, Column]:
