@@ -132,6 +132,52 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interval (stream-stream) join twin: purchases within 30 minutes of a
+# click by the same user — click→purchase attribution. The oracle is the
+# identical time-bounded self-join in SQL.
+_INTERVAL_JOIN_SQL = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     j AS (
+       SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value
+       FROM c JOIN p ON c.user_id = p.user_id
+                    AND p.ts >= c.ts
+                    AND p.ts <= c.ts + INTERVAL '30 minutes'
+     )
+SELECT user_id,
+       count(*) AS n_attributed,
+       CAST(min(date_diff('second', c_ts, p_ts)) AS BIGINT) AS min_lag_s,
+       round(sum(value), 2) AS attributed_value
+FROM j
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_interval_join_attrib", _INTERVAL_JOIN_SQL)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming.windows.interval_join): purchases attributed to a same-user
+    click within 30 minutes, profiled per user. The streaming form — both
+    sides watermarked, same time-range predicate bounding join state — is
+    asserted equal in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "user_id", "event_type", "value"])
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = SW.interval_join(clicks, purchases, on="user_id", max_delay="30 minutes")
+    return (
+        joined.groupBy(F.col("l_user_id").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.min(
+                F.col("r_ts").cast("long") - F.col("l_ts").cast("long")
+            ).alias("min_lag_s"),
+            F.round(F.sum("r_value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _TOTALS_SQL = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events

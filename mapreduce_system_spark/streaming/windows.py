@@ -86,6 +86,36 @@ def session_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Event-time interval join: right rows within [left_ts, left_ts +
+    max_delay] for the same key — the stream-stream join shape (e.g.
+    click→purchase attribution).
+
+    Identical expression in batch and streaming. On two streams, BOTH
+    sides must carry a watermark and the join must have this time-range
+    predicate: that pair of bounds is what lets Spark evict join state
+    (a side's rows older than watermark + max_delay can never match
+    again). Without the range predicate a stream-stream join's state
+    grows forever — the interval is a semantic choice AND the state bound.
+    Columns are prefixed l_/r_ to keep both sides' fields addressable.
+    """
+    lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.alias("l").join(right.alias("r"), cond).select(*lcols, *rcols)
+
+
 def dedup_keys(df: DataFrame, keys: list[str], within_watermark: bool = False) -> DataFrame:
     """Streaming/batch exact dedup on a key set — the ingestion-time twin
     of ``operators.dedup.exact_dedup``.

@@ -156,3 +156,49 @@ def test_stream_dedup_within_watermark_matches_batch(spark, sf_dir, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_interval_join_stream_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join parity: both sides watermarked file
+    streams, time-range predicate bounding join state; the emitted pair
+    set must equal the batch twin's."""
+    import os
+
+    events_dir = tmp_path / "events-ij-src"
+    events_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        return clicks, purchases
+
+    sc, sp = sides(SW.stream_events(spark, str(events_dir)))
+    joined = SW.interval_join(
+        SW.with_watermark(sc, delay="1 hour"),
+        SW.with_watermark(sp, delay="1 hour"),
+        on="user_id",
+        max_delay="30 minutes",
+    )
+    q = _run_stream(joined, "t_ij", output_mode="append")
+    try:
+        got = {
+            (r.l_event_id, r.r_event_id) for r in spark.table("t_ij").collect()
+        }
+        bc, bp = sides(
+            load_table(
+                spark, sf_dir, "events",
+                columns=["ts", "user_id", "event_type", "event_id"],
+            )
+        )
+        want = {
+            (r.l_event_id, r.r_event_id)
+            for r in SW.interval_join(bc, bp, on="user_id", max_delay="30 minutes").collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
