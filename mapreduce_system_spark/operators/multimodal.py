@@ -71,7 +71,14 @@ def blob_features(df: DataFrame, id_col: str = "id", blob_col: str = "blob") -> 
 
 def _decode_image_real(blob: bytes):
     """Real decoder — requires an imaging library absent from this
-    container. Cited for the intended production path."""
+    container. Cited for the intended production path.
+
+    Status (checked round 3): ``import PIL`` raises ModuleNotFoundError in
+    this environment and installing packages is out of scope, so every
+    fixture run takes the deterministic-fake branch. The import-try is
+    kept because the switch is purely environmental: with PIL present this
+    function lights up and ``decoder`` flips to ``"pil"`` with zero engine
+    changes."""
     try:
         from PIL import Image  # type: ignore
         import io
