@@ -332,3 +332,68 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "bigram")
         .limit(20)
     )
+
+
+# Python UDTF (Spark 4 first-class table function): sentence splitter used
+# through a SQL LATERAL join. The oracle replicates the split + token
+# algebra with unnest. Sentences = '[.!?]+'-separated spans holding ≥1
+# word token.
+_UDTF_SQL = r"""
+WITH parts AS (
+  SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS sent FROM documents
+), t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(sent), '\W+'), x -> x <> '')) AS n
+  FROM parts
+)
+SELECT doc_id,
+       count(*) AS n_sentences,
+       CAST(sum(n) AS BIGINT) AS sentence_tokens,
+       CAST(max(n) AS BIGINT) AS max_sentence_tokens
+FROM t
+WHERE n > 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("udtf_sentence_stats", _UDTF_SQL)
+def q_udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence statistics through a real Python UDTF (1 row → N rows, the
+    reference's ``mapf`` shape as a first-class table function,
+    worker.go:51 / README.MD:82) driven by a SQL LATERAL join.
+
+    The UDTF is registered per session and built lazily (like the pandas
+    UDAFs — decorating at import time needs no session but registration
+    does). Row-at-a-time Python is the slow path by design here: this
+    query exists to oracle-verify the UDTF API surface; the scalable
+    formulation of the same algebra is a JVM explode (see
+    ``txt_token_stats``/``mr_word_count``)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_tokens bigint")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: D401 - Spark UDTF contract
+            import re
+
+            if text is None:
+                return
+            for sent in re.split(r"[.!?]+", text):
+                n = len([t for t in re.split(r"\W+", sent.lower()) if t])
+                if n > 0:
+                    yield (n,)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               count(*) AS n_sentences,
+               sum(n_tokens) AS sentence_tokens,
+               max(n_tokens) AS max_sentence_tokens
+        FROM udtf_docs, LATERAL sentence_split(text)
+        GROUP BY doc_id
+        ORDER BY doc_id
+        """
+    )

@@ -99,3 +99,22 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     ratios = np.asarray(ratios)
     assert 0.8 < ratios.mean() < 1.2, ratios.mean()
     assert (ratios > 0.3).all() and (ratios < 2.0).all()
+
+
+def test_cosine_dup_pairs_arrow_matches_jvm(spark, sf_dir):
+    from mapreduce_system_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_arrow,
+    )
+    from mapreduce_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    jvm = {
+        (r.id_a, r.id_b): round(r.cos, 6)
+        for r in cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): round(r.cos, 6)
+        for r in cosine_dup_pairs_arrow(emb, threshold=0.4).collect()
+    }
+    assert jvm == arrow and len(jvm) > 0
