@@ -145,6 +145,7 @@ def lsh_bucket_topk(
     k: int = 5,
     n_planes: int = 4,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -153,24 +154,34 @@ def lsh_bucket_topk(
     """Approximate top-k via random-hyperplane buckets: candidates are the
     query's own bucket (equi-join on bucket id), then exact cosine + rank.
 
-    Recall rises as n_planes falls (bigger buckets); at scale use several
-    independent tables (seeds) and union the candidates.
+    Recall knobs: fewer planes → bigger buckets; more ``n_tables`` → the
+    union of candidates from independent hash tables (planes seeded
+    seed+t) — standard OR-amplification. A true neighbor is missed only
+    if it bucket-mismatches in EVERY table, so miss probability decays
+    geometrically in n_tables while cost grows linearly (t equi-joins;
+    duplicate candidates collapse in a distinct before ranking). Recall
+    monotonicity vs brute force is asserted in tests/test_similarity.py.
     """
     dim = len(corpus.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    bucketed = with_unit_vector(
-        corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes)), vec_col, "__cu"
-    )
-    q_bucketed = with_unit_vector(
-        queries.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes)),
-        query_vec_col,
-        "__qu",
-    )
-    scored = (
-        bucketed.join(F.broadcast(q_bucketed), "bucket")
-        .where(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
-    )
+    cu = with_unit_vector(corpus, vec_col, "__cu")
+    qu = with_unit_vector(queries, query_vec_col, "__qu")
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        bucketed = cu.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        q_bucketed = qu.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes))
+        per_table.append(
+            bucketed.join(F.broadcast(q_bucketed), "bucket")
+            .where(F.col(id_col) != F.col(query_id_col))
+            .select(
+                query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos")
+            )
+        )
+    scored = per_table[0]
+    for other in per_table[1:]:
+        scored = scored.unionByName(other)
+    if n_tables > 1:
+        scored = scored.distinct()
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 

@@ -137,15 +137,22 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # xxhash64 isn't in DuckDB, so the *signatures* can't be recomputed there —
 # but at a fixed corpus they are deterministic. The registered query
-# materializes them once (parquet at a fixed path), and the oracle verifies
-# the banding + Hamming pair logic over that exported table: the pigeonhole
-# banding (any pair at Hamming ≤ 3 agrees on ≥1 of 4 16-bit bands) makes
-# the banded equi-join's pair set IDENTICAL to the all-pairs formulation,
-# which is what the SQL twin computes directly.
-_SIMHASH_SIG_PATH = "/tmp/spark_graft_simhash_sigs"
+# materializes them once (parquet at an sf-suffixed path, so a bench run
+# at another scale factor can never clobber the correctness run's export),
+# and the oracle verifies the banding + Hamming pair logic over that
+# exported table: the pigeonhole banding (any pair at Hamming ≤ 3 agrees
+# on ≥1 of 4 16-bit bands) makes the banded equi-join's pair set IDENTICAL
+# to the all-pairs formulation, which is what the SQL twin computes
+# directly. The oracle string is static, so it names the sf0.01 path —
+# the scale the driver's correctness gate runs at (verify_local likewise).
+
+
+def _simhash_sig_path(sf_name: str) -> str:
+    return f"/tmp/spark_graft_simhash_sigs_{sf_name}"
+
 
 _SIMHASH_SQL = f"""
-WITH s AS (SELECT id, simhash FROM read_parquet('{_SIMHASH_SIG_PATH}/*.parquet'))
+WITH s AS (SELECT id, simhash FROM read_parquet('{_simhash_sig_path("sf0.01")}/*.parquet'))
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM s a JOIN s b ON a.id < b.id
@@ -161,9 +168,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exported to parquet and the oracle recomputes the pair set all-pairs
     in SQL (equivalent by the pigeonhole argument in operators/dedup.py).
     """
+    from pathlib import Path
+
+    path = _simhash_sig_path(Path(sf_dir).name)
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    DD.simhash(docs).write.mode("overwrite").parquet(_SIMHASH_SIG_PATH)
+    DD.simhash(docs).write.mode("overwrite").parquet(path)
     # compute pairs FROM the exported table so both engines read the very
     # same signatures (no recompute drift; reads are pruned to id+simhash).
-    sig_back = spark.read.parquet(_SIMHASH_SIG_PATH)
+    sig_back = spark.read.parquet(path)
     return DD.simhash_pairs_from_sig(sig_back, max_hamming=3).orderBy("id_a", "id_b")

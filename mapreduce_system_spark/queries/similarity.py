@@ -68,12 +68,13 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
-@register("sim_topk_lsh")  # approximate (single hash table) → rows-only
+@register("sim_topk_lsh")  # approximate (bucketed candidates) → rows-only
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-5: same-bucket candidates only (16
-    buckets), exact cosine + rank within the bucket."""
+    """Random-hyperplane LSH top-5: same-bucket candidates from the union
+    of 2 independent hash tables (16 buckets each — OR-amplified recall),
+    exact cosine + rank within candidates."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = SIM.lsh_bucket_topk(emb, _query_set(spark, sf_dir), k=_TOPK, n_planes=4)
+    out = SIM.lsh_bucket_topk(emb, _query_set(spark, sf_dir), k=_TOPK, n_planes=4, n_tables=2)
     return out.select(
         "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
     ).orderBy("query_id", "rn")

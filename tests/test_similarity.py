@@ -118,3 +118,27 @@ def test_cosine_dup_pairs_arrow_matches_jvm(spark, sf_dir):
         for r in cosine_dup_pairs_arrow(emb, threshold=0.4).collect()
     }
     assert jvm == arrow and len(jvm) > 0
+
+
+def test_lsh_multi_table_recall_is_monotone(spark, sf_dir):
+    """OR-amplification: unioning candidates from independent hash tables
+    can only add candidates, so top-k recall vs brute force is monotone
+    non-decreasing in n_tables (and strictly useful on this fixture)."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _queries(emb, 10)
+    exact = {
+        (r.query_id, r.vec_id) for r in SIM.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(n_tables):
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in SIM.lsh_bucket_topk(
+                emb, q, k=5, n_planes=4, n_tables=n_tables
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1, (r1, r3)
+    assert r3 >= 0.3, f"3-table LSH recall {r3} collapsed"
