@@ -73,6 +73,64 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic hash sampling: membership decided by a hash of the stable
+# id, NOT by rand()/TABLESAMPLE — the only sampling that is reproducible
+# across engines, runs, partitionings, and retries (a must when a 100 TB
+# corpus is sampled incrementally: a doc's membership never changes as
+# files arrive). First hex nibble of md5 < '2' ⇒ a fixed 1/8 of id space.
+_SAMPLE_SQL = """
+WITH s AS (
+  SELECT source, doc_id
+  FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+), t AS (
+  SELECT source, count(*) AS n_total FROM documents GROUP BY source
+)
+SELECT t.source,
+       coalesce(count(s.doc_id), 0) AS n_sampled,
+       t.n_total,
+       round(coalesce(count(s.doc_id), 0)::DOUBLE / t.n_total, 4) AS fraction
+FROM t LEFT JOIN s ON s.source = t.source
+GROUP BY t.source, t.n_total
+ORDER BY t.source
+"""
+
+
+@register("pipe_hash_sample", _SAMPLE_SQL)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample (md5-nibble bucket, 2/16 of id space) with
+    a per-source sampling-fraction profile.
+
+    ``df.sample``/TABLESAMPLE are partition- and seed-dependent, so they
+    can't be oracle-checked and — worse for a real pipeline — a row's
+    membership changes across retries and repartitioning. Hashing the
+    stable id makes the sample a pure function of the data, the property
+    incremental 100 TB sampling needs. Plan: one scan feeding both the
+    filtered count and the total (grouped partial aggs), broadcast join
+    of two tiny per-source profiles."""
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "doc_id"])
+    sampled = (
+        docs.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(F.broadcast(sampled), "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            "n_total",
+            F.round(
+                F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total"), 4
+            ).alias("fraction"),
+        )
+        .orderBy("source")
+    )
+
+
 _STOPLIST = "['" + "', '".join(TXT.STOPWORDS) + "']"
 
 _CLEAN_SQL = rf"""
