@@ -317,3 +317,70 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, survivor_id), where
+    survivor_id is the minimum id reachable through the pair graph.
+
+    Pair generators (Jaccard/MinHash/SimHash) emit EDGES; dedup policy
+    needs COMPONENTS (a~b and b~c must collapse a,b,c to one survivor
+    even when a~c was never emitted). This is iterative min-label
+    propagation: each round joins labels across edges and keeps the
+    per-node minimum, converging in O(diameter) rounds — near-dup
+    clusters are shallow (template families), so a handful of rounds
+    suffices at any corpus size; each round is one equi-join + one
+    aggregation, the same shuffle shape as everything else here. The
+    loop stops early on a converged round (one driver-side count per
+    round — the iterative-algorithm pattern, like k-means). Raises if
+    max_iter rounds don't converge rather than returning a wrong
+    labeling.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    comp = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .cache()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(comp, edges.dst == comp.id)
+                .select(F.col("src").alias("id"), F.col("comp"))
+                .groupBy("id")
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            new_comp = (
+                comp.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                        "comp"
+                    ),
+                )
+                .cache()
+            )
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            comp.unpersist()
+            comp = new_comp
+            if changed == 0:
+                return comp.select("id", F.col("comp").alias("survivor_id"))
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()

@@ -69,9 +69,9 @@ _MAX_SHINGLE_DF = 100
 # Same pair algebra with the stop-shingle cap mirrored: hot shingles
 # (df > cap) are removed from the *intersection*, while set sizes stay the
 # full |A|,|B| — exactly what the Spark plan computes (sizes are carried
-# through the explode before the anti-join drops hot shingles).
-_JACCARD_CAPPED_SQL = rf"""
-WITH toks AS (
+# through the explode before the anti-join drops hot shingles). The CTE
+# body is shared with the connected-components oracle below.
+_JACCARD_CAPPED_CTES = rf"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
   FROM documents
@@ -96,7 +96,10 @@ WITH toks AS (
            / (a.sz + b.sz - len(list_intersect(a.sgf, b.sgf))) AS j
   FROM shf a JOIN shf b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.sgf, b.sgf)) > 0
-)
+)"""
+
+_JACCARD_CAPPED_SQL = f"""
+WITH {_JACCARD_CAPPED_CTES}
 SELECT id_a, id_b, round(j, 6) AS jaccard
 FROM pairs
 WHERE j >= 0.5
@@ -177,3 +180,45 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same signatures (no recompute drift; reads are pruned to id+simhash).
     sig_back = spark.read.parquet(path)
     return DD.simhash_pairs_from_sig(sig_back, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# Connected-components oracle: DuckDB WITH RECURSIVE computes the full
+# reachability closure over the (undirected) pair graph, then min(reachable)
+# per node — the same fixpoint the Spark min-label propagation converges to.
+_CLUSTER_SQL = f"""
+WITH RECURSIVE {_JACCARD_CAPPED_CTES},
+p AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+nodes AS (
+  SELECT DISTINCT id FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS id, CAST(min(b) AS BIGINT) AS survivor_id
+FROM reach
+GROUP BY a
+ORDER BY id
+"""
+
+
+@register("dedup_cluster_survivors", _CLUSTER_SQL)
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup PAIRS: connected components over the
+    capped-Jaccard pair graph, one survivor (min id) per component.
+
+    Pair emission alone under-deduplicates: a~b and b~c must collapse
+    a,b,c to one survivor even though a~c was never emitted. The Spark
+    side is iterative min-label propagation (operators/dedup.py
+    ``connected_components``, O(cluster diameter) equi-join rounds); the
+    oracle is the DuckDB recursive-CTE reachability closure — two very
+    different algorithms that must agree on the exact labeling."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
+    return DD.connected_components(pairs).orderBy("id")

@@ -74,3 +74,15 @@ def test_max_shingle_df_caps_hot_shingles(spark):
     uncapped = DD.jaccard_pairs(df, threshold=0.05).count()
     capped = DD.jaccard_pairs(df, threshold=0.05, max_shingle_df=5).count()
     assert uncapped > 0 and capped == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from mapreduce_system_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (1~4 never emitted), island 10-11, singleton pair 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.survivor_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
