@@ -212,3 +212,66 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs_kept"), F.sum("n").alias("tokens_kept"))
         .orderBy("source")
     )
+
+
+# GROUPED_MAP (applyInPandas) surface with an exact oracle: per-group
+# z-score normalization, profiled per group. The window-function SQL twin
+# computes the identical algebra; doubles are rounded to 4 decimals on
+# both sides (group mean/std agree to ~1e-12 relative between numpy and
+# DuckDB, far inside the rounding).
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice,
+         avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS m,
+         stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag) AS sd
+  FROM lineitem
+), z AS (
+  SELECT l_returnflag, (l_extendedprice - m) / sd AS z FROM s
+)
+SELECT l_returnflag,
+       count(*) AS n,
+       round(avg(abs(z)), 4) AS avg_abs_z,
+       round(min(z), 4) AS min_z,
+       round(max(z), 4) AS max_z
+FROM z
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("udf_grouped_map_zscore", _ZSCORE_SQL)
+def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization through a GROUPED_MAP pandas
+    transform (``groupBy().applyInPandas`` — whole group in, transformed
+    frame out), profiled per group and checked against the window-function
+    SQL identity.
+
+    Honest scale contract (same as the GROUPED_AGG UDAF): each group is
+    materialized in one task, so memory is O(max group size). For
+    unbounded groups use the pure-SQL window formulation the oracle runs —
+    registered here with the pandas path because GROUPED_MAP is the
+    surface being verified; normalization that needs learned state per
+    group (clipping quantiles, learned scalers) has no SQL form and this
+    is its shape."""
+    from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def zscore(pdf):
+        v = pdf["l_extendedprice"]
+        sd = v.std(ddof=1)
+        pdf = pdf.assign(z=(v - v.mean()) / sd)
+        return pdf[["l_returnflag", "z"]]
+
+    z = li.groupBy("l_returnflag").applyInPandas(zscore, schema="l_returnflag string, z double")
+    return (
+        z.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.abs(F.col("z"))), 4).alias("avg_abs_z"),
+            F.round(F.min("z"), 4).alias("min_z"),
+            F.round(F.max("z"), 4).alias("max_z"),
+        )
+        .orderBy("l_returnflag")
+    )
