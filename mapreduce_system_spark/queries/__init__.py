@@ -17,14 +17,14 @@ CORRECTNESS_r02.json, so nothing loses its on-record evidence.
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    temporal,      # asof (semantics fixed r3), range join, date/json fns — no r02 rows
-    textstats,     # 7 txt_* (tfidf reworked r3) — no r02 rows
-    pipeline,      # composite pack/clean pipelines (new r3)
-    sinks,         # partitioned-sink round trip with pruned re-scan (new r3)
-    streaming,     # session/dedup/totals tail had no r02 rows
-    dedup,         # jaccard stop-shingle cap + simhash exact oracle (new r3)
-    similarity,    # emb_random_projection_profile fixed r3
-    relational,    # all driver-green r02; first ~half re-verify in-window
+    temporal,      # asof (fixed r3), range join, date/json/math fns — no r02 rows
+    textstats,     # txt_* (tfidf reworked r3) + Python UDTF (new r3) — no r02 rows
+    pipeline,      # pack/clean/sample/grouped-map pipelines (all new r3)
+    sinks,         # partitioned-sink + csv/json scan round trips (new r3)
+    streaming,     # session/dedup/totals tail had no r02 rows; interval join new r3
+    dedup,         # jaccard cap, simhash exact oracle, cluster survivors (r3)
+    similarity,    # emb_random_projection_profile fixed r3; multi-table LSH r3
+    relational,    # all driver-green r02; first rows re-verify in-window
     advanced,      # driver-green r02
     multimodal,    # driver-green/rows-only r02
 )
