@@ -26,6 +26,14 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return cached
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-cached relation for later ``release()`` (for
+    iterative operators that cache per-round state themselves and only
+    hand over the surviving relation)."""
+    _TRACKED.append(df)
+    return df
+
+
 def release() -> int:
     """Unpersist every tracked cached relation; returns how many."""
     n = 0

@@ -341,11 +341,14 @@ def connected_components(
     max_iter rounds don't converge rather than returning a wrong
     labeling.
     """
-    edges = (
+    # Caches are per-round working state: stale rounds are unpersisted
+    # inside the loop; the edge set and the final converged labeling go
+    # through tracked_cache so long-lived harnesses (bench, verify) can
+    # caches.release() them after the query is consumed.
+    edges = tracked_cache(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .cache()
     )
     comp = (
         edges.select(F.col("src").alias("id"))
@@ -353,34 +356,35 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .cache()
     )
-    try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(comp, edges.dst == comp.id)
-                .select(F.col("src").alias("id"), F.col("comp"))
-                .groupBy("id")
-                .agg(F.min("comp").alias("ncomp"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(comp, edges.dst == comp.id)
+            .select(F.col("src").alias("id"), F.col("comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_comp = (
+            comp.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
             )
-            new_comp = (
-                comp.join(neighbor_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
-                        "comp"
-                    ),
-                )
-                .cache()
-            )
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), "id")
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            comp.unpersist()
-            comp = new_comp
-            if changed == 0:
-                return comp.select("id", F.col("comp").alias("survivor_id"))
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    finally:
-        edges.unpersist()
+            .cache()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp.unpersist()
+        comp = new_comp
+        if changed == 0:
+            from mapreduce_system_spark.caches import track
+
+            track(comp)  # converged labeling: release()-able
+            return comp.select("id", F.col("comp").alias("survivor_id"))
+    comp.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -168,20 +168,32 @@ def lsh_bucket_topk(
     per_table = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + t)
-        bucketed = cu.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-        q_bucketed = qu.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes))
+        bucketed = cu.select(
+            id_col, "__cu", lsh_bucket(F.col(vec_col), planes).alias("bucket")
+        )
+        q_bucketed = qu.select(
+            query_id_col, lsh_bucket(F.col(query_vec_col), planes).alias("bucket")
+        )
         per_table.append(
             bucketed.join(F.broadcast(q_bucketed), "bucket")
             .where(F.col(id_col) != F.col(query_id_col))
-            .select(
-                query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos")
-            )
+            .select(query_id_col, id_col, "__cu")
         )
-    scored = per_table[0]
+    cand = per_table[0]
     for other in per_table[1:]:
-        scored = scored.unionByName(other)
+        cand = cand.unionByName(other)
     if n_tables > 1:
-        scored = scored.distinct()
+        # dedupe candidate PAIRS before scoring: a pair colliding in all t
+        # tables would otherwise be scored t times and collapsed by a
+        # distinct over a recomputed double — dropping the unit vector
+        # first makes the distinct a cheap 2-key dedup and scores once.
+        cand = (
+            cand.select(query_id_col, id_col).distinct()
+            .join(cu.select(id_col, "__cu"), id_col)
+        )
+    scored = cand.join(
+        F.broadcast(qu.select(query_id_col, "__qu")), query_id_col
+    ).select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 

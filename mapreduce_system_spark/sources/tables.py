@@ -190,14 +190,28 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
         if len(files) >= target:
             return df
-        max_pb = _parse_bytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        )
-        splits = sum(
-            max(1, -(-os.path.getsize(unquote(urlparse(f).path)) // max_pb))
-            for f in files
-        )
-        return df if splits >= target else df.repartition(target)
+        try:
+            sizes = [os.path.getsize(unquote(urlparse(f).path)) for f in files]
+        except OSError:
+            # file moved between planning and probe — fall through to the
+            # RDD-partition probe rather than failing the query
+            sizes = None
+        if sizes is not None:
+            max_pb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            open_cost = _parse_bytes(
+                spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+            )
+            # Spark's own FilePartition sizing: maxSplitBytes shrinks below
+            # maxPartitionBytes when total/defaultParallelism is smaller, so
+            # a mid-size file already splits to ~cores scan partitions —
+            # estimating with maxPartitionBytes alone would call that
+            # under-parallel and insert a pointless full shuffle.
+            total = sum(sizes) + open_cost * len(files)
+            split = min(max_pb, max(open_cost, total // max(target, 1)))
+            splits = sum(max(1, -(-s // split)) for s in sizes)
+            return df if splits >= target else df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -39,8 +39,21 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from pathlib import Path
+
+    from mapreduce_system_spark import caches
+    from mapreduce_system_spark.queries.dedup import SF_BOUND_ORACLES
+
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if Path(sf_dir).name != "sf0.01":
+        # these oracles read a side table the Spark query exports under an
+        # sf-suffixed path; their SQL is static and names the sf0.01 export
+        # (the driver's gate scale), so at any other sf they would compare
+        # against the wrong corpus — fall back to rows-only with a note.
+        for name in SF_BOUND_ORACLES & set(oracles):
+            print(f"note {name}: oracle is sf0.01-bound; rows-only at {sf_dir}")
+            del oracles[name]
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -52,6 +65,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            caches.release()  # operator caches must not span queries
         took = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {took:.1f}s)")
