@@ -155,7 +155,14 @@ def map_reduce(
     """
     ensure_package_on_executors(spark)
     pair_rdd = df.select(key_col, value_col).rdd.flatMap(lambda row: mapf(row[0], row[1]))
-    pairs = spark.createDataFrame(pair_rdd, "key string, value string")
+    # The reference's KeyValue fields are non-nullable Go strings
+    # (worker.go:26-29): a mapf emitting None has left the contract. Drop
+    # such pairs identically in BOTH engines — without this, array_sort
+    # here places nulls last while the scalable twin's Python sorted()
+    # raises, so the twins would diverge on the same user program.
+    pairs = spark.createDataFrame(pair_rdd, "key string, value string").where(
+        F.col("key").isNotNull() & F.col("value").isNotNull()
+    )
     reduce_udf = F.udf(lambda k, vs: reducef(k, list(vs)), "string")
     return (
         pairs.groupBy("key")
@@ -203,7 +210,10 @@ def map_reduce_scalable(
                     vals.append(ov)
             yield pd.DataFrame({"key": keys, "value": vals}, dtype=object)
 
-    pairs = df.select(key_col, value_col).mapInPandas(map_batches, "key string, value string")
+    pairs = df.select(key_col, value_col).mapInPandas(
+        map_batches, "key string, value string"
+    ).where(F.col("key").isNotNull() & F.col("value").isNotNull())
+    # null-pair filter: same non-null contract as map_reduce (see there)
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["key"].iloc[0]

@@ -41,11 +41,14 @@ def binarize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     from ``spark.read.format("binaryFile")`` with identical downstream
     shape.
     """
+    # NULL text → empty blob (not NULL): every downstream extractor calls
+    # bytes(blob)/len(blob), which would raise on None mid-stage.
+    text = F.coalesce(F.col(text_col), F.lit(""))
     return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        F.encode(text, "UTF-8").alias("blob"),
         F.lit("text/plain").alias("content_type"),
-        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        F.octet_length(text).cast("long").alias("n_bytes"),
     )
 
 
@@ -84,10 +87,19 @@ def _decode_image_real(blob: bytes):
         import io
 
         img = Image.open(io.BytesIO(blob))
-        return img.width, img.height, float(sum(img.convert("L").getdata())) / (
-            img.width * img.height
-        ), "pil"
-    except ImportError:
+        n_px = img.width * img.height
+        if n_px == 0:
+            return None
+        return (
+            img.width,
+            img.height,
+            float(sum(img.convert("L").getdata())) / n_px,
+            "pil",
+        )
+    except Exception:
+        # ImportError (no PIL) or a decode failure (non-image bytes,
+        # truncated file): fall back to the deterministic stand-in rather
+        # than failing the whole Spark stage on one bad blob.
         return None
 
 
@@ -212,14 +224,20 @@ def sample_frames(
             out = {"id": [], "frame_idx": [], "frame": []}
             for id_, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob)
-                step = max(1, len(b) // n_frames)
+                if not b:
+                    continue
+                # frame i spans [i*len/n, (i+1)*len/n) — genuinely
+                # evenly spaced over the WHOLE blob with no dropped tail
+                # (a fixed step of len//n leaves up to n-1 tail bytes in
+                # no frame and clusters all samples in the prefix).
                 for i in range(n_frames):
-                    chunk = b[i * step : (i + 1) * step]
-                    if not chunk:
-                        break
+                    lo = i * len(b) // n_frames
+                    hi = (i + 1) * len(b) // n_frames
+                    if hi <= lo:
+                        continue  # blob shorter than n_frames: skip empties
                     out["id"].append(id_)
                     out["frame_idx"].append(i)
-                    out["frame"].append(chunk)
+                    out["frame"].append(b[lo:hi])
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -67,18 +67,34 @@ def running_agg(
     return df.withColumn("running_sum", F.sum(value_col).over(w))
 
 
+def tagged_op_counts(ops: list[tuple[str, DataFrame]]) -> DataFrame:
+    """One (op, cnt) row per named relation — the shared assembly for the
+    set-operator cardinality queries (ANSI and bag ALL variants)."""
+
+    def tag(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("cnt")).select(F.lit(name).alias("op"), "cnt")
+
+    out = tag(*ops[0])
+    for name, df in ops[1:]:
+        out = out.unionByName(tag(name, df))
+    return out.orderBy("op")
+
+
 def set_op_counts(a: DataFrame, b: DataFrame) -> DataFrame:
     """UNION / INTERSECT / EXCEPT cardinalities of two key sets, one row each.
 
-    Distinct semantics (ANSI set operators), tagged by op name.
+    Distinct semantics (ANSI set operators), tagged by op name. Both
+    inputs feed three operators, so they are cached (tracked — harnesses
+    release between queries) instead of re-scanning each source 3×.
     """
+    from mapreduce_system_spark.caches import tracked_cache
 
-    def tag(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count("*").alias("cnt")).select(F.lit(name).alias("op"), "cnt")
-
-    return (
-        tag(a.union(b).distinct(), "union")
-        .unionByName(tag(a.intersect(b), "intersect"))
-        .unionByName(tag(a.subtract(b), "except"))
-        .orderBy("op")
+    a = tracked_cache(a)
+    b = tracked_cache(b)
+    return tagged_op_counts(
+        [
+            ("union", a.union(b).distinct()),
+            ("intersect", a.intersect(b)),
+            ("except", a.subtract(b)),
+        ]
     )

@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _require_absent(df: DataFrame, *names: str) -> None:
+    """Refuse to shadow caller columns with internal temp names: silently
+    replacing (withColumn) and later dropping them would lose caller data."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(f"input already has internal column(s) {clash}")
+
+
 def salted_agg_sum_count(
     df: DataFrame,
     key_col: str,
@@ -36,6 +44,7 @@ def salted_agg_sum_count(
     Phase 1 shuffles on (key, salt) — a key with R rows sends ≤ R/n_salts
     rows to any single reducer; phase 2 shuffles n_salts rows per key.
     """
+    _require_absent(df, "__salt", "__s", "__c")
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts)))
     partial = salted.groupBy(key_col, "__salt").agg(
         F.sum(value_col).alias("__s"), F.count("*").alias("__c")
@@ -59,6 +68,8 @@ def salted_join(
     n_salts×. Use when one side is hot-keyed but too large to broadcast
     (otherwise prefer ``broadcast`` or AQE's runtime skew split).
     """
+    _require_absent(big, "__salt")
+    _require_absent(small, "__salt")
     big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts)))
     small_r = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))

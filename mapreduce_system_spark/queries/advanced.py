@@ -132,19 +132,21 @@ ORDER BY op
 def q_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics set ops (multiplicity-aware ALL variants) on the
     duplicate-heavy orderkey multisets."""
-    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
-    ok = load_table(spark, sf_dir, "orders", columns=["o_orderkey"]).withColumnRenamed(
-        "o_orderkey", "l_orderkey"
+    from mapreduce_system_spark.caches import tracked_cache
+    from mapreduce_system_spark.operators.relational import tagged_op_counts
+
+    li = tracked_cache(load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"]))
+    ok = tracked_cache(
+        load_table(spark, sf_dir, "orders", columns=["o_orderkey"]).withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        )
     )
-
-    def tag(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count("*").alias("cnt")).select(F.lit(name).alias("op"), "cnt")
-
-    return (
-        tag(li.exceptAll(ok), "except_all")
-        .unionByName(tag(li.intersectAll(ok), "intersect_all"))
-        .unionByName(tag(li.unionAll(ok), "union_all"))
-        .orderBy("op")
+    return tagged_op_counts(
+        [
+            ("except_all", li.exceptAll(ok)),
+            ("intersect_all", li.intersectAll(ok)),
+            ("union_all", li.unionAll(ok)),
+        ]
     )
 
 

@@ -97,11 +97,12 @@ def q_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. limit+orderBy compiles to TakeOrderedAndProject — the
     scalable top-n physical op (no global single-partition sort).
     """
+    from mapreduce_system_spark.operators.relational import top_k_global
+
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
     order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
     return (
-        li.orderBy(*order)
-        .limit(100)
+        top_k_global(li, order, 100)
         .withColumn("rnk", F.row_number().over(W.orderBy(*order)))
         .select(
             "l_orderkey",

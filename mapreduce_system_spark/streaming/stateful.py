@@ -29,6 +29,10 @@ def _update_totals(
     (user_id,) = key
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
+        # deliberate SQL aggregate semantics, matching the batch twin
+        # (stream_user_totals_batch oracle): n_events = count(*) counts
+        # every row including null values; total = sum(value) skips nulls
+        # (pandas .sum() ignores NaN exactly like SQL SUM ignores NULL).
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))

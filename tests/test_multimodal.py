@@ -43,12 +43,16 @@ def test_sample_frames_explode_shape(spark):
     by_id: dict[int, list] = {}
     for r in frames:
         by_id.setdefault(r.id, []).append((r.frame_idx, bytes(r.frame)))
-    # 11-byte blob → step 2 → 4 frames of 2 bytes
+    # 11-byte blob → 4 contiguous evenly-spaced spans covering the WHOLE
+    # blob (no dropped tail): [0:2],[2:5],[5:8],[8:11]
     f1 = sorted(by_id[1])
     assert [i for i, _ in f1] == [0, 1, 2, 3]
-    assert b"".join(c for _, c in f1) == b"hello wo"[:8]
-    # 3-byte blob → step 1 → 3 frames (short blob truncates)
-    assert len(by_id[2]) == 3
+    assert b"".join(c for _, c in f1) == b"hello world"
+    # 3-byte blob, 4 frames → one span is empty and skipped; the rest
+    # still cover every byte exactly once
+    f2 = sorted(by_id[2])
+    assert len(f2) == 3
+    assert b"".join(c for _, c in f2) == b"xyz"
 
 
 def test_resize_fixed_grid(spark):
