@@ -58,10 +58,20 @@ def with_unit_vector(df, vec_col: str, unit_col: str = "unit"):
 
     Norms are computed ONCE PER ROW here; pairwise cosine then reduces to
     a single dot product — at Q queries or B-sized blocks this turns
-    O(pairs·3d) fold work into O(rows·2d + pairs·d)."""
+    O(pairs·3d) fold work into O(rows·2d + pairs·d).
+
+    The norm is let-bound as a lambda variable (``transform(array(norm))
+    [0]``) rather than materialized as a temp column: referencing the raw
+    norm expression inside the per-element division would re-fold it per
+    element, and a temp column would silently clobber any caller column
+    of the same name."""
     dbl = _as_double(F.col(vec_col))
-    df = df.withColumn("__norm", norm(F.col(vec_col)))
-    u = F.when(
-        F.col("__norm") > 0, F.transform(dbl, lambda x: x / F.col("__norm"))
-    ).otherwise(F.transform(dbl, lambda x: F.lit(0.0)))
-    return df.withColumn(unit_col, u).drop("__norm")
+
+    def unit(nn: Column) -> Column:
+        return F.when(nn > 0, F.transform(dbl, lambda x: x / nn)).otherwise(
+            F.transform(dbl, lambda x: F.lit(0.0))
+        )
+
+    return df.withColumn(
+        unit_col, F.transform(F.array(norm(F.col(vec_col))), unit)[0]
+    )

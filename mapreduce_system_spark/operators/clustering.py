@@ -70,7 +70,10 @@ def kmeans_fit(
 
     One distributed job per iteration; only k·d floats cross the wire.
     Initialization = the k smallest-id rows (deterministic, no RNG). An
-    emptied cluster keeps its previous centroid.
+    emptied cluster keeps its previous centroid. Fewer than k input rows
+    clamps k to the row count (every row its own centroid — the only
+    meaningful answer); an empty input raises a clear error instead of an
+    opaque numpy shape failure.
     """
     import numpy as np
 
@@ -80,6 +83,9 @@ def kmeans_fit(
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not seed_rows:
+        raise ValueError("kmeans_fit: input DataFrame has no rows")
+    k = len(seed_rows)  # clamp: n < k ⇒ n singleton clusters
     centroids = np.asarray([list(map(float, r[1])) for r in seed_rows])
     d = centroids.shape[1]
     # One cached projection feeds every iteration — without it each Lloyd

@@ -32,9 +32,16 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     zip_path = os.path.join(
         tempfile.gettempdir(), f"mapreduce_system_spark-{os.getpid()}.zip"
     )
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as z:
-            for p in sorted(pkg_dir.rglob("*.py")):
-                z.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    # Always (re)write, atomically: an exists-check would happily ship a
+    # zip truncated by an interrupted earlier attempt (the per-process
+    # flag above wasn't set yet on that path), or a stale zip from a
+    # recycled pid — executors would then run old/corrupt code. The
+    # write-to-temp + os.replace makes concurrent/retried calls safe.
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     setattr(sc, _FLAG, True)

@@ -15,8 +15,13 @@ from mapreduce_system_spark.operators import multimodal as MM
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
+# coalesce mirrors binarize_text: a NULL text becomes an EMPTY blob on the
+# Spark side (n_bytes=0, md5 of ""), so the oracle must encode '' too —
+# octet_length(encode(NULL))/md5(NULL) would emit NULLs and hash-diverge.
 _BLOB_SQL = """
-SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes, md5(text) AS md5
+SELECT doc_id AS id,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       md5(coalesce(text, '')) AS md5
 FROM documents
 ORDER BY id
 """

@@ -130,13 +130,20 @@ ORDER BY event_type
 
 @register("fn_json_map_props", _JSON_MAP_SQL)
 def q_json_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-free JSON parsing: props → MapType (from_json map<string,int>)
-    + element_at — the dynamic-payload path when keys aren't known ahead
-    (vs the typed-struct path in fn_json_props)."""
+    """Schema-free JSON parsing: props → MapType + element_at — the
+    dynamic-payload path when keys aren't known ahead (vs the typed-struct
+    path in fn_json_props).
+
+    Parsed as map<string,string> with a per-VALUE cast afterwards: a
+    map<string,int> parse nulls the ENTIRE map when any one value isn't
+    an int (so one heterogeneous key would blank every other key too,
+    diverging from the oracle's per-path json_extract); the string map
+    keeps unrelated keys intact and the cast nulls only the non-numeric
+    value itself."""
     ev = load_table(spark, sf_dir, "events", columns=["event_type", "props"])
-    m = F.from_json("props", "map<string,int>")
+    m = F.from_json("props", "map<string,string>")
     return (
-        ev.select("event_type", F.element_at(m, "k").alias("k"))
+        ev.select("event_type", F.element_at(m, "k").cast("int").alias("k"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),

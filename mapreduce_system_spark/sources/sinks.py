@@ -33,12 +33,25 @@ def write_partitioned_text(
     hash-partitioned by key per ``worker.go:107-110``; sorted within each
     partition per ``worker.go:153``).
     """
+    # NULLs are coalesced to empty strings BEFORE concat: concat_ws would
+    # silently drop a null field, leaving a line with no separator that
+    # re-parsers can't distinguish from a bare key. With the coalesce the
+    # separator always appears and the KV field structure survives.
+    k_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    v_str = F.coalesce(F.col(value_col).cast("string"), F.lit(""))
     out = df.select(
-        F.concat_ws(sep, F.col(key_col).cast("string"), F.col(value_col).cast("string")).alias("value"),
+        F.concat_ws(sep, k_str, v_str).alias("value"),
         F.col(key_col).alias("__k"),
     )
-    if n_partitions:
+    if n_partitions is not None:
+        if n_partitions < 1:
+            raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
         out = out.repartition(n_partitions, "__k")
+    else:
+        # the mr-out contract (worker.go:107-110) hash-partitions by key —
+        # a key must land in exactly ONE output file even when the caller
+        # doesn't fix the partition count
+        out = out.repartition(F.col("__k"))
     out.sortWithinPartitions("__k").select("value").write.mode("overwrite").text(path)
 
 
