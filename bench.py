@@ -45,6 +45,13 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
+    unknown = only - set(entry_mod.queries())
+    if unknown:
+        # a typo would otherwise time nothing and report value=0/failures=0,
+        # which a regression gate reads as a huge speedup
+        print(f"# unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+
     spark = get_spark("bench")
     # Warm up the JVM / codegen / parquet footer caches outside the clock.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(

@@ -44,6 +44,15 @@ def asof_join(
     first (see ``latest_per_key_time``) to keep results deterministic.
     Returns all left columns + payload_cols (null when no prior right row).
     """
+    # NULL semantics, matching DuckDB/kdb ASOF exactly: the join's
+    # equality and <= predicates are never true for NULL, so a right row
+    # with a NULL key or NULL time can match nothing — drop it up front.
+    # (Without the filter, Window.partitionBy groups NULL keys together
+    # and a NULL right_time sorts first, silently attaching payloads that
+    # ASOF semantics would leave NULL.) Left rows with NULL key/time are
+    # kept with NULL payload: their partition then contains no right rows
+    # / no preceding right row, so last(ignorenulls) yields NULL.
+    right = right.where(F.col(on).isNotNull() & F.col(right_time).isNotNull())
     # Payloads are propagated as ONE non-null struct, not per-column
     # last(ignorenulls): with per-column fill, a matched right row whose
     # payload field is legitimately NULL would be skipped and an *older*

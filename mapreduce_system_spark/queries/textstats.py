@@ -379,7 +379,8 @@ def q_udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             for sent in re.split(r"[.!?]+", text):
-                n = len([t for t in re.split(r"\W+", sent.lower()) if t])
+                # re.ASCII matches the oracle's RE2 \W (see _wc_mapf)
+                n = len([t for t in re.split(r"\W+", sent.lower(), flags=re.ASCII) if t])
                 if n > 0:
                     yield (n,)
 

@@ -24,8 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mapreduce_system_spark.functions import text as TXT
-from mapreduce_system_spark.functions import vectors as VEC
 from mapreduce_system_spark.operators import mapreduce as MR
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -197,7 +195,11 @@ ORDER BY key
 def _wc_mapf(fname: str, content: str) -> list[tuple[str, str]]:
     import re
 
-    return [(w, "1") for w in re.split(r"\W+", content.lower()) if w]
+    # re.ASCII: Python's \W is Unicode-aware by default, but the oracle
+    # (DuckDB RE2) and the JVM word-count twin both treat \W as ASCII —
+    # without the flag an accented character tokenizes differently across
+    # the three engines.
+    return [(w, "1") for w in re.split(r"\W+", content.lower(), flags=re.ASCII) if w]
 
 
 def _wc_reducef(key: str, values: list[str]) -> str:
@@ -233,7 +235,22 @@ def q_whole_text_files_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pathlib import Path
 
-    staged = f"/tmp/spark_graft_wtf_{Path(sf_dir).name}"
+    # path is per-Spark-application (applicationId), not just per-sf:
+    # two concurrent sessions at the same sf would otherwise race one
+    # session's overwrite against the other's wholeTextFiles read.
+    app = spark.sparkContext.applicationId
+    staged = f"/tmp/spark_graft_wtf_{Path(sf_dir).name}_{app}"
+    # reap stagings from long-dead applications (mtime > 6h) so the
+    # per-app isolation doesn't accumulate corpus copies in /tmp
+    import shutil
+    import time as _time
+
+    for d in Path("/tmp").glob(f"spark_graft_wtf_{Path(sf_dir).name}_*"):
+        try:
+            if d.name != Path(staged).name and _time.time() - d.stat().st_mtime > 6 * 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
     # text sink rejects nulls; an empty line contributes zero tokens on
     # both engines, so the oracle is unaffected.

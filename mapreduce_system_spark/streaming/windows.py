@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_system_spark.sources.tables import SCHEMAS, table_path
+from mapreduce_system_spark.sources.tables import SCHEMAS
 
 
 def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -36,8 +36,16 @@ def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: i
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # derived from the batch catalog so the two paths can't drift: same
+    # columns, with ts read as raw nanos long (nanosAsLong) pre-normalize
+    raw_schema = ", ".join(
+        f"{f.name} {'long' if f.name == 'ts' else f.dataType.simpleString()}"
+        for f in SCHEMAS["events"].fields
+    )
     df = reader.schema(raw_schema).parquet(events_dir)
+    # same exact-long-division normalization as load_table (tables.py):
+    # float division corrupts ~1.6% of microsecond values at 2024-epoch
+    # magnitudes (> 2^53)
     df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.select(*[f.name for f in SCHEMAS["events"].fields])
 

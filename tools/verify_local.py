@@ -46,6 +46,12 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo would otherwise filter out EVERY query and exit 0 — a
+        # false-green gate
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     if Path(sf_dir).name != "sf0.01":
         # these oracles read a side table the Spark query exports under an
         # sf-suffixed path; their SQL is static and names the sf0.01 export
