@@ -50,3 +50,29 @@ def test_range_join_bands(spark):
     )
     out = ASOF.range_join(fact, bands, "v").groupBy("band").agg(F.count("*").alias("c"))
     assert {r.band: r.c for r in out.collect()} == {"lo": 1, "hi": 3}
+
+
+def test_asof_join_null_keys_and_times_never_match(spark):
+    """ASOF predicates (key equality, right_time <= left_time) are never
+    true for NULL: null-key/null-time right rows match nothing, and
+    null-key left rows keep a NULL payload."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01T10:00:00")), (None, t("2024-01-01T10:00:00"))],
+        "k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T09:00:00"), "match"),
+            (None, t("2024-01-01T08:00:00"), "null-key"),
+            (1, None, "null-time"),
+        ],
+        "k long, rt timestamp, payload string",
+    )
+    out = {
+        (r.k, r.payload)
+        for r in ASOF.asof_join(left, right, on="k", left_time="lt", right_time="rt", payload_cols=["payload"]).collect()
+    }
+    assert out == {(1, "match"), (None, None)}
