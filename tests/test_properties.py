@@ -60,3 +60,28 @@ def test_jaccard_identical_docs_is_one(spark, words):
     df = s.createDataFrame([Row(doc_id=0, text=text), Row(doc_id=1, text=text)])
     pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.jaccard_pairs(df, threshold=0.9).collect()}
     assert pairs == {(0, 1): 1.0}
+
+
+@given(
+    prefix=st.text(alphabet="abcdefgh ", min_size=0, max_size=20),
+    shared=st.text(alphabet="mnopqrst ", min_size=TXT.WINNOW_K + TXT.WINNOW_W - 1,
+                   max_size=24),
+    suffix=st.text(alphabet="uvwxyz ", min_size=0, max_size=20),
+)
+@SETTINGS
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(
+    spark, prefix, shared, suffix
+):
+    """The winnowing theorem (SIGMOD'03): two documents sharing a substring
+    of length >= k+w-1 are guaranteed to share at least one fingerprint.
+    The shared span is built from a disjoint alphabet so the overlap is
+    exactly the implanted substring."""
+    s = _get_spark(spark)
+    df = s.createDataFrame(
+        [Row(text=prefix + shared), Row(text=shared + suffix)]
+    )
+    fps = [
+        set(r.f)
+        for r in df.select(TXT.winnow_fingerprints("text").alias("f")).collect()
+    ]
+    assert fps[0] & fps[1], (prefix, shared, suffix)
