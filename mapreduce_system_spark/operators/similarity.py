@@ -17,6 +17,12 @@ all pure DataFrame ops (cosine is the JVM-side fold from
 - ``lsh_bucket_topk`` — approximate: random-hyperplane (SimHash-for-
   vectors) bucketing; candidates = same-bucket equi-join. Deterministic
   planes derived from a fixed seed.
+
+The probe / signature stages are factored out (``ivf_probes``,
+``lsh_signatures``) so callers can materialize them — the registered
+queries export these small tables to parquet, where a DuckDB oracle
+re-derives the full top-k from the same candidates (the driver-checkable
+form of an otherwise "approximate → unverifiable" operator).
 """
 
 from __future__ import annotations
@@ -62,6 +68,63 @@ def brute_force_topk(
     )
 
 
+def label_centroids(
+    corpus: DataFrame,
+    partition_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-partition mean vectors: (partition_col, centroid array<double>).
+
+    Shaped for any dimensionality: ``posexplode`` → partial-aggregated
+    ``avg`` per (partition, position) → re-assembled array. The plan has
+    ONE aggregation pair regardless of d (the map-side combine reduces
+    what crosses the wire to partitions × d rows), no driver-side action,
+    and no d-wide column pivot — the previous formulation derived d from a
+    blocking ``first()`` and built d separate avg columns, which at d=768
+    was a 768-expression aggregate built per call.
+    """
+    return (
+        corpus.select(partition_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(partition_col, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy(partition_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select(partition_col, F.transform("pc", lambda s: s["cv"]).alias("centroid"))
+    )
+
+
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    partition_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The nprobe nearest coarse centroids per query:
+    (query_id, partition_col).
+
+    ``centroids`` is a (partition_col, centroid array<double>) DataFrame —
+    from ``label_centroids`` or a ``kmeans_fit`` result lifted via
+    ``createDataFrame``. Deterministic tie-break (similarity desc,
+    partition id asc). Small by construction (Q × nprobe rows) — the
+    registered queries materialize it to parquet so the SQL oracle scores
+    the very same probe set.
+    """
+    probe_w = W.partitionBy(query_id_col).orderBy(F.col("cdist").desc(), F.col(partition_col))
+    return (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            partition_col,
+            cosine(F.col(query_vec_col), F.col("centroid")).alias("cdist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= nprobe)
+        .select(query_id_col, partition_col)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,46 +136,38 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids_list: list[list[float]] | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the nprobe nearest coarse
     centroids per query, exact cosine within probed partitions.
 
     Centroids: pass ``centroids_list`` when the quantizer was just fit
     (``operators.clustering.kmeans_fit`` — centroid i ↔ partition id i);
-    otherwise they are derived as the per-partition mean vectors with one
-    aggregation. The corpus side is touched via an equi-join on the
-    partition id — scanned fraction ≈ nprobe/n_partitions.
+    otherwise they are derived with ``label_centroids`` (one aggregation,
+    dimension-agnostic, no driver action). Or pass ``probes`` — a
+    (query_id, partition_col) DataFrame from ``ivf_probes`` — to skip
+    probe derivation entirely (the exported-probe verification path).
+    The corpus side is touched via an equi-join on the partition id —
+    scanned fraction ≈ nprobe/n_partitions.
     """
     spark = corpus.sparkSession
-    if centroids_list is not None:
-        centroids = spark.createDataFrame(
-            [(j, [float(x) for x in c]) for j, c in enumerate(centroids_list)],
-            f"{partition_col} int, centroid array<double>",
+    if probes is None:
+        if centroids_list is not None:
+            centroids = spark.createDataFrame(
+                [(j, [float(x) for x in c]) for j, c in enumerate(centroids_list)],
+                f"{partition_col} int, centroid array<double>",
+            )
+        else:
+            centroids = label_centroids(corpus, partition_col, vec_col)
+        probes = ivf_probes(
+            queries, centroids, nprobe, partition_col, query_id_col, query_vec_col
         )
-    else:
-        dim = len(corpus.select(vec_col).first()[0])
-        centroids = (
-            corpus.select(partition_col, *[F.col(vec_col)[i].alias(f"c{i}") for i in range(dim)])
-            .groupBy(partition_col)
-            .agg(*[F.avg(f"c{i}").alias(f"c{i}") for i in range(dim)])
-            .select(partition_col, F.array(*[f"c{i}" for i in range(dim)]).alias("centroid"))
-        )
-    probe_w = W.partitionBy(query_id_col).orderBy(F.col("cdist").desc(), F.col(partition_col))
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            query_vec_col,
-            partition_col,
-            cosine(F.col(query_vec_col), F.col("centroid")).alias("cdist"),
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= nprobe)
-        .select(query_id_col, query_vec_col, partition_col)
+    probes_v = probes.join(
+        queries.select(query_id_col, query_vec_col), query_id_col
     )
     scored = (
         with_unit_vector(corpus, vec_col, "__cu")
-        .join(F.broadcast(with_unit_vector(probes, query_vec_col, "__qu")), partition_col)
+        .join(F.broadcast(with_unit_vector(probes_v, query_vec_col, "__qu")), partition_col)
         .where(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
     )
@@ -127,16 +182,81 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec, planes: list[list[float]]):
-    """Bucket id = sign-bit pattern of the vector against each plane."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    """Bucket id = sign-bit pattern of the vector against each plane.
+
+    Single-fold shape (the recorded HOF lesson, same rework as dedup's
+    ``_signature_array``): ONE ``aggregate`` over (value, index) pairs
+    carrying an n_planes-wide partial-sum accumulator, instead of
+    n_planes separate folds that each re-traverse the vector. The plane
+    matrix is a pure literal, so Catalyst constant-folds it once.
+    Per-plane projection order is the same sequential left-to-right sum
+    as the per-plane fold — bit-identical buckets (pinned in
+    tests/test_similarity.py).
+    """
+    if not planes:
+        return F.lit(0)
+    n = len(planes)
+    dim = len(planes[0])
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    pairs = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda v, j: F.struct(v.cast("double").alias("v"), j.alias("j")),
+    )
+    sums = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0.0), n),
+        lambda acc, p: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: a + p["v"] * F.element_at(F.element_at(mat, i + 1), p["j"] + 1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            idx,
+            lambda s, i: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1), i)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    seed: int = 42,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(t, id, bucket) sign-pattern signatures for every hash table.
+
+    Map-only (one projection per table, unioned) — nothing shuffles until
+    a caller joins on (t, bucket). Planes for table t are seeded seed+t,
+    so signatures are deterministic machine-to-machine. Materialize this
+    to parquet to make the LSH pipeline's candidate generation verifiable
+    by an external engine.
+    """
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        per_table.append(
+            df.select(
+                F.lit(t).alias("t"),
+                F.col(id_col).alias("id"),
+                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            )
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    out = per_table[0]
+    for other in per_table[1:]:
+        out = out.unionByName(other)
+    return out
 
 
 def lsh_bucket_topk(
@@ -146,54 +266,68 @@ def lsh_bucket_topk(
     n_planes: int = 4,
     seed: int = 42,
     n_tables: int = 1,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    corpus_sig: DataFrame | None = None,
+    query_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets: candidates are the
-    query's own bucket (equi-join on bucket id), then exact cosine + rank.
+    query's own bucket (equi-join on (table, bucket)), then exact cosine +
+    rank within candidates.
 
     Recall knobs: fewer planes → bigger buckets; more ``n_tables`` → the
     union of candidates from independent hash tables (planes seeded
     seed+t) — standard OR-amplification. A true neighbor is missed only
     if it bucket-mismatches in EVERY table, so miss probability decays
-    geometrically in n_tables while cost grows linearly (t equi-joins;
-    duplicate candidates collapse in a distinct before ranking). Recall
-    monotonicity vs brute force is asserted in tests/test_similarity.py.
+    geometrically in n_tables while cost grows linearly (one (t, bucket)
+    equi-join; duplicate candidates collapse in a distinct before
+    scoring). Recall monotonicity vs brute force is asserted in
+    tests/test_similarity.py.
+
+    ``dim`` should come from the data contract; when omitted it is probed
+    with a one-row action (fine interactively, avoid in lazily-composed
+    plans). Pass ``corpus_sig`` / ``query_sig`` (from ``lsh_signatures``,
+    e.g. read back from an export) to skip signature computation — the
+    verification path where an external oracle must see the same buckets.
     """
-    dim = len(corpus.select(vec_col).first()[0])
     cu = with_unit_vector(corpus, vec_col, "__cu")
     qu = with_unit_vector(queries, query_vec_col, "__qu")
-    per_table = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + t)
-        bucketed = cu.select(
-            id_col, "__cu", lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    if corpus_sig is None or query_sig is None:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        if corpus_sig is None:
+            corpus_sig = lsh_signatures(
+                corpus, dim, n_planes, seed, n_tables, id_col, vec_col
+            )
+        if query_sig is None:
+            query_sig = lsh_signatures(
+                queries, dim, n_planes, seed, n_tables, query_id_col, query_vec_col
+            )
+    cand = (
+        corpus_sig.select("t", F.col("id").alias(id_col), "bucket")
+        .join(
+            F.broadcast(
+                query_sig.select("t", F.col("id").alias(query_id_col), "bucket")
+            ),
+            ["t", "bucket"],
         )
-        q_bucketed = qu.select(
-            query_id_col, lsh_bucket(F.col(query_vec_col), planes).alias("bucket")
-        )
-        per_table.append(
-            bucketed.join(F.broadcast(q_bucketed), "bucket")
-            .where(F.col(id_col) != F.col(query_id_col))
-            .select(query_id_col, id_col, "__cu")
-        )
-    cand = per_table[0]
-    for other in per_table[1:]:
-        cand = cand.unionByName(other)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+    )
     if n_tables > 1:
         # dedupe candidate PAIRS before scoring: a pair colliding in all t
         # tables would otherwise be scored t times and collapsed by a
-        # distinct over a recomputed double — dropping the unit vector
-        # first makes the distinct a cheap 2-key dedup and scores once.
-        cand = (
-            cand.select(query_id_col, id_col).distinct()
-            .join(cu.select(id_col, "__cu"), id_col)
-        )
-    scored = cand.join(
-        F.broadcast(qu.select(query_id_col, "__qu")), query_id_col
-    ).select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
+        # distinct over a recomputed double — deduping ids first makes the
+        # distinct a cheap 2-key dedup and scores once.
+        cand = cand.distinct()
+    scored = (
+        cand.join(cu.select(id_col, "__cu"), id_col)
+        .join(F.broadcast(qu.select(query_id_col, "__qu")), query_id_col)
+        .select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
+    )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 
@@ -329,6 +463,14 @@ def cosine_dup_pairs_arrow(
     )
 
 
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 42) -> "np.ndarray":
+    """The fixed seeded JL projection matrix (out_dim × in_dim, scaled
+    1/sqrt(out_dim)) — factored out so verification harnesses can export
+    the very same matrix an executor regenerates from the seed."""
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)).astype(np.float64)
+
+
 def random_projection(
     df: DataFrame,
     in_dim: int,
@@ -357,8 +499,7 @@ def random_projection(
     from mapreduce_system_spark.pyfiles import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
-    rng = np.random.default_rng(seed)
-    R = (rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)).astype(np.float64)
+    R = projection_matrix(in_dim, out_dim, seed)
     out_cols = [c for c in df.columns if keep_input or c != vec_col]
 
     def project(batches):

@@ -154,12 +154,6 @@ def _simhash_sig_path(sf_name: str) -> str:
     return f"/tmp/spark_graft_simhash_sigs_{sf_name}"
 
 
-# Oracles whose static SQL reads a side table exported under the sf0.01
-# path (the driver's correctness-gate scale). Harnesses running another
-# scale factor must treat these as rows-only (tools/verify_local.py does).
-SF_BOUND_ORACLES = {"dedup_simhash_pairs"}
-
-
 _SIMHASH_SQL = f"""
 WITH s AS (SELECT id, simhash FROM read_parquet('{_simhash_sig_path("sf0.01")}/*.parquet'))
 SELECT a.id AS id_a, b.id AS id_b,
@@ -170,7 +164,7 @@ ORDER BY id_a, id_b
 """
 
 
-@register("dedup_simhash_pairs", _SIMHASH_SQL)
+@register("dedup_simhash_pairs", _SIMHASH_SQL, sf_bound=True)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit tf-weighted simhash),
     banded 4×16-bit candidate join — value-checked: signatures are

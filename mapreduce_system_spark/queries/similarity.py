@@ -2,12 +2,22 @@
 
 Brute-force and blocked-pairs are exact → full DuckDB oracles
 (``list_cosine_similarity`` on DOUBLE[] matches the double fold in
-``functions.vectors`` to well past the 6-digit rounding). IVF and LSH are
-approximate → rows-only checks, with recall asserted against brute force
+``functions.vectors`` to well past the 6-digit rounding). The approximate
+paths (IVF, LSH, k-means-IVF) are verified by the EXPORT pattern: the
+query materializes its small derived state — probe assignments, LSH bucket
+signatures, k-means centroids/assignments, the JL projection matrix — to
+an sf-suffixed parquet side table, and the static oracle re-derives the
+full result from that state plus the embeddings table in SQL. The
+approximation choice (which partitions probed, which buckets collide) is
+Spark's; everything downstream — candidate generation, cosine scoring,
+ranking, ties — is recomputed independently by DuckDB, so these queries
+are hash-checked, not rows-only. Recall properties are separately pinned
 in tests/test_similarity.py.
 """
 
 from __future__ import annotations
+
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,6 +28,7 @@ from mapreduce_system_spark.sources.tables import load_table
 
 _N_QUERIES = 10
 _TOPK = 5
+_DIM = 64  # embeddings contract (FIXTURES.md): array<float> of 64
 
 
 def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,64 +57,250 @@ ORDER BY query_id, rn
 """
 
 
+def _ranked(out: DataFrame) -> DataFrame:
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
+    ).orderBy("query_id", "rn")
+
+
 @register("sim_topk_bruteforce", _TOPK_SQL)
 def q_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors — broadcast
     nested-loop scan of the corpus, ranked per query."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = SIM.brute_force_topk(emb, _query_set(spark, sf_dir), k=_TOPK)
-    return out.select(
-        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
-    ).orderBy("query_id", "rn")
+    return _ranked(SIM.brute_force_topk(emb, _query_set(spark, sf_dir), k=_TOPK))
 
 
-@register("sim_topk_ivf")  # approximate (nprobe < n_partitions) → rows-only
+def _ivf_probe_path(sf_name: str) -> str:
+    return f"/tmp/spark_graft_ivf_probes_{sf_name}"
+
+
+# Candidates = embeddings within probed label partitions; cosine, rank and
+# top-k are recomputed wholly in SQL from the exported probe table.
+_IVF_SQL = f"""
+WITH pr AS (
+  SELECT query_id, label FROM read_parquet('{_ivf_probe_path("sf0.01")}/*.parquet')
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}
+), s AS (
+  SELECT pr.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
+  FROM pr JOIN q USING (query_id) JOIN embeddings e ON e.label = pr.label
+  WHERE e.vec_id <> pr.query_id
+), r AS (
+  SELECT query_id, vec_id, c,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+  FROM s
+)
+SELECT query_id, vec_id, round(c, 6) AS cos, rn
+FROM r WHERE rn <= {_TOPK}
+ORDER BY query_id, rn
+"""
+
+
+@register("sim_topk_ivf", _IVF_SQL, sf_bound=True)
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5: probe the 3 nearest label-centroids per query, exact
-    cosine inside probed partitions (~30% of the corpus scanned)."""
+    cosine inside probed partitions (~30% of the corpus scanned).
+
+    Probes are materialized to parquet and read back so Spark and the
+    oracle score the identical probe set; centroids come from
+    ``label_centroids`` (one dimension-agnostic aggregation)."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
-    out = SIM.ivf_topk(emb, _query_set(spark, sf_dir), k=_TOPK, nprobe=3)
-    return out.select(
-        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
-    ).orderBy("query_id", "rn")
+    q = _query_set(spark, sf_dir)
+    centroids = SIM.label_centroids(emb, partition_col="label")
+    probes = SIM.ivf_probes(q, centroids, nprobe=3, partition_col="label")
+    path = _ivf_probe_path(Path(sf_dir).name)
+    probes.write.mode("overwrite").parquet(path)
+    probes_back = spark.read.parquet(path)
+    return _ranked(SIM.ivf_topk(emb, q, k=_TOPK, probes=probes_back))
 
 
-@register("sim_topk_lsh")  # approximate (bucketed candidates) → rows-only
+@register("sim_topk_ivf_exact", _TOPK_SQL)
+def q_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = the full label cardinality (10): every partition
+    is probed, so the result is EXACTLY brute force — the degenerate
+    configuration that lets the driver hash-verify the whole IVF pipeline
+    (centroid derivation, probe ranking, partition equi-join, scoring)
+    against the brute-force SQL oracle with no exports."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return _ranked(SIM.ivf_topk(emb, _query_set(spark, sf_dir), k=_TOPK, nprobe=10))
+
+
+def _lsh_sig_path(sf_name: str) -> str:
+    return f"/tmp/spark_graft_lsh_sigs_{sf_name}"
+
+
+# Candidates = same-(table, bucket) pairs from the exported signatures;
+# distinct-pair dedup, cosine, rank and top-k recomputed in SQL.
+_LSH_SQL = f"""
+WITH cs AS (
+  SELECT t, id, bucket FROM read_parquet('{_lsh_sig_path("sf0.01")}/corpus/*.parquet')
+), qs AS (
+  SELECT t, id AS query_id, bucket FROM read_parquet('{_lsh_sig_path("sf0.01")}/queries/*.parquet')
+), cand AS (
+  SELECT DISTINCT qs.query_id, cs.id AS vec_id
+  FROM cs JOIN qs ON cs.t = qs.t AND cs.bucket = qs.bucket
+  WHERE cs.id <> qs.query_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}
+), s AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cval
+  FROM cand c JOIN q USING (query_id) JOIN embeddings e ON e.vec_id = c.vec_id
+), r AS (
+  SELECT query_id, vec_id, cval,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cval DESC, vec_id) AS BIGINT) AS rn
+  FROM s
+)
+SELECT query_id, vec_id, round(cval, 6) AS cos, rn
+FROM r WHERE rn <= {_TOPK}
+ORDER BY query_id, rn
+"""
+
+
+@register("sim_topk_lsh", _LSH_SQL, sf_bound=True)
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-5: same-bucket candidates from the union
     of 2 independent hash tables (16 buckets each — OR-amplified recall),
-    exact cosine + rank within candidates."""
+    exact cosine + rank within candidates.
+
+    Corpus and query bucket signatures are exported and read back, so the
+    oracle joins the very same (table, bucket) keys Spark joined."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = SIM.lsh_bucket_topk(emb, _query_set(spark, sf_dir), k=_TOPK, n_planes=4, n_tables=2)
-    return out.select(
-        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
-    ).orderBy("query_id", "rn")
+    q = _query_set(spark, sf_dir)
+    base = _lsh_sig_path(Path(sf_dir).name)
+    csig = SIM.lsh_signatures(emb, _DIM, n_planes=4, n_tables=2, id_col="vec_id")
+    qsig = SIM.lsh_signatures(q, _DIM, n_planes=4, n_tables=2, id_col="query_id",
+                              vec_col="query_vec")
+    csig.write.mode("overwrite").parquet(f"{base}/corpus")
+    qsig.write.mode("overwrite").parquet(f"{base}/queries")
+    out = SIM.lsh_bucket_topk(
+        emb, q, k=_TOPK, n_tables=2,
+        corpus_sig=spark.read.parquet(f"{base}/corpus"),
+        query_sig=spark.read.parquet(f"{base}/queries"),
+    )
+    return _ranked(out)
 
 
-@register("cluster_kmeans_ivf_topk")  # iterative k-means → rows-only
-def q_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 over a *learned* coarse quantizer: deterministic k-means
-    (operators/clustering.py, 8 clusters, 3 Lloyd iterations) replaces the
-    fixture's precomputed label — the self-contained form an ANN index
-    build uses at scale. Iterative, so no SQL oracle (driver records
-    rows-only); recall vs brute force is asserted in
-    tests/test_similarity.py."""
+def _kmeans_path(sf_name: str, part: str) -> str:
+    return f"/tmp/spark_graft_kmeans_{part}_{sf_name}"
+
+
+# Memoized per (sf_dir, k, max_iter): two registered queries share one fit,
+# and the fit is deterministic (no RNG — smallest-id seeding), so reuse
+# within a process is observationally identical to refitting.
+_KMEANS_MEMO: dict[tuple[str, int, int], list[list[float]]] = {}
+
+
+def _fit_kmeans(spark: SparkSession, sf_dir: str, k: int = 8, max_iter: int = 3):
+    from mapreduce_system_spark.operators import clustering as CL
+
+    key = (sf_dir, k, max_iter)
+    if key not in _KMEANS_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        _KMEANS_MEMO[key] = CL.kmeans_fit(emb, k=k, max_iter=max_iter)
+    return _KMEANS_MEMO[key]
+
+
+# Nearest-centroid invariant, recomputed independently: DuckDB assigns each
+# vector to its argmin-distance exported centroid (ties → lowest cluster,
+# matching nearest_centroid's struct-min tie-break). list_distance is a
+# monotone transform of the squared-L2 the Spark side minimizes, so the
+# argmin agrees except for exact-tie boundaries (probability ~0 on
+# continuous embeddings).
+_KMEANS_ASSIGN_SQL = f"""
+WITH c AS (
+  SELECT cluster, centroid FROM read_parquet('{_kmeans_path("sf0.01", "centroids")}/*.parquet')
+), d AS (
+  SELECT e.vec_id, c.cluster,
+         list_distance(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) AS dist
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM d
+)
+SELECT vec_id, cluster FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+@register("cluster_kmeans_assign", _KMEANS_ASSIGN_SQL, sf_bound=True)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (8 clusters, 3 Lloyd iterations, smallest-id
+    init — operators/clustering.py) assignment table, hash-checked against
+    DuckDB's independent argmin over the exported centroids: every vector
+    must land on its nearest centroid with the same tie-break."""
+    centroids = _fit_kmeans(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)], "cluster int, centroid array<double>"
+    )
+    cent_df.write.mode("overwrite").parquet(_kmeans_path(Path(sf_dir).name, "centroids"))
     from mapreduce_system_spark.operators import clustering as CL
 
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    centroids = CL.kmeans_fit(emb, k=8, max_iter=3)
-    clustered = CL.kmeans_assign(emb, centroids, out_col="cluster")
-    out = SIM.ivf_topk(
-        clustered,
-        _query_set(spark, sf_dir),
-        k=_TOPK,
-        nprobe=3,
-        partition_col="cluster",
-        centroids_list=centroids,
+    return (
+        CL.kmeans_assign(emb, centroids, out_col="cluster")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
     )
-    return out.select(
-        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rn"
-    ).orderBy("query_id", "rn")
+
+
+# Same re-derivation as _IVF_SQL, but over the exported k-means assignment
+# and probe tables instead of the fixture label column.
+_KMEANS_IVF_SQL = f"""
+WITH asg AS (
+  SELECT vec_id, cluster FROM read_parquet('{_kmeans_path("sf0.01", "assign")}/*.parquet')
+), pr AS (
+  SELECT query_id, cluster FROM read_parquet('{_kmeans_path("sf0.01", "probes")}/*.parquet')
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}
+), s AS (
+  SELECT pr.query_id, a.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
+  FROM pr JOIN asg a USING (cluster) JOIN q USING (query_id)
+       JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> pr.query_id
+), r AS (
+  SELECT query_id, vec_id, c,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+  FROM s
+)
+SELECT query_id, vec_id, round(c, 6) AS cos, rn
+FROM r WHERE rn <= {_TOPK}
+ORDER BY query_id, rn
+"""
+
+
+@register("cluster_kmeans_ivf_topk", _KMEANS_IVF_SQL, sf_bound=True)
+def q_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over a *learned* coarse quantizer: deterministic k-means
+    replaces the fixture's precomputed label — the self-contained form an
+    ANN index build uses at scale. The assignment and probe tables are
+    exported and read back, so Spark's equi-join candidates and DuckDB's
+    re-derived candidates are provably the same set; scoring and ranking
+    are then recomputed independently by both engines."""
+    centroids = _fit_kmeans(spark, sf_dir)
+    from mapreduce_system_spark.operators import clustering as CL
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_set(spark, sf_dir)
+    sf_name = Path(sf_dir).name
+
+    assign = CL.kmeans_assign(emb, centroids, out_col="cluster").select("vec_id", "cluster")
+    assign.write.mode("overwrite").parquet(_kmeans_path(sf_name, "assign"))
+    cent_df = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)], "cluster int, centroid array<double>"
+    )
+    probes = SIM.ivf_probes(q, cent_df, nprobe=3, partition_col="cluster")
+    probes.write.mode("overwrite").parquet(_kmeans_path(sf_name, "probes"))
+
+    clustered = emb.join(spark.read.parquet(_kmeans_path(sf_name, "assign")), "vec_id")
+    out = SIM.ivf_topk(
+        clustered, q, k=_TOPK, partition_col="cluster",
+        probes=spark.read.parquet(_kmeans_path(sf_name, "probes")),
+    )
+    return _ranked(out)
 
 
 _DUP_PAIRS_SQL = """
@@ -125,18 +322,51 @@ def q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
 
 
-@register("emb_random_projection_profile")  # randomized transform → rows-only
+def _rproj_path(sf_name: str) -> str:
+    return f"/tmp/spark_graft_rproj_R_{sf_name}"
+
+
+# Full re-derivation of the JL projection: the oracle recomputes every
+# projected vector as 16 dot products against the exported matrix rows,
+# then the norm-compression profile. Sum orders differ between numpy BLAS
+# and the SQL fold only at ~1e-15 relative — invisible at 3-decimal
+# rounding.
+_RPROJ_SQL = f"""
+WITH R AS (
+  SELECT j, rvec FROM read_parquet('{_rproj_path("sf0.01")}/*.parquet')
+), p AS (
+  SELECT e.vec_id, any_value(e.label) AS label,
+         sqrt(sum(pow(list_dot_product(e.embedding::DOUBLE[], R.rvec), 2))) AS pnorm,
+         any_value(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS enorm
+  FROM embeddings e CROSS JOIN R
+  GROUP BY e.vec_id
+)
+SELECT label, count(*) AS n, round(avg(pnorm / enorm), 3) AS avg_norm_ratio
+FROM p WHERE enorm > 0
+GROUP BY label ORDER BY label
+"""
+
+
+@register("emb_random_projection_profile", _RPROJ_SQL, sf_bound=True)
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss 64→16 projection profile per label: norm
-    compression ratio ≈ 1 when distances are preserved. Deterministic
-    seeded matrix, but not SQL-expressible → rows-only check; distance
-    preservation is asserted in tests/test_similarity.py."""
+    compression ratio ≈ 1 when distances are preserved. The seeded
+    projection matrix is exported, and the oracle recomputes every
+    projection + the profile from it — a full value check of the
+    executor-side matmul; the JL distance-preservation property itself is
+    asserted in tests/test_similarity.py."""
     from mapreduce_system_spark.functions.vectors import norm
 
+    R = SIM.projection_matrix(in_dim=_DIM, out_dim=16)
+    spark.createDataFrame(
+        [(j, row.tolist()) for j, row in enumerate(R)], "j int, rvec array<double>"
+    ).write.mode("overwrite").parquet(_rproj_path(Path(sf_dir).name))
+
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
-    proj = SIM.random_projection(emb, in_dim=64, out_dim=16, keep_input=True)
+    proj = SIM.random_projection(emb, in_dim=_DIM, out_dim=16, keep_input=True)
     return (
-        proj.select(
+        proj.where(norm(F.col("embedding")) > 0)
+        .select(
             "label",
             (norm(F.col("projected")) / norm(F.col("embedding"))).alias("ratio"),
         )

@@ -30,14 +30,26 @@ from mapreduce_system_spark.sources.tables import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# Oracles whose static SQL reads a side table the Spark query exports under
+# an sf0.01-suffixed path (the driver's correctness-gate scale). Harnesses
+# running another scale factor must treat these as rows-only
+# (tools/verify_local.py does); concurrent runs at the SAME sf would race
+# the export — bench and verify must not overlap at one scale factor.
+SF_BOUND_ORACLES: set[str] = set()
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+
+def register(name: str, oracle: str | None = None, sf_bound: bool = False):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry.
+
+    ``sf_bound=True`` marks an oracle that reads a Spark-exported side
+    table at a static sf0.01 path (see ``SF_BOUND_ORACLES``)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
+            if sf_bound:
+                SF_BOUND_ORACLES.add(name)
         return fn
 
     return deco

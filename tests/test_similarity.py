@@ -120,6 +120,67 @@ def test_cosine_dup_pairs_arrow_matches_jvm(spark, sf_dir):
     assert jvm == arrow and len(jvm) > 0
 
 
+def test_lsh_bucket_single_fold_matches_per_plane_folds(spark, sf_dir):
+    """The one-pass n_planes-wide-accumulator bucket must be bit-identical
+    to the textbook per-plane fold it replaced (same sequential sum order
+    per plane, so the sign bits cannot differ)."""
+    from mapreduce_system_spark.operators.similarity import hyperplanes, lsh_bucket
+
+    def per_plane_bucket(vec, planes):
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return bucket
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    planes = hyperplanes(64, 6, seed=7)
+    rows = emb.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), planes).alias("new"),
+        per_plane_bucket(F.col("embedding"), planes).alias("old"),
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.new == r.old for r in rows)
+
+
+def test_label_centroids_matches_numpy_means(spark, sf_dir):
+    """The posexplode partial-agg centroid derivation equals per-label
+    numpy means (modulo float-sum order)."""
+    import numpy as np
+
+    from mapreduce_system_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    got = {r[0]: np.asarray(r[1]) for r in label_centroids(emb).collect()}
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.asarray(r.embedding, dtype=np.float64))
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        want = np.mean(vecs, axis=0)
+        assert np.allclose(got[lbl], want, rtol=1e-9, atol=1e-12), lbl
+
+
+def test_ivf_exact_config_equals_brute_force(spark, sf_dir):
+    """nprobe = label cardinality ⇒ IVF degenerates to brute force —
+    identical (query, vec, rn) triples, not merely overlapping sets."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q = _queries(emb, 10)
+    exact = {(r.query_id, r.vec_id, r.rn) for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id, r.rn) for r in SIM.ivf_topk(emb, q, k=5, nprobe=10).collect()}
+    assert exact == ivf and len(exact) > 0
+
+
 def test_lsh_multi_table_recall_is_monotone(spark, sf_dir):
     """OR-amplification: unioning candidates from independent hash tables
     can only add candidates, so top-k recall vs brute force is monotone

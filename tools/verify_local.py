@@ -42,7 +42,7 @@ def main() -> int:
     from pathlib import Path
 
     from mapreduce_system_spark import caches
-    from mapreduce_system_spark.queries.dedup import SF_BOUND_ORACLES
+    from mapreduce_system_spark.registry import SF_BOUND_ORACLES
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
