@@ -104,24 +104,28 @@ def _decode_image_real(blob: bytes):
 
 
 def extract_image_features(
-    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob", decoder=None
 ) -> DataFrame:
     """Image decode + feature extraction (width/height/mean-intensity).
 
-    Uses PIL when importable; otherwise a DETERMINISTIC FAKE decoder
-    (fixed 16×16 "image" whose mean intensity is the blob's mean byte
-    value) so the Spark plumbing — Arrow batches, schema, partitioning —
-    runs and is testable everywhere. Replace the fake by installing the
-    codec library; no engine code changes."""
+    ``decoder`` is the ADAPTER SEAM: any ``bytes -> (width, height,
+    mean_value, name) | None`` callable drops in with zero engine changes
+    — same plan, same Arrow batching, same output schema (contract-tested
+    in tests/test_multimodal.py). Default chain: PIL when importable
+    (absent in this container), else a DETERMINISTIC FAKE (fixed 16×16
+    "image" whose mean intensity is the blob's mean byte value) so the
+    Spark plumbing runs and is verifiable everywhere — the fake is what
+    the registered query's DuckDB oracle recomputes byte-for-byte."""
 
     ensure_package_on_executors(df.sparkSession)
+    decode = decoder if decoder is not None else _decode_image_real
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"id": [], "width": [], "height": [], "mean_value": [], "decoder": []}
             for id_, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob)
-                decoded = _decode_image_real(b)
+                decoded = decode(b)
                 if decoded is None:
                     # deterministic fake: 16x16, mean intensity = mean byte
                     decoded = (16, 16, (sum(b) / len(b)) if b else 0.0, "fake")

@@ -8,23 +8,35 @@ MapReduce-core workloads (the reference's own surface) live in
 
 IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep covers the
 first 50 registered queries in registration order. Modules whose queries
-most need a fresh driver correctness row this round (changed semantics,
-new oracles, or no row yet in any CORRECTNESS_r*.json) are imported
-first; queries pushed past the window all have driver-green rows in
-CORRECTNESS_r02.json, so nothing loses its on-record evidence.
+changed THIS round (new oracles, new semantics) or whose last driver-green
+rows date from r02 are imported first; everything pushed past the window
+has a fresh driver-green row in CORRECTNESS_r03.json.
+
+Round-4 window (9 registry-core queries precede these): multimodal (4 new
+exact oracles + r02-era rows), similarity (4 export-based oracles + 2 new
+queries), relational (r02 rows; agg_approx_distinct gained an oracle),
+advanced (r02 rows; agg_approx_quantiles gained an oracle; rel_set_ops_bag
+reworked r3 outside the window), sinks (staging paths reworked this
+round) = 49 entries, so the window closes inside dedup's first entry.
+
+Out-of-window r4 change worth noting: dedup_cluster_survivors gained a
+``localCheckpoint`` between label-propagation rounds — a lineage-only
+change whose hash equality is pinned by tools/verify_local.py and
+tests/test_dedup.py rather than a fresh driver row (its r03 row verified
+the same labeling algebra).
 """
 
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    temporal,      # asof (fixed r3), range join, date/json/math fns — no r02 rows
-    textstats,     # txt_* (tfidf reworked r3) + Python UDTF (new r3) — no r02 rows
-    pipeline,      # pack/clean/sample/grouped-map pipelines (all new r3)
-    sinks,         # partitioned-sink + csv/json scan round trips (new r3)
-    streaming,     # session/dedup/totals tail had no r02 rows; interval join new r3
-    dedup,         # jaccard cap, simhash exact oracle, cluster survivors (r3)
-    similarity,    # emb_random_projection_profile fixed r3; multi-table LSH r3
-    relational,    # all driver-green r02; first rows re-verify in-window
-    advanced,      # driver-green r02
-    multimodal,    # driver-green/rows-only r02
+    multimodal,    # 4 queries converted rows-only → exact byte-level oracles (r4)
+    similarity,    # export-based oracles for IVF/LSH/kmeans/JL + 2 new queries (r4)
+    relational,    # r02-green; agg_approx_distinct now hash-checked (r4)
+    advanced,      # r02-green; agg_approx_quantiles now hash-checked (r4)
+    sinks,         # staging paths per-application this round (r4)
+    dedup,         # driver-green r03
+    streaming,     # driver-green r03
+    temporal,      # driver-green r03
+    textstats,     # driver-green r03
+    pipeline,      # driver-green r03
 )

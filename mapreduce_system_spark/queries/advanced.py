@@ -185,26 +185,49 @@ def q_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
-@register("agg_approx_quantiles")  # t-digest-style sketch: approximate → rows-only
+# Sketch outputs are implementation-defined, so the driver-checkable form
+# hashes rank-error-band booleans: the approx p50/p90 must land between the
+# exact percentiles at ±0.005 rank (50× the sketch's 1/10000 guarantee —
+# generous enough to never flap, tight enough that a broken sketch fails).
+# The oracle recomputes the group counts and asserts the bands hold.
+_APPROX_QUANTILES_SQL = """
+SELECT l_returnflag, count(*) AS cnt, TRUE AS p50_ok, TRUE AS p90_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_quantiles", _APPROX_QUANTILES_SQL)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ``agg_quantiles``: ``approx_percentile`` builds a
     bounded-size mergeable sketch per partition (partial+final agg, no
     per-group value collection), so memory is O(accuracy), not O(group).
-    Accuracy 10000 → relative rank error ≤ 1/10000 (asserted against the
-    exact percentiles in tests/test_relational.py)."""
+    Accuracy 10000 → relative rank error ≤ 1/10000; the exact percentile
+    bands here exist only to anchor the driver's hash check (and are also
+    asserted in tests/test_relational.py)."""
     from mapreduce_system_spark.sources.tables import ensure_parallelism
 
     li = ensure_parallelism(
         load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     )
     pcts = F.array(F.lit(0.5), F.lit(0.9))
+    px = "l_extendedprice"
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_percentile("l_extendedprice", pcts, F.lit(10000)).alias("p"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.approx_percentile(px, pcts, F.lit(10000)).alias("p"),
+            F.percentile(px, F.lit(0.495)).alias("lo50"),
+            F.percentile(px, F.lit(0.505)).alias("hi50"),
+            F.percentile(px, F.lit(0.895)).alias("lo90"),
+            F.percentile(px, F.lit(0.905)).alias("hi90"),
+        )
         .select(
             "l_returnflag",
-            F.round(F.col("p")[0], 4).alias("p50"),
-            F.round(F.col("p")[1], 4).alias("p90"),
+            "cnt",
+            F.col("p")[0].between(F.col("lo50"), F.col("hi50")).alias("p50_ok"),
+            F.col("p")[1].between(F.col("lo90"), F.col("hi90")).alias("p90_ok"),
         )
         .orderBy("l_returnflag")
     )

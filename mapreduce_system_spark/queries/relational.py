@@ -383,13 +383,36 @@ def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # approx: rows-only check (no exact oracle)
+# The sketch value itself is implementation-defined, so the driver-checkable
+# form hashes (exact, within-bound-boolean): Spark computes BOTH the HLL
+# estimate and the exact distinct and emits whether the estimate sits inside
+# the documented 3% band; the oracle recomputes the exact count and asserts
+# the band holds (TRUE literal). A broken sketch ⇒ FALSE ⇒ hash mismatch.
+_APPROX_DISTINCT_SQL = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem
+"""
+
+
+@register("agg_approx_distinct", _APPROX_DISTINCT_SQL)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    distinct's shuffle is unaffordable. Accuracy asserted in pytest
-    (rsd=0.01 → within ~3% of exact)."""
+    distinct's shuffle is unaffordable. The exact count here exists only
+    to anchor the error-band check (rsd=0.01 → within ~3% of exact); the
+    product operator is the sketch."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey"])
-    return li.agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.03)
+        ).alias("within_bound"),
+    )
 
 
 _PRICING_SQL = """

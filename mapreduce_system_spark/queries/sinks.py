@@ -40,8 +40,14 @@ ORDER BY o_orderpriority, o_orderstatus
 """
 
 
-def partitioned_sink_path(sf_dir: str) -> str:
-    return f"/tmp/spark_graft_sink_orders_{Path(sf_dir).name}"
+def partitioned_sink_path(sf_dir: str, spark: SparkSession) -> str:
+    # per-application, not just per-sf: these paths are round-tripped
+    # WITHIN the query (the oracle reads the source parquet, never this
+    # staging), so two concurrent sessions at the same sf must not race
+    # one session's overwrite against the other's re-scan. Same isolation
+    # as mr_whole_text_files_wc's staging.
+    app = spark.sparkContext.applicationId
+    return f"/tmp/spark_graft_sink_orders_{Path(sf_dir).name}_{app}"
 
 
 @register("sink_partitioned_roundtrip", _SINK_SQL)
@@ -57,7 +63,7 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orders",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
-    path = partitioned_sink_path(sf_dir)
+    path = partitioned_sink_path(sf_dir, spark)
     write_parquet(orders, path, partition_by=["o_orderpriority"])
     back = spark.read.parquet(path).where(F.col("o_orderpriority").isin(*_PRIORITIES))
     return (
@@ -98,7 +104,9 @@ def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer",
         columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
-    base = Path(f"/tmp/spark_graft_scan_{Path(sf_dir).name}")
+    # per-application for the same concurrency reason as the sink staging
+    app = spark.sparkContext.applicationId
+    base = Path(f"/tmp/spark_graft_scan_{Path(sf_dir).name}_{app}")
     # DDL schema strings are accepted anywhere a StructType is (public API)
     schema = "c_custkey long, c_nationkey int, c_acctbal double, c_mktsegment string"
     write_csv(cust.where(F.col("c_custkey") % 2 == 0), str(base / "csv"))

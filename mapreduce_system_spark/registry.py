@@ -252,14 +252,18 @@ def q_whole_text_files_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session's overwrite against the other's wholeTextFiles read.
     app = spark.sparkContext.applicationId
     staged = f"/tmp/spark_graft_wtf_{Path(sf_dir).name}_{app}"
-    # reap stagings from long-dead applications (mtime > 6h) so the
-    # per-app isolation doesn't accumulate corpus copies in /tmp
+    # reap stagings from long-dead applications so the per-app isolation
+    # doesn't accumulate corpus copies in /tmp. The cutoff (48 h) is far
+    # beyond any plausible run length — a LIVE application's staging is
+    # never older than its own last overwrite (each call re-writes before
+    # reading), so only abandoned dirs can age past it; a shorter cutoff
+    # could rmtree a long-lived session's staging mid-read.
     import shutil
     import time as _time
 
     for d in Path("/tmp").glob(f"spark_graft_wtf_{Path(sf_dir).name}_*"):
         try:
-            if d.name != Path(staged).name and _time.time() - d.stat().st_mtime > 6 * 3600:
+            if d.name != Path(staged).name and _time.time() - d.stat().st_mtime > 48 * 3600:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass

@@ -188,8 +188,6 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         import os
         from urllib.parse import unquote, urlparse
 
-        if len(files) >= target:
-            return df
         try:
             sizes = [os.path.getsize(unquote(urlparse(f).path)) for f in files]
         except OSError:
@@ -207,11 +205,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             # maxPartitionBytes when total/defaultParallelism is smaller, so
             # a mid-size file already splits to ~cores scan partitions —
             # estimating with maxPartitionBytes alone would call that
-            # under-parallel and insert a pointless full shuffle.
+            # under-parallel and insert a pointless full shuffle. The
+            # estimate must also respect FilePartition BIN-PACKING: many
+            # tiny files coalesce into few partitions (ceil(total/split)),
+            # so neither file count nor a per-file ceil sum is an upper
+            # bound — take the min of the two formulations.
             total = sum(sizes) + open_cost * len(files)
             split = min(max_pb, max(open_cost, total // max(target, 1)))
-            splits = sum(max(1, -(-s // split)) for s in sizes)
-            return df if splits >= target else df.repartition(target)
+            per_file = sum(max(1, -(-s // split)) for s in sizes)
+            packed = max(1, -(-total // split))
+            return df if min(per_file, packed) >= target else df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

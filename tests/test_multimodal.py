@@ -63,6 +63,35 @@ def test_resize_fixed_grid(spark):
     assert again[1] == bytes(out[1].pixels)
 
 
+def test_image_decoder_adapter_seam(spark):
+    """Contract for the real-codec injection point: ANY bytes -> (w, h,
+    mean, name) callable drops into extract_image_features with the same
+    output schema and the same physical plan — only the decoded values
+    change. This is what 'a real codec slots in with zero engine changes'
+    means, stated as a test."""
+
+    def fake_real_codec(b: bytes):
+        # stands in for PIL: pretend every blob decodes to a 4×2 image
+        # whose mean intensity is the first byte
+        if not b:
+            return None
+        return (4, 2, float(b[0]), "custom")
+
+    default = MM.extract_image_features(blobs(spark))
+    injected = MM.extract_image_features(blobs(spark), decoder=fake_real_codec)
+    # schema identical, plan shape identical (one mapInPandas over the scan)
+    assert default.schema == injected.schema
+    assert ("mapInPandas" in injected._jdf.queryExecution().executedPlan().toString()
+            or "MapInPandas" in injected._jdf.queryExecution().executedPlan().toString())
+    got = {r.id: r for r in injected.collect()}
+    assert (got[1].width, got[1].height, got[1].decoder) == (4, 2, "custom")
+    assert got[1].mean_value == float(ord("h"))
+    # a decoder that declines (returns None) falls back to the stand-in
+    declined = {r.id: r for r in
+                MM.extract_image_features(blobs(spark), decoder=lambda b: None).collect()}
+    assert declined[1].decoder == "fake"
+
+
 def test_audio_features_rms(spark):
     out = {r.id: r for r in MM.extract_audio_features(blobs(spark)).collect()}
     r = out[2]  # b"xyz" → uint8 [120,121,122] - 128 → [-8,-7,-6]

@@ -42,7 +42,7 @@ def test_rescan_prunes_partitions(spark):
     # build the plan over the already-written sink dir (the round-trip test
     # above ran first and staged it)
     q_sink_partitioned_roundtrip(spark, SF_DIR)
-    back = spark.read.parquet(partitioned_sink_path(SF_DIR)).where(
+    back = spark.read.parquet(partitioned_sink_path(SF_DIR, spark)).where(
         F.col("o_orderpriority").isin(*_PRIORITIES)
     )
     plan = formatted_plan(back.groupBy("o_orderstatus").count())
