@@ -59,12 +59,22 @@ def main() -> int:
     ).mode("overwrite").save()
     # ... and the Python worker pool + Arrow serialization path, so the
     # first pandas-UDF query in registration order doesn't absorb the
-    # daemon cold-start (~1-2 s) into its own number.
+    # daemon cold-start (~1-2 s) into its own number. SCALAR and
+    # GROUPED_AGG take different physical paths (ArrowEvalPython vs
+    # AggregateInPandas) — warm both, or the first GROUPED_AGG query
+    # (agg_weighted_mean_udaf) shows a recurring false regression.
     from pyspark.sql import functions as F
 
     spark.range(1000).select(
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
+    from mapreduce_system_spark.functions.udafs import weighted_mean
+
+    spark.range(1000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").cast("double").alias("v")
+    ).groupBy("g").agg(weighted_mean()("v", "v")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     failures = 0

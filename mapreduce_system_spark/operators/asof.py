@@ -17,6 +17,15 @@ scales like any keyed window. Equal timestamps match (right sorts before
 left at ties), i.e. ``right_time <= left_time`` semantics — identical to
 DuckDB/kdb ASOF JOIN, which the oracle uses.
 
+SKEW: the window partitions by the join key, so ONE hot key (one
+instrument carrying half the ticks) lands on one task at 100× scale.
+``asof_join_salted`` is the two-phase remedy: left rows spread over
+n_salts sub-partitions, right rows replicated to every salt — per-task
+work drops to left/n_salts + right per key, at the cost of an n_salts×
+replication of the (smaller) right side. Same trade as
+``operators.skew.salted_join``; result parity is pinned in
+tests/test_asof.py.
+
 ``range_join`` joins a fact column into literal bands via broadcast —
 Catalyst plans BroadcastNestedLoopJoin with the band predicate, which is
 the right physical plan when the band table is small (always, for bands).
@@ -87,6 +96,44 @@ def asof_join(
     return filled.where(F.col("__r") == 0).select(
         "__left.*", *[F.col("__p")[c].alias(c) for c in payload_cols]
     )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    salt_src_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant ``asof_join``: identical semantics, bounded task size.
+
+    Left rows hash into ``n_salts`` sub-partitions by ``salt_src_col`` (any
+    well-distributed left column — a row id); right rows are replicated to
+    every salt (broadcast of a salt range → n_salts× the right side, the
+    deliberate trade). Each (key, salt) window then contains ~1/n_salts of
+    the hot key's left rows plus all its right rows, so no single task
+    owns the whole hot key.
+
+    NULL handling matches ``asof_join`` exactly: right rows with NULL
+    key/time are dropped BEFORE the composite key is built (a struct key
+    is never null, so the inner filter would otherwise let NULL-key right
+    rows meet NULL-key left rows); left NULL-key rows keep NULL payloads
+    because their partitions contain no right rows.
+    """
+    spark = left.sparkSession
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    right_ok = right.where(F.col(on).isNotNull() & F.col(right_time).isNotNull())
+    l2 = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts)).cast("int")
+    ).withColumn("__sk", F.struct(F.col(on), F.col("__salt")))
+    r2 = right_ok.crossJoin(F.broadcast(salts)).withColumn(
+        "__sk", F.struct(F.col(on), F.col("__salt"))
+    )
+    out = asof_join(l2, r2, "__sk", left_time, right_time, payload_cols)
+    return out.drop("__salt", "__sk")
 
 
 def latest_per_key_time(

@@ -363,6 +363,13 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # localCheckpoint (not cache): each round's labeling would otherwise
+        # chain joins onto every previous round's plan, and re-analysis of
+        # that growing tree costs more per round than the data pass at
+        # higher diameters. Checkpointing truncates lineage to the
+        # materialized partitions — per-round plan size is now constant.
+        # (Local checkpoint, not reliable checkpoint: labels are cheap to
+        # recompute from scratch if an executor dies mid-algorithm.)
         new_comp = (
             comp.join(neighbor_min, "id", "left")
             .select(
@@ -371,7 +378,7 @@ def connected_components(
                     "comp"
                 ),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_comp.alias("n")

@@ -76,3 +76,44 @@ def test_asof_join_null_keys_and_times_never_match(spark):
         for r in ASOF.asof_join(left, right, on="k", left_time="lt", right_time="rt", payload_cols=["payload"]).collect()
     }
     assert out == {(1, "match"), (None, None)}
+
+
+def test_asof_join_salted_parity_on_skewed_keys(spark, sf_dir):
+    """The salted two-phase asof must equal the plain asof row-for-row —
+    on the real fixture (events asof orders per user) AND on a synthetic
+    hot-key distribution (90% of left rows on one key) with null edges."""
+    from mapreduce_system_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    latest = ASOF.latest_per_key_time(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    r = latest.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("rt"),
+        "o_totalprice",
+    )
+    plain = ASOF.asof_join(
+        ev, r, on="user_id", left_time="ts", right_time="rt", payload_cols=["o_totalprice"]
+    )
+    salted = ASOF.asof_join_salted(
+        ev, r, on="user_id", left_time="ts", right_time="rt",
+        payload_cols=["o_totalprice"], salt_src_col="event_id", n_salts=4,
+    )
+    p = sorted((r.event_id, r.o_totalprice) for r in plain.collect())
+    s = sorted((r.event_id, r.o_totalprice) for r in salted.collect())
+    assert p == s and len(p) > 0
+
+    # synthetic hot key + null key/time rows on both sides
+    hot = [(i, 1 if i % 10 else None, float(i % 97)) for i in range(1000)]
+    left = spark.createDataFrame(hot, "id long, k long, lt double")
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 500.0, "b"), (2, 0.0, "c"), (None, 5.0, "n"), (1, None, "t")],
+        "k long, rt double, payload string",
+    )
+    plain2 = ASOF.asof_join(left, right, "k", "lt", "rt", ["payload"])
+    salted2 = ASOF.asof_join_salted(
+        left, right, "k", "lt", "rt", ["payload"], salt_src_col="id", n_salts=8
+    )
+    p2 = sorted((r.id, r.payload) for r in plain2.collect())
+    s2 = sorted((r.id, r.payload) for r in salted2.collect())
+    assert p2 == s2 and len(p2) == 1000
