@@ -213,21 +213,22 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pcts = F.array(F.lit(0.5), F.lit(0.9))
     px = "l_extendedprice"
+    # all four band edges from ONE percentile aggregate (one sort buffer
+    # per group) — four separate percentile calls would each keep their
+    # own value buffer and quadruple the exact-anchor cost.
+    bands = F.array(F.lit(0.495), F.lit(0.505), F.lit(0.895), F.lit(0.905))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("cnt"),
             F.approx_percentile(px, pcts, F.lit(10000)).alias("p"),
-            F.percentile(px, F.lit(0.495)).alias("lo50"),
-            F.percentile(px, F.lit(0.505)).alias("hi50"),
-            F.percentile(px, F.lit(0.895)).alias("lo90"),
-            F.percentile(px, F.lit(0.905)).alias("hi90"),
+            F.percentile(px, bands).alias("b"),
         )
         .select(
             "l_returnflag",
             "cnt",
-            F.col("p")[0].between(F.col("lo50"), F.col("hi50")).alias("p50_ok"),
-            F.col("p")[1].between(F.col("lo90"), F.col("hi90")).alias("p90_ok"),
+            F.col("p")[0].between(F.col("b")[0], F.col("b")[1]).alias("p50_ok"),
+            F.col("p")[1].between(F.col("b")[2], F.col("b")[3]).alias("p90_ok"),
         )
         .orderBy("l_returnflag")
     )

