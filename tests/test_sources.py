@@ -93,3 +93,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def test_ensure_parallelism_matches_actual_scan_packing(spark, tmp_path):
+    """The metadata-based split estimate must agree with Spark's own
+    FilePartition bin-packing: whenever the actual scan yields fewer
+    partitions than cores the guard must repartition, and whenever the
+    scan is already parallel it must NOT insert a shuffle. Many tiny
+    files are the regression case — they pack into few partitions, so a
+    file-count shortcut would skip the repartition the guard exists for."""
+    from mapreduce_system_spark.sources.tables import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    for n_files in (1, 2, 8, 40):
+        path = str(tmp_path / f"layout_{n_files}")
+        spark.range(n_files * 10).repartition(n_files).write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        actual = df.rdd.getNumPartitions()
+        got = ensure_parallelism(df).rdd.getNumPartitions()
+        if actual < target:
+            assert got == target, (n_files, actual, got)
+        else:
+            assert got == actual, (n_files, actual, got)
