@@ -319,6 +319,48 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def editdistance_pairs(
+    df: DataFrame,
+    threshold: int = 8,
+    prefix_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup pairs: Levenshtein ≤ threshold on normalized
+    text, candidates from prefix blocking.
+
+    The missing dedup modality next to Jaccard/MinHash/SimHash: character-
+    level edits (typos, small insertions) that barely move a 3-gram shingle
+    set still show up as a small edit distance. Candidates are pairs whose
+    normalized text shares the first ``prefix_len`` characters — an
+    EQUI-join (the only scale-safe shape; recall is limited to pairs whose
+    edits all occur past the prefix, the standard prefix-blocking trade,
+    exactly as ``cosine_dup_pairs`` is scoped to its blocks). The
+    ``threshold`` argument makes Spark's Levenshtein DP early-exit at
+    O(threshold·len) instead of O(len²) per pair — at corpus scale the
+    bound is what keeps verification affordable.
+
+    Normalization (lower, collapse non-word runs, trim) is shared with
+    ``exact_dedup``'s fingerprint, so both engines tokenize identically.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\W+", " "))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.array(norm), lambda t: F.struct(
+            t.alias("t"), F.substring(t, 1, prefix_len).alias("blk")
+        ))[0].alias("nb"),
+    ).select("id", F.col("nb.t").alias("t"), F.col("nb.blk").alias("blk"))
+    a = base.select("blk", F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    b = base.select("blk", F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein("ta", "tb", threshold)  # -1 when > threshold
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -222,3 +222,34 @@ def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
     return DD.connected_components(pairs).orderBy("id")
+
+
+# Prefix-blocked Levenshtein near-dup pairs. Normalization shared with
+# dedup_exact (cross-engine proven); DuckDB's levenshtein is the same
+# unit-cost character DP as Spark's, and the oracle applies the threshold
+# as a plain predicate where Spark's DP early-exits via the 3-arg form.
+_EDITDIST_SQL = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS t FROM documents
+), b AS (
+  SELECT doc_id, t, substring(t, 1, 40) AS blk FROM n
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.t, c.t) AS INT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.t, c.t) <= 8
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_editdistance_pairs", _EDITDIST_SQL)
+def q_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: Levenshtein ≤ 8 on normalized text,
+    candidates from a 40-char prefix equi-join (registered r4 — first
+    driver row lands when the window rotates; verified locally meanwhile).
+    Complements the token-level modalities: small typo edits that keep
+    most 3-gram shingles intact still surface here, and vice versa a
+    rewritten prefix blocks the pair by design (documented recall trade)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    out = DD.editdistance_pairs(docs, threshold=8, prefix_len=40)
+    return out.orderBy("id_a", "id_b")

@@ -197,3 +197,26 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("user_id")
     )
+
+
+_DISTINCT_USERS_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '60 minutes', ts), '{_TS_FMT_DUCK}') AS w_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY w_start
+ORDER BY w_start
+"""
+
+
+@register("stream_tumbling_distinct_users", _DISTINCT_USERS_SQL)
+def q_tumbling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct users (batch twin of the streaming-safe two-phase
+    dedup+count — COUNT(DISTINCT) itself cannot run incrementally).
+    Registered r4 — first driver row lands when the window rotates;
+    verified locally meanwhile, streaming parity in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "user_id"])
+    out = SW.tumbling_distinct_users(ev, duration="60 minutes")
+    return out.select(
+        F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("w_start"),
+        F.col("n_users"),
+    ).orderBy("w_start")

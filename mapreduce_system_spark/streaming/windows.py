@@ -80,6 +80,27 @@ def sliding_avg(
     )
 
 
+def tumbling_distinct_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    duration: str = "60 minutes",
+) -> DataFrame:
+    """Distinct users per tumbling window, in the STREAMING-SAFE shape.
+
+    ``COUNT(DISTINCT)`` cannot execute incrementally (Spark rejects it in
+    streaming aggregations), so the operator is the canonical two-phase
+    rewrite: event-time dedup on (window, user) — keyed state with
+    watermark eviction — followed by an ordinary windowed count. In batch
+    the two phases are algebraically identical to COUNT(DISTINCT), which
+    is what the DuckDB oracle checks; the streaming pytest drives the same
+    function through a file stream and asserts parity.
+    """
+    w = F.window(ts_col, duration)
+    dedup = df.select(w.alias("w"), F.col(user_col)).dropDuplicates(["w", user_col])
+    return dedup.groupBy("w").agg(F.count("*").alias("n_users"))
+
+
 def session_counts(
     df: DataFrame,
     ts_col: str = "ts",

@@ -86,3 +86,26 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.id: r.survivor_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_editdistance_pairs_semantics(spark):
+    """Levenshtein pairs: distance correctness, threshold cut, and the
+    prefix-blocking contract (edits inside the prefix block the pair)."""
+    from mapreduce_system_spark.operators.dedup import editdistance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 2  # > prefix_len
+    rows = [
+        (1, base + "tail one"),
+        (2, base + "tail two!"),          # differs past the prefix → pair
+        (3, base + "completely different ending that drifts far away from the rest"),
+        (4, "PREFIX-EDIT " + base),        # same content, edited prefix → blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.dist for r in editdistance_pairs(df, threshold=8).collect()}
+    assert (1, 2) in got and 0 < got[(1, 2)] <= 8
+    assert all(p == (1, 2) for p in got), got  # 3 too far, 4 prefix-blocked
+
+    # threshold is a hard cut: at threshold 2 the (1,2) pair must survive
+    # iff its distance fits
+    tight = {(r.id_a, r.id_b) for r in editdistance_pairs(df, threshold=2).collect()}
+    assert ((1, 2) in tight) == (got[(1, 2)] <= 2)

@@ -80,3 +80,10 @@ def test_ivf_corpus_join_is_equi_join_on_partition(spark):
     # one such node. explain("formatted") prints each physical node twice
     # (tree line + detail section), so one node == two string occurrences.
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_editdistance_pairs_has_no_all_pairs_join(spark):
+    from mapreduce_system_spark.operators.dedup import editdistance_pairs
+
+    docs = load_table(spark, SF_DIR, "documents", columns=["doc_id", "text"])
+    _assert_equi_join_only(editdistance_pairs(docs))
