@@ -11,8 +11,16 @@ jobs.
   token count (contiguous fill, the concatenate-then-chunk packing).
 - ``pipe_clean_corpus``: quality gate + language gate + exact-dedup
   survivor in one plan; per-source retention profile.
+- ``pipe_decontaminate``: benchmark n-gram decontamination (broadcast
+  semi-join of corpus shingles against a held-out split's gram set).
+- ``pipe_chunk_documents``: overlapping token-window chunking (RAG /
+  context-window prep) with the overlap-overhead profile.
+- ``pipe_repetition_filter``: Gopher-style duplicate-token/bigram gates
+  from exact integer counts.
+- ``pipe_quota_mix``: per-source quota downsampling by deterministic
+  hash rank (domain mixing).
 
-Both have exact DuckDB oracles built from the same SQL fragments the
+All have exact DuckDB oracles built from the same SQL fragments the
 single-op queries verify.
 """
 
@@ -272,4 +280,317 @@ def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("z"), 4).alias("max_z"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing any word n-gram
+# with a held-out benchmark set. The benchmark split is deterministic
+# (md5-nibble of the stable id — same discipline as pipe_hash_sample) so
+# membership is a pure function of the data. n = 5 on the fixture corpus;
+# production decontamination uses 8-13-gram overlap, same algebra.
+_DECON_N = 5
+_DECON_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
+         list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT source, doc_id, is_bench,
+         list_distinct([array_to_string(ts[i:i+4], ' ') for i in range(1, len(ts) - 3)]) AS sg
+  FROM toks WHERE len(ts) >= 5
+), bg AS (
+  SELECT DISTINCT unnest(sg) AS g FROM sh WHERE is_bench
+), cg AS (
+  SELECT source, doc_id, unnest(sg) AS g FROM sh WHERE NOT is_bench
+), contam AS (
+  SELECT DISTINCT cg.source, cg.doc_id FROM cg JOIN bg USING (g)
+), tot AS (
+  SELECT source, count(*) AS n_docs FROM toks WHERE NOT is_bench GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       coalesce(count(c.doc_id), 0) AS n_contaminated,
+       round(coalesce(count(c.doc_id), 0)::DOUBLE / t.n_docs, 4) AS contamination_rate
+FROM tot t LEFT JOIN contam c ON c.source = t.source
+GROUP BY t.source, t.n_docs
+ORDER BY t.source
+"""
+
+
+@register("pipe_decontaminate", _DECON_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-source count of corpus documents that
+    share at least one 5-gram shingle with the held-out benchmark split
+    (md5-nibble 'f' of doc_id — deterministic, ~1/16 of id space).
+
+    Plan shape: one scan feeding both sides; the benchmark gram set is
+    DISTINCT-ed and **broadcast** (a benchmark suite is tiny next to a
+    training corpus — the small-dim side of this join by construction), so
+    the corpus side is a map-only broadcast LEFT SEMI join on the gram —
+    no shuffle of exploded corpus grams. ``explode`` multiplies rows by
+    grams/doc; the semi join collapses back to contaminated (source,
+    doc_id) before the distinct. At 100 TB the only shuffled data is the
+    contaminated-id set (distinct) and the per-source counts — both tiny.
+    Division is one exact-integer divide per group, so the DuckDB oracle
+    hash-matches bit-for-bit."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    tagged = docs.select(
+        "source",
+        "doc_id",
+        "text",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias("is_bench"),
+    )
+    grams = tagged.select(
+        "source", "doc_id", "is_bench", F.explode(TXT.shingles("text", _DECON_N)).alias("g")
+    )
+    bench_grams = grams.where(F.col("is_bench")).select("g").distinct()
+    contaminated = (
+        grams.where(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = tagged.where(~F.col("is_bench")).groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(F.broadcast(contaminated), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_docs"), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style chunking: overlapping token windows of size 32 / stride 24
+# (fixture docs average ~54 tokens → 2-3 chunks each; production sizes are
+# 256-1024 tokens, same algebra). ``overlap_factor`` = chunk-tokens over
+# document-tokens — the storage/compute overhead the stride buys.
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+_CHUNK_SQL = rf"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOKS}) AS n FROM documents
+), c AS (
+  SELECT source, doc_id, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS s
+  FROM t WHERE n > 0
+), d AS (
+  SELECT source, doc_id, n,
+         count(*) AS n_chunks,
+         sum(least({_CHUNK_SIZE}, n - s)) AS chunk_tokens
+  FROM c GROUP BY source, doc_id, n
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens,
+       round(sum(chunk_tokens)::DOUBLE / sum(n), 4) AS overlap_factor
+FROM d GROUP BY source
+ORDER BY source
+"""
+
+
+@register("pipe_chunk_documents", _CHUNK_SQL)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24) — the RAG /
+    context-window preprocessing step — profiled per source: chunk counts,
+    chunk-token volume, and the overlap overhead factor.
+
+    Chunk starts are ``sequence(0, n-1, stride)`` (Spark) ≡ ``range(0, n,
+    stride)`` (DuckDB): every start < n, last chunk truncated to ``n -
+    start`` tokens. Plan shape: scan → per-row token count → explode of a
+    tiny int array (no text duplication — the chunk *boundaries* are
+    computed, the text itself never leaves the row) → two bounded
+    aggregations with map-side combine. Zero joins, one shuffle on
+    (source, doc_id) collapsed immediately to per-source rows. At 100 TB
+    the explode multiplies row count by ~n/stride but each row is 4 longs
+    — the cheapest possible fan-out; materializing actual chunk text would
+    instead slice the token array in the same pass."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    n = F.col("n")
+    chunks = (
+        docs.select("source", "doc_id", TXT.token_count("text").alias("n"))
+        .where(n > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n - 1, F.lit(_CHUNK_STRIDE).cast("long"))
+            ).alias("s"),
+        )
+        .groupBy("source", "doc_id", "n")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.least(F.lit(_CHUNK_SIZE).cast("long"), n - F.col("s"))).alias("chunk_tokens"),
+        )
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("chunk_tokens"),
+            F.round(F.sum("chunk_tokens") / F.sum("n"), 4).alias("overlap_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (the Gopher/MassiveText repetition gates):
+# duplicate-token and duplicate-bigram rates, aggregated per source from
+# exact integer counts so the single per-group division is bit-identical
+# across engines. A doc is flagged when >5% of its bigrams are repeats —
+# integer form (ng - dg) * 20 > ng, no float threshold.
+_REPETITION_SQL = rf"""
+WITH toks AS (
+  SELECT source, {_TOKS} AS ts FROM documents
+), f AS (
+  SELECT source,
+         len(ts) AS nt,
+         len(list_distinct(ts)) AS dt,
+         greatest(len(ts) - 1, 0) AS ng,
+         CASE WHEN len(ts) >= 2
+              THEN len(list_distinct([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]))
+              ELSE 0 END AS dg
+  FROM toks
+)
+SELECT source,
+       count(*) AS n_docs,
+       round((sum(nt) - sum(dt))::DOUBLE / greatest(sum(nt), 1), 4) AS dup_token_rate,
+       round((sum(ng) - sum(dg))::DOUBLE / greatest(sum(ng), 1), 4) AS dup_bigram_rate,
+       count(*) FILTER ((ng - dg) * 20 > ng) AS n_flagged
+FROM f GROUP BY source
+ORDER BY source
+"""
+
+
+@register("pipe_repetition_filter", _REPETITION_SQL)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate: per-source duplicate-token and
+    duplicate-bigram rates plus the count of documents whose bigram
+    repetition exceeds 5% (the boilerplate/template-text signal the
+    Gopher repetition rules cut on).
+
+    All per-doc features are exact integer counts computed in ONE
+    higher-order-function pass — the token array is let-bound
+    (``transform(array(tokens), t -> ...)[0]``, the recorded HOF lesson)
+    so the document is tokenized once, and the bigram list is let-bound
+    again for its distinct-count. Plan shape: scan → per-row JVM
+    expressions → one bounded aggregation; rates are formed by a single
+    division of exact-integer sums per group (never an avg of per-row
+    doubles, whose summation order would differ between engines). The
+    flag threshold is pure integer arithmetic. Map-side combine keeps
+    shuffled bytes at one row per (partition, source)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "text"]))
+
+    def with_toks(toks):
+        nt = F.size(toks)
+        grams = F.when(
+            nt >= 2,
+            F.transform(
+                F.sequence(F.lit(0), nt - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def with_grams(gs):
+            return F.struct(
+                nt.cast("long").alias("nt"),
+                F.size(F.array_distinct(toks)).cast("long").alias("dt"),
+                F.greatest(nt - 1, F.lit(0)).cast("long").alias("ng"),
+                F.size(F.array_distinct(gs)).cast("long").alias("dg"),
+            )
+
+        return F.transform(F.array(grams), with_grams)[0]
+
+    feats = F.transform(F.array(TXT.tokens("text")), with_toks)[0]
+    f = docs.select("source", feats.alias("f")).select(
+        "source", F.col("f.nt").alias("nt"), F.col("f.dt").alias("dt"),
+        F.col("f.ng").alias("ng"), F.col("f.dg").alias("dg"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                (F.sum("nt") - F.sum("dt")) / F.greatest(F.sum("nt"), F.lit(1)), 4
+            ).alias("dup_token_rate"),
+            F.round(
+                (F.sum("ng") - F.sum("dg")) / F.greatest(F.sum("ng"), F.lit(1)), 4
+            ).alias("dup_bigram_rate"),
+            F.sum(
+                F.when((F.col("ng") - F.col("dg")) * 20 > F.col("ng"), 1).otherwise(0)
+            ).cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing via per-source quotas: keep a deterministic hash-ranked cap
+# of documents per source — the "downsample the over-represented domain"
+# step of corpus mixing. Rank by md5(doc_id) so the kept set is a pure
+# function of the data (reproducible across runs/retries), with doc_id as
+# the total-order tie-break.
+_QUOTA = 10
+_QUOTA_SQL = rf"""
+WITH r AS (
+  SELECT source, doc_id, len({_TOKS}) AS n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       count(*) FILTER (rk <= {_QUOTA}) AS n_kept,
+       CAST(coalesce(sum(n) FILTER (rk <= {_QUOTA}), 0) AS BIGINT) AS tokens_kept,
+       count(*) AS n_total,
+       round((count(*) FILTER (rk <= {_QUOTA}))::DOUBLE / count(*), 4) AS kept_frac
+FROM r GROUP BY source
+ORDER BY source
+"""
+
+
+@register("pipe_quota_mix", _QUOTA_SQL)
+def q_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (cap ``_QUOTA`` docs/source) selected by
+    deterministic hash rank — the domain-mixing downsample, reproducible
+    across runs because membership depends only on md5(doc_id).
+
+    Plan shape: scan → per-source window rank (one shuffle on source) →
+    bounded aggregation. Honest scale note: ``row_number`` per source
+    funnels each source through one task — fine when sources number in
+    the thousands and quotas in the millions, but at one-giant-source
+    scale the rank should be replaced by a hash-threshold selection
+    (keep docs whose md5 falls below a cutoff fitted from per-source
+    counts — the pipe_hash_sample primitive); same determinism, no
+    per-source funnel. The fixture-scale query registers the exact-rank
+    formulation because its quota semantics (exactly N, not ~N) are the
+    contract being verified."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    r = (
+        docs.select("source", "doc_id", TXT.token_count("text").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    kept = F.col("rk") <= _QUOTA
+    return (
+        r.groupBy("source")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n"))), F.lit(0)).cast("long").alias("tokens_kept"),
+            F.count("*").alias("n_total"),
+            F.round(
+                F.sum(F.when(kept, 1).otherwise(0)) / F.count("*"), 4
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
     )

@@ -87,3 +87,16 @@ def test_editdistance_pairs_has_no_all_pairs_join(spark):
 
     docs = load_table(spark, SF_DIR, "documents", columns=["doc_id", "text"])
     _assert_equi_join_only(editdistance_pairs(docs))
+
+
+def test_decontaminate_is_broadcast_semi_join_on_gram(spark):
+    """Corpus grams must reach the benchmark gram set via a broadcast LEFT
+    SEMI equi-join on the gram string — the corpus side is never shuffled
+    on the gram and never nested-loop-joined (the shape that would still
+    pass value checks at fixture scale and die at corpus scale)."""
+    from mapreduce_system_spark.queries.pipeline import q_decontaminate
+
+    df = q_decontaminate(spark, SF_DIR)
+    plan = formatted_plan(df)
+    _assert_equi_join_only(df)
+    assert "LeftSemi" in plan, plan
