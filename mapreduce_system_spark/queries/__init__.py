@@ -24,6 +24,12 @@ Out-of-window r4 change worth noting: dedup_cluster_survivors gained a
 change whose hash equality is pinned by tools/verify_local.py and
 tests/test_dedup.py rather than a fresh driver row (its r03 row verified
 the same labeling algebra).
+
+ROUND-5 ROTATION LIST (new r4 queries registered past the window, local
+verify_local PASS + pytest only — rotate these into the first 50 next
+round): dedup_editdistance_pairs, stream_tumbling_distinct_users,
+pipe_decontaminate, pipe_chunk_documents, pipe_repetition_filter,
+pipe_quota_mix.
 """
 
 from __future__ import annotations
