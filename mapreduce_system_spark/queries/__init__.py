@@ -16,8 +16,10 @@ Round-4 window (9 registry-core queries precede these): multimodal (4 new
 exact oracles + r02-era rows), similarity (4 export-based oracles + 2 new
 queries), relational (r02 rows; agg_approx_distinct gained an oracle),
 advanced (r02 rows; agg_approx_quantiles gained an oracle; rel_set_ops_bag
-reworked r3 outside the window), sinks (staging paths reworked this
-round) = 49 entries, so the window closes inside dedup's first entry.
+reworked r3 outside the window), sinks (staging paths reworked this round
++ the NEW sink_bucketed_join_roundtrip, which closes the window at #50).
+dedup_exact moved to #51 — unchanged since its r03 driver-green row, so
+its evidence stays valid.
 
 Out-of-window r4 change worth noting: dedup_cluster_survivors gained a
 ``localCheckpoint`` between label-propagation rounds — a lineage-only

@@ -11,6 +11,10 @@ correctness record too:
   directories are touched (pruning asserted in tests/test_sinks_query.py).
 - ``scan_csv_json_roundtrip``: customer staged through the csv AND json
   sinks, read back with explicit schemas, unioned, aggregated.
+- ``sink_bucketed_join_roundtrip``: orders and lineitem staged through
+  the bucketed sink on the join key, then joined co-located (the join
+  itself runs with ZERO Exchange — asserted in
+  tests/test_sinks_query.py).
 
 Each oracle computes the same aggregate straight from the source parquet,
 so a round trip that corrupts any value hash-mismatches.
@@ -122,4 +126,70 @@ def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_nationkey").alias("n_nations"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+_N_BUCKETS = 8
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Stage orders+lineitem as bucketed tables on the join key and return
+    the catalog-backed DataFrames (bucket metadata comes from the catalog,
+    which is why the join can skip both Exchanges)."""
+    from mapreduce_system_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    # files are per-application (concurrent-session isolation, same reason
+    # as the stagings above); table NAMES are session-scoped (in-memory
+    # catalog), so static names cannot race across sessions.
+    app = spark.sparkContext.applicationId
+    base = Path(f"/tmp/spark_graft_bucketed_{Path(sf_dir).name}_{app}")
+    write_bucketed(orders, "t_graft_orders_b", "o_orderkey", _N_BUCKETS, str(base / "orders"))
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_graft_lineitem_b",
+        "o_orderkey",
+        _N_BUCKETS,
+        str(base / "lineitem"),
+    )
+    return spark.table("t_graft_orders_b"), spark.table("t_graft_lineitem_b")
+
+
+@register("sink_bucketed_join_roundtrip", _BUCKETED_JOIN_SQL)
+def q_sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-sink round trip ending in a CO-LOCATED fact-fact join:
+    both tables are written ``bucketBy(8, o_orderkey).sortBy`` and joined
+    back out of the catalog — the sort-merge join runs with ZERO Exchange
+    (each bucket pair is one task; asserted on this exact staging in
+    tests/test_sinks_query.py).
+
+    This is the 100 TB answer to the repeated fact-fact shuffle: pay the
+    partitioning once at write time, then every orderkey join is
+    shuffle-free forever. The only Exchanges left in this plan belong to
+    the final per-status aggregation — O(statuses), not O(rows). Oracle
+    joins the source parquet directly, so any bucketing/commit corruption
+    hash-mismatches."""
+    a, b = bucketed_tables(spark, sf_dir)
+    return (
+        a.join(b, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "net_revenue"
+            ),
+        )
+        .orderBy("o_orderstatus")
     )

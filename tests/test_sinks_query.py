@@ -20,6 +20,25 @@ from mapreduce_system_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
 
 
+def test_bucketed_join_query_staging_joins_with_zero_exchange(spark):
+    """The registered bucketed round trip must actually deliver the
+    co-located property: after its staging, the bare orderkey join of the
+    two catalog tables plans with NO Exchange node at all."""
+    from mapreduce_system_spark.queries.sinks import bucketed_tables
+
+    a, b = bucketed_tables(spark, SF_DIR)
+    try:
+        # the fixture fits under the broadcast threshold; at real fact-fact
+        # scale broadcast is off the table, so pin the SMJ path to observe
+        # the bucket layout doing the shuffle's job
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(a.join(b, "o_orderkey"))
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
 def test_roundtrip_matches_direct_aggregate(spark):
     got = {
         (r["o_orderpriority"], r["o_orderstatus"]): (r["n_orders"], r["revenue"])
