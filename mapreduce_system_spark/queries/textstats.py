@@ -398,3 +398,63 @@ def q_udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters via the two-pass candidate pattern: a single-pass
+# lossy-count sketch (DataFrame.stat.freqItems — superset guarantee, merge-
+# able partials, NO token shuffle) proposes candidates, then one exact pass
+# counts ONLY the candidates. The final filter (cnt > support · N) is exact,
+# so the result is pure SQL — and if the sketch ever dropped a true heavy
+# hitter, the Spark result would lose a row and the driver's hash check
+# would catch it. Candidate support is set BELOW the final support so the
+# superset guarantee covers the reported set.
+_HH_SUPPORT = 0.033
+_HH_CAND_SUPPORT = 0.02
+
+_HEAVY_HITTERS_SQL = rf"""
+WITH t AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+), tot AS (
+  SELECT count(*) AS n FROM t
+)
+SELECT token, count(*) AS cnt
+FROM t, tot
+GROUP BY token, n
+HAVING count(*) > {_HH_SUPPORT} * n
+ORDER BY token
+"""
+
+
+@register("txt_heavy_hitters", _HEAVY_HITTERS_SQL)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters (tokens above 3.3% of all token
+    occurrences) — the vocabulary/stop-word/boilerplate detector of a
+    training pipeline — computed with the scalable two-pass shape:
+
+    1. ``stat.freqItems`` at support 0.02: one scan, map-side lossy
+       counting merged per partition, bounded driver state (≤ 1/support
+       items — never the full vocabulary), zero shuffle of tokens.
+    2. Exact count of the candidates only: the ``isin`` filter cuts the
+       shuffle from O(distinct tokens) to O(candidates) before the
+       aggregation; the total-token count rides a separate scan and joins
+       in as one broadcast row.
+
+    The algebra relies on the sketch's superset guarantee (candidate
+    support < final support): a dropped true heavy hitter would surface
+    as a missing output row against the oracle's exact SQL. At 100 TB
+    this is the difference between shuffling a zipfian vocabulary and
+    shuffling ~30 rows per partition."""
+    docs = _docs(spark, sf_dir, ["text"])
+    toks = docs.select(F.explode(TXT.tokens("text")).alias("token"))
+    candidates = toks.stat.freqItems(["token"], support=_HH_CAND_SUPPORT).first()[0]
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.where(F.col("token").isin(*[str(c) for c in candidates]))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(_HH_SUPPORT) * F.col("n"))
+        .select("token", "cnt")
+        .orderBy("token")
+    )

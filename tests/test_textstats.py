@@ -102,3 +102,32 @@ def test_winnow_shared_substring_guarantee(spark):
     )
     got = {r.i: set(r.fp) for r in df.select("i", winnow_fingerprints("text").alias("fp")).collect()}
     assert got[1] & got[2], "no shared fingerprint for shared substring"
+
+
+def test_heavy_hitter_candidates_are_a_superset_of_true_heavy_hitters(spark):
+    """The two-pass heavy-hitter query is only correct if freqItems'
+    candidate set contains every token above the FINAL support — pin the
+    superset guarantee at the candidate support actually used."""
+    from mapreduce_system_spark.queries.textstats import (
+        _HH_CAND_SUPPORT,
+        _HH_SUPPORT,
+        q_heavy_hitters,
+    )
+    from mapreduce_system_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents", columns=["text"])
+    toks = docs.select(F.explode(TXT.tokens("text")).alias("token"))
+    n = toks.count()
+    exact = {
+        r["token"]: r["cnt"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    true_heavy = {t for t, c in exact.items() if c > _HH_SUPPORT * n}
+    candidates = set(toks.stat.freqItems(["token"], support=_HH_CAND_SUPPORT).first()[0])
+    assert true_heavy <= candidates
+    # bounded driver state: lossy counting returns at most ~1/support items
+    # (a small slack above the bound is allowed by the algorithm's contract)
+    assert len(candidates) <= int(2 / _HH_CAND_SUPPORT)
+    got = {r["token"]: r["cnt"] for r in q_heavy_hitters(spark, SF_DIR).collect()}
+    assert got == {t: exact[t] for t in true_heavy}
