@@ -253,3 +253,55 @@ def q_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     out = DD.editdistance_pairs(docs, threshold=8, prefix_len=40)
     return out.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal agreement: every text near-dup pair joined to the embedding
+# table on both sides, scored with exact double-fold cosine. The pipeline
+# QA step this encodes: text-level near-dups whose embeddings DISAGREE
+# point at embedding-pipeline drift (stale vectors, misaligned ids), and
+# embedding near-dups invisible to shingles point at paraphrase dup —
+# this query puts the text→embedding direction on the driver's record.
+_CROSSMODAL_SQL = f"""
+WITH {_JACCARD_CAPPED_CTES}
+SELECT p.id_a, p.id_b, round(p.j, 6) AS jaccard,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS emb_cosine
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.id_a
+JOIN embeddings eb ON eb.vec_id = p.id_b
+WHERE p.j >= 0.5
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@register("dedup_crossmodal_agreement", _CROSSMODAL_SQL)
+def q_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pairs (capped 3-gram Jaccard ≥ 0.5) annotated with
+    their embedding cosine — the cross-modal dedup-validation join
+    (embeddings align 1:1 with documents: vec_id = doc_id).
+
+    Plan shape: the near-dup pair set is tiny relative to the corpus
+    (that's what makes dedup useful), so both embedding lookups are
+    plain equi-joins driven by the pair table; Spark broadcasts the pair
+    side against the embeddings scan. Cosine is the deterministic
+    sequential double fold from ``functions.vectors`` — agrees with
+    DuckDB's ``list_cosine_similarity`` past the 6-decimal rounding
+    (established by sim_dup_pairs_cosine)."""
+    from mapreduce_system_spark.functions.vectors import cosine
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("emb_cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )

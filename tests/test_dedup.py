@@ -109,3 +109,20 @@ def test_editdistance_pairs_semantics(spark):
     # iff its distance fits
     tight = {(r.id_a, r.id_b) for r in editdistance_pairs(df, threshold=2).collect()}
     assert ((1, 2) in tight) == (got[(1, 2)] <= 2)
+
+
+def test_crossmodal_agreement_annotates_every_text_pair(spark):
+    """One output row per text near-dup pair (the embedding join must not
+    drop or duplicate pairs — vec_id aligns 1:1 with doc_id), with a
+    well-formed cosine."""
+    from mapreduce_system_spark.queries.dedup import (
+        q_crossmodal_agreement,
+        q_jaccard_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = {(r["id_a"], r["id_b"]) for r in q_jaccard_pairs(spark, SF_DIR).collect()}
+    rows = q_crossmodal_agreement(spark, SF_DIR).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == pairs
+    assert len(rows) == len(pairs)
+    assert all(-1.0 - 1e-9 <= r["emb_cosine"] <= 1.0 + 1e-9 for r in rows)
