@@ -220,3 +220,32 @@ def q_tumbling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("w_start"),
         F.col("n_users"),
     ).orderBy("w_start")
+
+
+_STATIC_ENRICH_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts), '{_TS_FMT_DUCK}') AS w_start,
+       c_mktsegment,
+       count(*) AS cnt,
+       round(sum(value), 4) AS total_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY w_start, c_mktsegment
+ORDER BY w_start, c_mktsegment
+"""
+
+
+@register("stream_static_enrich", _STATIC_ENRICH_SQL)
+def q_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (batch twin): events joined to the
+    broadcast customer dimension, 30-minute windowed count + value sum
+    per market segment. The streaming pytest drives the same
+    ``streaming.windows.static_enrich`` through a file stream — the
+    stream-static join is stateless, so parity is exact."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "user_id", "value"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = SW.static_enrich(ev, cust)
+    return out.select(
+        F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("w_start"),
+        "c_mktsegment",
+        "cnt",
+        F.round("total_value", 4).alias("total_value"),
+    ).orderBy("w_start", "c_mktsegment")

@@ -145,6 +145,37 @@ def interval_join(
     return left.alias("l").join(right.alias("r"), cond).select(*lcols, *rcols)
 
 
+def static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "30 minutes",
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stream-static enrichment: join each event against a broadcast
+    static dimension, then windowed count + value sum per (window,
+    segment) — the canonical "enrich the stream with reference data"
+    pipeline.
+
+    Identical expression in batch and streaming. A stream-static INNER
+    join is stateless: every micro-batch probes the broadcast dim and
+    moves on — no join state, no watermark requirement on the dim side
+    (the windowed aggregation downstream still wants one on the stream).
+    At 100 TB/day stream volume the dim broadcast is re-planned per
+    micro-batch, so a slowly-changing dimension picks up updates on the
+    next trigger — the standard freshness contract.
+    """
+    joined = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(key_col), seg_col)), key_col
+    )
+    return joined.groupBy(F.window(ts_col, duration).alias("w"), F.col(seg_col)).agg(
+        F.count("*").alias("cnt"), F.sum(value_col).alias("total_value")
+    )
+
+
 def dedup_keys(df: DataFrame, keys: list[str], within_watermark: bool = False) -> DataFrame:
     """Streaming/batch exact dedup on a key set — the ingestion-time twin
     of ``operators.dedup.exact_dedup``.

@@ -236,3 +236,30 @@ def test_tumbling_distinct_users_stream_matches_batch(spark, sf_dir, tmp_path):
             assert n == want[w_start], (w_start, n, want[w_start])
     finally:
         q.stop()
+
+
+def test_static_enrich_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join parity: the broadcast dim join + windowed agg
+    produces identical results through the file stream and the batch scan
+    (the join is stateless, so not even watermark timing can diverge)."""
+    import os
+
+    events_dir = tmp_path / "events-enrich-src"
+    events_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    stream = SW.stream_events(spark, str(events_dir))
+    q = _run_stream(SW.static_enrich(stream, cust), "t_static_enrich")
+    try:
+        got = {
+            (r["w"]["start"], r["c_mktsegment"]): (r["cnt"], round(r["total_value"], 4))
+            for r in spark.table("t_static_enrich").collect()
+        }
+        batch = load_table(spark, sf_dir, "events", columns=["ts", "user_id", "value"])
+        want = {
+            (r["w"]["start"], r["c_mktsegment"]): (r["cnt"], round(r["total_value"], 4))
+            for r in SW.static_enrich(batch, cust).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
