@@ -263,3 +263,50 @@ def test_static_enrich_stream_matches_batch(spark, sf_dir, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
+    """Exactly-once across a restart: a foreachBatch parquet sink driven
+    from a checkpoint must NOT re-emit batches already committed before
+    the stop — the streaming twin of the batch task-retry test
+    (tests/test_fault_tolerance.py). Run 1 processes file A and stops;
+    run 2 (same checkpoint) sees files B, C and must emit exactly those."""
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    src = str(tmp_path / "ck-src")
+    out = str(tmp_path / "ck-out")
+    ck = str(tmp_path / "ck-state")
+
+    def sink(batch_df, batch_id):
+        # plain append parquet; exactly-once comes from the checkpoint's
+        # batch tracking (a replayed batch id would re-run this fn, which
+        # is why production foreachBatch sinks key idempotence on
+        # batch_id — here we assert the replay never happens)
+        batch_df.write.mode("append").parquet(out)
+
+    def start():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    _write_events(spark, src, [(1, t("2024-01-01T09:00:00"), 1.0)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write_events(spark, src, [(2, t("2024-01-01T09:05:00"), 2.0)])
+    _write_events(spark, src, [(3, t("2024-01-01T09:10:00"), 3.0)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["value"]) for r in spark.read.parquet(out).collect()
+    )
+    # each source row exactly once — no loss on restart, no duplication
+    # of the pre-restart batch
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
