@@ -15,6 +15,9 @@ correctness record too:
   the bucketed sink on the join key, then joined co-located (the join
   itself runs with ZERO Exchange — asserted in
   tests/test_sinks_query.py).
+- ``scan_orc_roundtrip``: customer staged through the ORC sink and
+  re-aggregated (pushdown on the ORC scan pinned in
+  tests/test_sinks_query.py).
 
 Each oracle computes the same aggregate straight from the source parquet,
 so a round trip that corrupts any value hash-mismatches.
@@ -192,4 +195,41 @@ def q_sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+_ORC_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("scan_orc_roundtrip", _ORC_SQL)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → scan round trip, completing the format surface (text,
+    csv, json, parquet, orc — every codec Spark ships without extra
+    packages). ORC is the other columnar container a lakehouse migration
+    actually encounters; the read side must show the same pushdown
+    behavior as parquet (PushedFilters on c_acctbal in the plan, pinned
+    in tests/test_sinks_query.py). DuckDB reads no ORC, so the oracle
+    computes the aggregate straight from the source table — exactly the
+    round-trip-corruption check the csv/json query uses."""
+    cust = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    app = spark.sparkContext.applicationId
+    path = f"/tmp/spark_graft_orc_{Path(sf_dir).name}_{app}"
+    cust.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
     )

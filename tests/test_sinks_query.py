@@ -68,3 +68,20 @@ def test_rescan_prunes_partitions(spark):
     # partition-column predicate must be a PartitionFilters entry on the scan
     seg = plan.split("PartitionFilters: [", 1)
     assert len(seg) == 2 and not seg[1].startswith("]"), plan
+
+
+def test_orc_scan_pushes_down_filters(spark):
+    """The ORC reader must accept predicate pushdown like parquet — a
+    format swap that silently dropped pushdown would read every stripe
+    at scale."""
+    from mapreduce_system_spark.queries.sinks import q_scan_orc_roundtrip
+
+    # stage the ORC copy via the query itself, then re-read with a filter
+    q_scan_orc_roundtrip(spark, SF_DIR).collect()
+    app = spark.sparkContext.applicationId
+    from pathlib import Path as P
+
+    path = f"/tmp/spark_graft_orc_{P(SF_DIR).name}_{app}"
+    df = spark.read.orc(path).where(F.col("c_acctbal") > 1000.0)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:120], plan
