@@ -32,7 +32,7 @@ verify_local PASS + pytest only — rotate these into the first 50 next
 round): dedup_editdistance_pairs, stream_tumbling_distinct_users,
 pipe_decontaminate, pipe_chunk_documents, pipe_repetition_filter,
 pipe_quota_mix, txt_heavy_hitters, dedup_crossmodal_agreement,
-stream_static_enrich, scan_orc_roundtrip.
+dedup_paraphrase_candidates, stream_static_enrich, scan_orc_roundtrip.
 (dedup_exact at #51 is NOT on this list — unchanged code, driver-green
 r03.)
 """

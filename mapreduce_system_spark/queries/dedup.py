@@ -305,3 +305,50 @@ def q_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# Paraphrase candidates = the other cross-modal direction: pairs close in
+# embedding space that the shingle-based near-dup detectors CANNOT see
+# (Jaccard below threshold) — the semantic-dup set that text dedup misses
+# and an LLM pipeline routes to a paraphrase-aware dedup policy.
+_PARAPHRASE_SQL = f"""
+WITH {_JACCARD_CAPPED_CTES}, emb_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+), text_pairs AS (
+  SELECT id_a, id_b FROM pairs WHERE j >= 0.5
+)
+SELECT e.id_a, e.id_b, e.cos
+FROM emb_pairs e
+ANTI JOIN text_pairs t ON t.id_a = e.id_a AND t.id_b = e.id_b
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_paraphrase_candidates", _PARAPHRASE_SQL)
+def q_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (blocked cosine ≥ 0.4) LEFT-ANTI-joined
+    against text near-dup pairs (capped Jaccard ≥ 0.5): what's left is
+    similar in meaning but not in surface form — the paraphrase-dup
+    candidates that shingle dedup structurally misses.
+
+    Plan shape: both inputs are the already-scale-safe candidate
+    generators (blocked equi-join and capped inverted-index join); the
+    anti join runs on the tiny pair sets, not the corpus. Both sides
+    emit pairs in canonical (min, max) id order, so the anti join needs
+    no normalization."""
+    from mapreduce_system_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb_pairs = SIM.cosine_dup_pairs(emb, threshold=0.4, block_col="label")
+    text_pairs = DD.jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
+    return (
+        emb_pairs.join(text_pairs, ["id_a", "id_b"], "left_anti")
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )

@@ -126,3 +126,25 @@ def test_crossmodal_agreement_annotates_every_text_pair(spark):
     assert {(r["id_a"], r["id_b"]) for r in rows} == pairs
     assert len(rows) == len(pairs)
     assert all(-1.0 - 1e-9 <= r["emb_cosine"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_paraphrase_candidates_disjoint_from_text_pairs(spark):
+    """Paraphrase candidates are exactly the embedding pairs minus the
+    text pairs — disjointness and subset-ness pinned."""
+    from mapreduce_system_spark.queries.dedup import (
+        q_jaccard_pairs,
+        q_paraphrase_candidates,
+    )
+    from mapreduce_system_spark.operators import similarity as SIM
+    from mapreduce_system_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_dup_pairs(emb, threshold=0.4, block_col="label").collect()
+    }
+    text_pairs = {(r["id_a"], r["id_b"]) for r in q_jaccard_pairs(spark, SF_DIR).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in q_paraphrase_candidates(spark, SF_DIR).collect()}
+    assert got == emb_pairs - text_pairs
+    assert got.isdisjoint(text_pairs)
