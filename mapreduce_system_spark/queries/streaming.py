@@ -169,8 +169,14 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("l_user_id").alias("user_id"))
         .agg(
             F.count("*").alias("n_attributed"),
+            # cast via timestamp_ltz: the fixture's ts column is
+            # TIMESTAMP_NTZ or _LTZ depending on how the parquet was
+            # written (isAdjustedToUTC); NTZ→BIGINT is not castable
+            # directly, NTZ→LTZ→BIGINT is, and the difference of two
+            # epochs is timezone-invariant either way.
             F.min(
-                F.col("r_ts").cast("long") - F.col("l_ts").cast("long")
+                F.col("r_ts").cast("timestamp_ltz").cast("long")
+                - F.col("l_ts").cast("timestamp_ltz").cast("long")
             ).alias("min_lag_s"),
             F.round(F.sum("r_value"), 2).alias("attributed_value"),
         )

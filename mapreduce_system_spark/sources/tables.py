@@ -152,6 +152,17 @@ def load_table(
         # microsecond values at 2024-epoch magnitudes (> 2^53).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = df.select(*[f.name for f in SCHEMAS["events"].fields])
+    # Fixtures written with isAdjustedToUTC=false arrive as TIMESTAMP_NTZ
+    # under Spark 4's NTZ inference. Normalize to TIMESTAMP (LTZ): the
+    # session timezone is pinned to UTC so wall-clock values are unchanged,
+    # streaming watermarks require LTZ event time, and one flavor across
+    # every table keeps cross-table timestamp comparisons (as-of join)
+    # cast-free regardless of how a given fixture generation wrote them.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     if columns:
         df = df.select(*columns)
     return df

@@ -33,20 +33,32 @@ def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: i
     ``events.parquet`` in a scratch directory (see tests/test_streaming.py).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Probe the footer with a batch read (plan-time only, no job) so the
+    # stream sees ts exactly as the batch loader does: TIMESTAMP(NANOS)
+    # fixtures arrive as bigint under nanosAsLong and need the exact-long-
+    # division normalization; TIMESTAMP(MICROS) fixtures arrive as a native
+    # timestamp type and must NOT be divided (that would shift the epoch
+    # 1000x). Mirrors load_table's type-dispatch (sources/tables.py).
+    ts_probe = dict(spark.read.parquet(events_dir).dtypes).get("ts", "timestamp_ntz")
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # derived from the batch catalog so the two paths can't drift: same
-    # columns, with ts read as raw nanos long (nanosAsLong) pre-normalize
+    # columns, with ts read at its on-disk physical type pre-normalize
     raw_schema = ", ".join(
-        f"{f.name} {'long' if f.name == 'ts' else f.dataType.simpleString()}"
+        f"{f.name} {ts_probe if f.name == 'ts' else f.dataType.simpleString()}"
         for f in SCHEMAS["events"].fields
     )
     df = reader.schema(raw_schema).parquet(events_dir)
-    # same exact-long-division normalization as load_table (tables.py):
-    # float division corrupts ~1.6% of microsecond values at 2024-epoch
-    # magnitudes (> 2^53)
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_probe == "bigint":
+        # same exact-long-division normalization as load_table (tables.py):
+        # float division corrupts ~1.6% of microsecond values at 2024-epoch
+        # magnitudes (> 2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_probe == "timestamp_ntz":
+        # match load_table's LTZ normalization — watermarks require LTZ
+        # event time and the session timezone is UTC, so values are equal
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.select(*[f.name for f in SCHEMAS["events"].fields])
 
 
