@@ -136,6 +136,11 @@ def load_table(
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # The NTZ→LTZ normalization below is only value-preserving when the
+    # session timezone is UTC; pin it here (runtime-settable) so a vanilla
+    # driver session in another zone can't shift normalized epochs — the
+    # same defense the nanosAsLong conf gets for the events table.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default; the conf is runtime-settable, so set it here too — the

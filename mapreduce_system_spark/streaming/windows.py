@@ -39,7 +39,16 @@ def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: i
     # division normalization; TIMESTAMP(MICROS) fixtures arrive as a native
     # timestamp type and must NOT be divided (that would shift the epoch
     # 1000x). Mirrors load_table's type-dispatch (sources/tables.py).
-    ts_probe = dict(spark.read.parquet(events_dir).dtypes).get("ts", "timestamp_ntz")
+    # The directory may be empty at stream-definition time (files arrive
+    # later); the probe then can't infer a schema — fall back to the batch
+    # catalog's normalized type (LTZ timestamp), which is what load_table
+    # would produce for every fixture flavor anyway.
+    from pyspark.errors import AnalysisException
+
+    try:
+        ts_probe = dict(spark.read.parquet(events_dir).dtypes).get("ts", "timestamp_ntz")
+    except AnalysisException:
+        ts_probe = "timestamp"
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
