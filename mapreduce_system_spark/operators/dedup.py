@@ -95,8 +95,20 @@ def jaccard_pairs(
         exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # Length filter (similarity-join standard): jaccard(A,B) ≤ min/max of
+    # the set sizes, so pairs with min(sz)/max(sz) < threshold can never
+    # pass — pruning them inside the join predicate keeps them out of the
+    # pair-aggregation shuffle entirely. Result-preserving by construction.
+    length_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= (
+        F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+    )
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & length_ok,
+        )
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -387,17 +399,23 @@ def connected_components(
     # inside the loop; the edge set and the final converged labeling go
     # through tracked_cache so long-lived harnesses (bench, verify) can
     # caches.release() them after the query is consumed.
+    # No distinct() on the edge set: min-label propagation is idempotent
+    # under duplicate edges (min over a multiset), and every pair
+    # generator here already emits unique (id_a < id_b) pairs — the
+    # dedup shuffle would be a pure cost at any scale. Both directions
+    # come from ONE explode rather than a self-union, so the (expensive)
+    # pair-generation subtree is evaluated once, not once per branch.
     edges = tracked_cache(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
-    comp = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .cache()
-    )
+    comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(comp, edges.dst == comp.id)
@@ -412,28 +430,45 @@ def connected_components(
         # materialized partitions — per-round plan size is now constant.
         # (Local checkpoint, not reliable checkpoint: labels are cheap to
         # recompute from scratch if an executor dies mid-algorithm.)
-        new_comp = (
-            comp.join(neighbor_min, "id", "left")
+        # The old label rides along as a flag column so convergence is a
+        # filter-count over the materialized partitions — the separate
+        # old-vs-new join (one extra shuffle per round) is gone.
+        stepped = (
+            comp.select("id", F.col("comp").alias("old"))
+            .join(neighbor_min, "id", "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                F.least(F.col("old"), F.coalesce(F.col("ncomp"), F.col("old"))).alias(
                     "comp"
                 ),
+                "old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp.unpersist()
-        comp = new_comp
+        changed = stepped.where(F.col("comp") != F.col("old")).count()
         if changed == 0:
+            # Neighbor-min stability is the fixpoint (for every edge
+            # L(src) <= L(dst) and vice versa ⇒ labels constant per
+            # component ⇒ each equals its component min), so checking
+            # before the jump is sound.
             from mapreduce_system_spark.caches import track
 
-            track(comp)  # converged labeling: release()-able
-            return comp.select("id", F.col("comp").alias("survivor_id"))
-    comp.unpersist()
+            track(stepped)  # converged labeling: release()-able
+            return stepped.select("id", F.col("comp").alias("survivor_id"))
+        # Pointer jump (path doubling): a label is itself a node id, so
+        # follow it one hop — L'(id) = L(L(id)) — before the next
+        # neighbor-min pass. Labels then contract along paths geometrically
+        # and convergence takes O(log diameter) rounds instead of
+        # O(diameter); the lookup is a small label⋈label equi-join over the
+        # just-checkpointed round, nothing near the edge join's cost.
+        lk = stepped.select(F.col("id").alias("__jid"), F.col("comp").alias("__jcomp"))
+        comp = (
+            stepped.join(lk, stepped.comp == F.col("__jid"), "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("__jcomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -203,32 +203,43 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ``agg_quantiles``: ``approx_percentile`` builds a
     bounded-size mergeable sketch per partition (partial+final agg, no
     per-group value collection), so memory is O(accuracy), not O(group).
-    Accuracy 10000 → relative rank error ≤ 1/10000; the exact percentile
-    bands here exist only to anchor the driver's hash check (and are also
-    asserted in tests/test_relational.py)."""
+    Accuracy 10000 → relative rank error ≤ 1/10000.
+
+    The exactness anchor inverts the check: instead of computing exact
+    band-edge percentiles (a per-group sort buffer — the thing this query
+    exists to avoid), it computes the exact RANK of each approx value by
+    conditional counting (a streaming hash agg) and asserts the value's
+    rank interval [count(<v), count(<=v)]/n overlaps the target ±0.005
+    band. Two cheap passes (sketch, then rank counts against the
+    broadcast 3-row result) replace the O(group) sort — and the interval
+    form stays correct under duplicate values, where a single exact
+    percentile edge can sit on a tie run."""
     from mapreduce_system_spark.sources.tables import ensure_parallelism
 
     li = ensure_parallelism(
         load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     )
     pcts = F.array(F.lit(0.5), F.lit(0.9))
-    px = "l_extendedprice"
-    # all four band edges from ONE percentile aggregate (one sort buffer
-    # per group) — four separate percentile calls would each keep their
-    # own value buffer and quadruple the exact-anchor cost.
-    bands = F.array(F.lit(0.495), F.lit(0.505), F.lit(0.895), F.lit(0.905))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.approx_percentile(px, pcts, F.lit(10000)).alias("p"),
-            F.percentile(px, bands).alias("b"),
-        )
-        .select(
-            "l_returnflag",
-            "cnt",
-            F.col("p")[0].between(F.col("b")[0], F.col("b")[1]).alias("p50_ok"),
-            F.col("p")[1].between(F.col("b")[2], F.col("b")[3]).alias("p90_ok"),
-        )
-        .orderBy("l_returnflag")
+    px = F.col("l_extendedprice")
+    appx = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.approx_percentile("l_extendedprice", pcts, F.lit(10000)).alias("p"),
     )
+    ranks = (
+        li.join(F.broadcast(appx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("cnt").alias("cnt"),
+            F.sum((px < F.col("p")[0]).cast("long")).alias("lt50"),
+            F.sum((px <= F.col("p")[0]).cast("long")).alias("le50"),
+            F.sum((px < F.col("p")[1]).cast("long")).alias("lt90"),
+            F.sum((px <= F.col("p")[1]).cast("long")).alias("le90"),
+        )
+    )
+    n = F.col("cnt").cast("double")
+    return ranks.select(
+        "l_returnflag",
+        "cnt",
+        ((F.col("lt50") / n <= 0.505) & (F.col("le50") / n >= 0.495)).alias("p50_ok"),
+        ((F.col("lt90") / n <= 0.905) & (F.col("le90") / n >= 0.895)).alias("p90_ok"),
+    ).orderBy("l_returnflag")
