@@ -185,14 +185,57 @@ def resize_image(
     return df.select(id_col, blob_col).mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
+def decode_audio_wave(blob: bytes):
+    """REAL codec for the audio adapter seam: stdlib ``wave`` parses RIFF
+    WAV containers (header, sample width, channel count, frame payload) —
+    no third-party package needed, so unlike the PIL image path this real
+    decode is exercisable in this container (tests/test_multimodal.py).
+
+    ``bytes -> (n_samples, duration_s, rms, name) | None``; returns None
+    for non-WAV/truncated bytes or unsupported widths so a mixed corpus
+    falls back to the stand-in per blob instead of failing the stage.
+    Multi-channel audio is mixed down by per-frame mean; 8-bit PCM is
+    zero-centered at 128 per the WAV spec before RMS."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    try:
+        with _wave.open(io.BytesIO(blob)) as w:
+            n_frames = w.getnframes()
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            n_ch = w.getnchannels()
+            raw = w.readframes(n_frames)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None or n_frames == 0 or rate <= 0:
+            return None
+        sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if dtype is np.uint8:
+            sig = sig - 128.0
+        sig = sig.reshape(n_frames, n_ch).mean(axis=1)
+        return (n_frames, n_frames / rate, float(np.sqrt((sig**2).mean())), "wave")
+    except Exception:
+        return None
+
+
 def extract_audio_features(
-    df: DataFrame, sample_rate: int = 16000, id_col: str = "id", blob_col: str = "blob"
+    df: DataFrame,
+    sample_rate: int = 16000,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    decoder=None,
 ) -> DataFrame:
     """Audio feature extraction: sample count, duration, RMS energy.
 
-    Stand-in decoder interprets the blob as unsigned 8-bit PCM (real
-    codecs slot in behind the same signature); RMS is computed over the
-    zero-centered signal — deterministic, vectorized numpy per batch."""
+    ``decoder`` is the ADAPTER SEAM (same contract as the image path): any
+    ``bytes -> (n_samples, duration_s, rms, name) | None`` callable drops
+    in with the same plan/schema — ``decode_audio_wave`` is a REAL one.
+    Default (None) keeps the deterministic stand-in: the blob read as
+    unsigned 8-bit PCM at ``sample_rate``, RMS over the zero-centered
+    signal — vectorizable, and what the registered query's oracle
+    recomputes byte-for-byte."""
 
     ensure_package_on_executors(df.sparkSession)
 
@@ -202,12 +245,22 @@ def extract_audio_features(
         for pdf in batches:
             out = {"id": [], "n_samples": [], "duration_s": [], "rms": [], "decoder": []}
             for id_, blob in zip(pdf[id_col], pdf[blob_col]):
-                sig = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64) - 128.0
+                b = bytes(blob)
+                decoded = decoder(b) if decoder is not None else None
+                if decoded is None:
+                    sig = np.frombuffer(b, dtype=np.uint8).astype(np.float64) - 128.0
+                    decoded = (
+                        len(sig),
+                        len(sig) / sample_rate,
+                        float(np.sqrt((sig**2).mean())) if len(sig) else 0.0,
+                        "fake",
+                    )
+                n, dur, rms, dec = decoded
                 out["id"].append(id_)
-                out["n_samples"].append(len(sig))
-                out["duration_s"].append(len(sig) / sample_rate)
-                out["rms"].append(float(np.sqrt((sig**2).mean())) if len(sig) else 0.0)
-                out["decoder"].append("fake")
+                out["n_samples"].append(n)
+                out["duration_s"].append(dur)
+                out["rms"].append(rms)
+                out["decoder"].append(dec)
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)

@@ -98,3 +98,59 @@ def test_audio_features_rms(spark):
     assert r.n_samples == 3
     assert abs(r.duration_s - 3 / 16000) < 1e-12
     assert abs(r.rms - (((8**2 + 7**2 + 6**2) / 3) ** 0.5)) < 1e-9
+
+
+def _wav_bytes(samples, rate=8000, width=2, channels=1):
+    """Real RIFF WAV container built with the stdlib writer."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_audio_wave_real_codec_through_seam(spark):
+    """REAL codec through the adapter seam (not a stand-in): stdlib wave
+    decodes actual RIFF/PCM containers inside the same mapInPandas plan.
+    Known 16-bit signals verify n_samples/duration/rms exactly; a non-WAV
+    blob in the same batch falls back to the stand-in instead of failing
+    the stage; schema and plan are identical to the default path."""
+    from pyspark.sql import Row
+
+    sig_a = [1000, -1000, 1000, -1000]  # rms = 1000
+    sig_b = [0, 0, 0, 0, 0, 0, 0, 0]  # rms = 0
+    df = spark.createDataFrame(
+        [
+            Row(id=1, blob=bytearray(_wav_bytes(sig_a, rate=8000))),
+            Row(id=2, blob=bytearray(_wav_bytes(sig_b, rate=4000))),
+            Row(id=3, blob=bytearray(b"not a wav at all")),
+        ]
+    )
+    default = MM.extract_audio_features(blobs(spark))
+    out = MM.extract_audio_features(df, decoder=MM.decode_audio_wave)
+    assert default.schema == out.schema
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    got = {r.id: r for r in out.collect()}
+    assert (got[1].n_samples, got[1].decoder) == (4, "wave")
+    assert abs(got[1].duration_s - 4 / 8000) < 1e-12
+    assert abs(got[1].rms - 1000.0) < 1e-9
+    assert (got[2].n_samples, got[2].rms, got[2].decoder) == (8, 0.0, "wave")
+    assert abs(got[2].duration_s - 8 / 4000) < 1e-12
+    assert got[3].decoder == "fake"  # graceful per-blob fallback
+
+    # stereo mixdown: per-frame channel mean, frames counted once
+    stereo = _wav_bytes([700, 300, -700, -300], rate=8000, channels=2)
+    sout = MM.extract_audio_features(
+        spark.createDataFrame([Row(id=9, blob=bytearray(stereo))]),
+        decoder=MM.decode_audio_wave,
+    ).collect()[0]
+    # frames: (700,300) → 500, (-700,-300) → -500 ⇒ rms 500
+    assert (sout.n_samples, sout.decoder) == (2, "wave")
+    assert abs(sout.rms - 500.0) < 1e-9
