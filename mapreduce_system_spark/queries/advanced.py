@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from mapreduce_system_spark.functions.udafs import weighted_mean
 from mapreduce_system_spark.operators import similarity as SIM
@@ -74,24 +75,70 @@ ORDER BY l_returnflag
 
 @register("agg_quantiles", _QUANTILES_SQL)
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per group (Spark
-    ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB prefer
-    ``approx_percentile`` (t-digest, mergeable) — exact percentile sorts
-    each group."""
-    from mapreduce_system_spark.sources.tables import ensure_parallelism
+    """Exact linear-interpolation percentiles per group (≡ DuckDB
+    ``quantile_cont``) via RANK-BASED SELECTION, not ``percentile``.
 
-    li = ensure_parallelism(
-        load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    Spark's exact ``percentile`` aggregate buffers every value of a
+    group in one task's memory (OOM on a hot group at 100×). Here the
+    group is instead SORTED — ``row_number`` over (group, value) — by
+    Spark's disk-backed UnsafeExternalSorter (O(1) task memory), the
+    tiny per-group counts are broadcast-joined in, and a filter keeps
+    only the floor/ceil ranks of p·(n−1) (≤ 4 rows per group) from
+    which the standard linear interpolation is recomputed. Same
+    shuffle volume as the old aggregate, but spill-safe — the
+    difference between a slow task and a dead executor on a skewed
+    group. (A ``count(*) OVER (PARTITION BY g)`` window would avoid
+    the count scan but plans as an unbounded-frame Window that buffers
+    every partition row — measured 2× slower than this broadcast
+    join.) ``agg_approx_quantiles`` remains the recommended sketch
+    path at extreme scale (one pass, no full sort)."""
+    g = "l_returnflag"
+    px = F.col("l_extendedprice")
+    li = load_table(spark, sf_dir, "lineitem", columns=[g, "l_extendedprice"])
+    cnts = li.groupBy(g).agg(F.count("*").alias("cnt"))
+    ranked = li.select(
+        g,
+        px.alias("v"),
+        F.row_number().over(W.partitionBy(g).orderBy(px)).alias("rn"),
+    ).join(F.broadcast(cnts), g)
+
+    def rank_lo(p: float):  # 1-indexed lower rank of the interpolation pair
+        return F.floor(F.lit(p) * (F.col("cnt") - 1)).cast("long") + 1
+
+    def rank_hi(p: float):
+        return F.least(rank_lo(p) + 1, F.col("cnt"))
+
+    rn = F.col("rn")
+    targets = (
+        (rn == rank_lo(0.5)) | (rn == rank_hi(0.5)) | (rn == rank_lo(0.9)) | (rn == rank_hi(0.9))
     )
-    return (
-        li.groupBy("l_returnflag")
+
+    def pick(r):
+        return F.max(F.when(rn == r, F.col("v")))
+
+    edges = (
+        ranked.where(targets)
+        .groupBy(g)
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-            F.count("*").alias("cnt"),
+            F.first("cnt").alias("cnt"),
+            pick(rank_lo(0.5)).alias("v50lo"),
+            pick(rank_hi(0.5)).alias("v50hi"),
+            pick(rank_lo(0.9)).alias("v90lo"),
+            pick(rank_hi(0.9)).alias("v90hi"),
         )
-        .orderBy("l_returnflag")
     )
+
+    def interp(p: float, lo: str, hi: str):
+        pos = F.lit(p) * (F.col("cnt") - 1)
+        frac = pos - F.floor(pos)
+        return F.round(F.col(lo) + frac * (F.col(hi) - F.col(lo)), 4)
+
+    return edges.select(
+        g,
+        interp(0.5, "v50lo", "v50hi").alias("p50"),
+        interp(0.9, "v90lo", "v90hi").alias("p90"),
+        "cnt",
+    ).orderBy(g)
 
 
 _WMEAN_SQL = """
