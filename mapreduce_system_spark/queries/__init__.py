@@ -12,46 +12,41 @@ are NEW this round or have never received a driver CORRECTNESS row are
 imported first; everything pushed past the window has a driver-green row
 from CORRECTNESS_r03/r04.
 
-Round-5 window (9 registry-core queries precede these, positions 1-9):
+Round-6 window (9 registry-core queries precede these, positions 1-9),
+executing VERDICT.md r5 #1: rotate the stale-evidence modules in —
 
-- fresh (4 new r5 queries: asof_join_salted_events, sim_recall_at_k,
-  rel_window_range_frames, rel_sessionize_events) — positions 10-13;
-- dedup (8) → 14-21, streaming (8) → 22-29, pipeline (8) → 30-37,
-  textstats (9) → 38-46, sinks (4) → 47-50.
+- fresh6 (1 NEW r6 query: stream_stateful_user_totals, the
+  applyInPandasWithState operator driven through a real stream) → 10;
+- temporal (7, r03-era rows — oldest evidence in the catalog, two
+  fixture regenerations old) → 11-17;
+- advanced (7, r04 rows; agg_approx_quantiles' anchor was reworked r5
+  and agg_quantiles rebuilt as rank-based selection r6 — both need
+  fresh driver rows) → 18-24;
+- multimodal (5, r04 rows; re-pin under the r5/r6 decoder-seam
+  refactors) → 25-29;
+- similarity (8, r04 rows) → 30-37;
+- relational (first 13 of 18) → 38-50.
 
-This rotates in ALL 11 queries that had only local verify_local + pytest
-evidence after r4 (dedup_editdistance_pairs, dedup_crossmodal_agreement,
-dedup_paraphrase_candidates, stream_tumbling_distinct_users,
-stream_static_enrich, pipe_decontaminate, pipe_chunk_documents,
-pipe_repetition_filter, pipe_quota_mix, txt_heavy_hitters,
-scan_orc_roundtrip) and refreshes the rest of those modules' r03-era rows.
-Rotated OUT this round (driver-green r04, code untouched except where
-noted): multimodal, similarity, relational, advanced, temporal.
-
-Out-of-window r5 change worth noting: agg_approx_quantiles' exact anchor
-was rewritten from a per-group sort-buffer percentile to a rank-band
-count check (queries/advanced.py) — same TRUE/TRUE output contract, hash
-equality pinned by tools/verify_local.py and tests/test_relational.py
-(the r4 driver row verified the same band semantics). Same precedent as
-r4's dedup_cluster_survivors localCheckpoint note.
-
-ROUND-6 ROTATION CANDIDATES: temporal's rows date from r03 (oldest in
-the catalog once r5 lands); relational/advanced/multimodal/similarity
-are r04-green.
+Out of window this round, ALL driver-green r05 (fresh/dedup/streaming/
+pipeline/textstats/sinks) or r04 (relational's last 5 by registration
+order — agg_approx_distinct, agg_star_pricing, rel_full_outer_join,
+rel_pivot_priority_revenue, rel_unpivot_metrics — none changed since
+their r04 rows).
 """
 
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    fresh,         # NEW r5: salted as-of, ANN recall@k, range frames, sessionize
-    dedup,         # 5 r03-green + 3 never-driver-verified (r4 additions)
-    streaming,     # 6 r03-green + 2 never-driver-verified (r4 additions)
-    pipeline,      # 4 r03-green + 4 never-driver-verified (r4 additions)
-    textstats,     # 8 r03-green + 1 never-driver-verified (r4 addition)
-    sinks,         # 3 r04-green + scan_orc_roundtrip (never driver-verified)
-    temporal,      # driver-green r03 (oldest out-of-window evidence)
-    relational,    # driver-green r04
-    advanced,      # driver-green r04 (agg_approx_quantiles anchor reworked r5 — see above)
-    multimodal,    # driver-green r04
-    similarity,    # driver-green r04
+    fresh6,        # NEW r6: stream_stateful_user_totals (applyInPandasWithState)
+    temporal,      # r03 rows — oldest evidence, rotate first
+    advanced,      # r04 rows + r5/r6 quantile reworks needing driver re-pin
+    multimodal,    # r04 rows + decoder-seam refactor re-pin
+    similarity,    # r04 rows
+    relational,    # r04 rows (first 13 in window)
+    fresh,         # driver-green r05
+    dedup,         # driver-green r05
+    streaming,     # driver-green r05
+    pipeline,      # driver-green r05
+    textstats,     # driver-green r05
+    sinks,         # driver-green r05
 )

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR_MID
+from tests.conftest import SF_DIR, SF_DIR_MID
 
 
 def test_asof_salted_query_matches_plain(spark):
@@ -113,3 +113,16 @@ def test_stream_events_empty_dir_probe_falls_back(spark, tmp_path):
     df = stream_events(spark, str(empty))
     assert df.isStreaming
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_stateful_stream_query_matches_batch_twin(spark):
+    """The registered applyInPandasWithState query runs a REAL multi-batch
+    file stream; its final state must equal the batch GROUP BY twin
+    row-for-row (both ordered by user_id, both rounded in Spark)."""
+    from mapreduce_system_spark.queries.fresh6 import q_stateful_user_totals
+    from mapreduce_system_spark.queries.streaming import q_user_totals
+
+    got = q_stateful_user_totals(spark, SF_DIR).collect()
+    want = q_user_totals(spark, SF_DIR).collect()
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -102,3 +102,25 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     banded = {r.l_returnflag: r for r in q_approx_quantiles(spark, sf_dir).collect()}
     assert banded.keys() == exact.keys()
     assert all(r.p50_ok and r.p90_ok for r in banded.values())
+
+
+def test_rank_selection_percentiles_equal_percentile_agg(spark, sf_dir):
+    """The spill-safe rank-based selection must be bit-equal (after the
+    shared round-4) to Spark's exact percentile aggregate — same linear
+    interpolation, different physical shape."""
+    from mapreduce_system_spark.queries.advanced import q_quantiles
+    from mapreduce_system_spark.sources.tables import load_table
+
+    got = {r.l_returnflag: (r.p50, r.p90, r.cnt) for r in q_quantiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    want = {
+        r.l_returnflag: (r.p50, r.p90, r.cnt)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+        .collect()
+    }
+    assert got == want
