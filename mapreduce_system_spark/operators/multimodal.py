@@ -103,6 +103,107 @@ def _decode_image_real(blob: bytes):
         return None
 
 
+def decode_image_png(blob: bytes):
+    """REAL codec for the image adapter seam: stdlib-only PNG decode —
+    chunk walk, zlib inflate of the IDAT stream, and per-scanline filter
+    reconstruction (None/Sub/Up/Average/Paeth) — no third-party package,
+    so unlike the PIL path this real decode is exercisable in this
+    container (the image twin of ``decode_audio_wave``).
+
+    ``bytes -> (width, height, mean_value, name) | None``; returns None
+    for non-PNG/truncated bytes or unsupported shapes (only 8-bit depth,
+    color types 0/2/4/6, non-interlaced) so a mixed corpus falls back to
+    the stand-in per blob instead of failing the stage. ``mean_value``
+    is the mean ITU-R 601-2 integer luma ((299R+587G+114B)//1000 — the
+    same definition PIL's convert('L') uses), alpha ignored, so the two
+    real decoders agree where their support overlaps.
+
+    Pure-Python per-scanline loops are fine here: the adapter contract
+    is per-blob ``bytes -> features``, and at scale the cost center is
+    the codec itself, which a production deployment swaps for a native
+    one through this same seam."""
+    import zlib
+
+    try:
+        if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+            return None
+        pos, width, height = 8, None, None
+        bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(blob):
+            ln = int.from_bytes(blob[pos : pos + 4], "big")
+            typ = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + ln]
+            if len(data) != ln:
+                return None
+            if typ == b"IHDR":
+                width = int.from_bytes(data[0:4], "big")
+                height = int.from_bytes(data[4:8], "big")
+                bit_depth, color_type, _c, _f, interlace = data[8:13]
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # 4 length + 4 type + data + 4 CRC
+        if not width or not height or bit_depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            return None
+        prev = bytearray(stride)
+        total = 0
+        gray = color_type in (0, 4)
+        for y in range(height):
+            off = y * (stride + 1)
+            f = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            if f == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif f != 0:
+                return None
+            if gray:
+                total += sum(line[0::channels])
+            else:
+                for i in range(0, stride, channels):
+                    total += (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]) // 1000
+            prev = line
+        return (width, height, total / (width * height), "png")
+    except Exception:
+        return None
+
+
+def _default_image_decoder(blob: bytes):
+    """Default decode chain: PIL when importable (absent here) → the
+    stdlib PNG decoder → None (caller falls back to the deterministic
+    stand-in). Text-fixture blobs never carry the PNG signature, so the
+    registered query's fake-decoder oracle is unaffected by the chain."""
+    out = _decode_image_real(blob)
+    if out is None:
+        out = decode_image_png(blob)
+    return out
+
+
 def extract_image_features(
     df: DataFrame, id_col: str = "id", blob_col: str = "blob", decoder=None
 ) -> DataFrame:
@@ -112,13 +213,15 @@ def extract_image_features(
     mean_value, name) | None`` callable drops in with zero engine changes
     — same plan, same Arrow batching, same output schema (contract-tested
     in tests/test_multimodal.py). Default chain: PIL when importable
-    (absent in this container), else a DETERMINISTIC FAKE (fixed 16×16
-    "image" whose mean intensity is the blob's mean byte value) so the
-    Spark plumbing runs and is verifiable everywhere — the fake is what
-    the registered query's DuckDB oracle recomputes byte-for-byte."""
+    (absent in this container) → the stdlib PNG decoder
+    (``decode_image_png``, REAL and exercisable here) → a DETERMINISTIC
+    FAKE (fixed 16×16 "image" whose mean intensity is the blob's mean
+    byte value) so the Spark plumbing runs and is verifiable everywhere —
+    the fake is what the registered query's DuckDB oracle recomputes
+    byte-for-byte (the text-blob fixtures are never valid PNGs)."""
 
     ensure_package_on_executors(df.sparkSession)
-    decode = decoder if decoder is not None else _decode_image_real
+    decode = decoder if decoder is not None else _default_image_decoder
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -154,3 +154,118 @@ def test_audio_wave_real_codec_through_seam(spark):
     # frames: (700,300) → 500, (-700,-300) → -500 ⇒ rms 500
     assert (sout.n_samples, sout.decoder) == (2, "wave")
     assert abs(sout.rms - 500.0) < 1e-9
+
+
+def _encode_png(width, height, rows, color_type=2, filters=None):
+    """Minimal in-test PNG encoder: applies the FORWARD scanline filter
+    per row (the inverse of what decode_image_png reconstructs), so the
+    round-trip exercises every filter type, not just None."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        assert len(row) == stride
+        f = (filters or [0] * height)[y]
+        filt = bytearray(row)
+        if f == 1:  # Sub
+            for i in range(stride - 1, channels - 1, -1):
+                filt[i] = (filt[i] - row[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                filt[i] = (filt[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                filt[i] = (filt[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (filt[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(filt)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _luma_mean(rows, channels):
+    total, n = 0, 0
+    for row in rows:
+        for i in range(0, len(row), channels):
+            if channels >= 3:
+                total += (299 * row[i] + 587 * row[i + 1] + 114 * row[i + 2]) // 1000
+            else:
+                total += row[i]
+            n += 1
+    return total / n
+
+
+def test_png_decode_known_pixels():
+    """2x2 RGB, filter None: decoded dims and ITU-R 601-2 luma mean."""
+    rows = [bytes([255, 0, 0, 0, 255, 0]), bytes([0, 0, 255, 255, 255, 255])]
+    got = MM.decode_image_png(_encode_png(2, 2, rows))
+    assert got is not None
+    w, h, mean, name = got
+    assert (w, h, name) == (2, 2, "png")
+    assert mean == _luma_mean(rows, 3)
+
+
+def test_png_decode_all_filter_types_roundtrip():
+    """A 5-row gradient image encoded once per filter type (and once with
+    a mixed per-row schedule) must always decode to the same luma mean —
+    Sub/Up/Average/Paeth reconstruction is exact."""
+    w, h = 7, 5
+    rows = [bytes(((x * 37 + y * 91 + c * 13) % 256) for x in range(w) for c in range(3))
+            for y in range(h)]
+    want = _luma_mean(rows, 3)
+    for schedule in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        got = MM.decode_image_png(_encode_png(w, h, rows, filters=schedule))
+        assert got is not None, schedule
+        assert (got[0], got[1], got[3]) == (w, h, "png")
+        assert got[2] == want, schedule
+
+
+def test_png_decode_gray_and_alpha_and_rejects():
+    gray = [bytes([10, 200]), bytes([30, 40])]
+    g = MM.decode_image_png(_encode_png(2, 2, gray, color_type=0))
+    assert g == (2, 2, (10 + 200 + 30 + 40) / 4, "png")
+    rgba = [bytes([255, 0, 0, 7, 0, 255, 0, 9])]  # alpha ignored
+    a = MM.decode_image_png(_encode_png(2, 1, rgba, color_type=6))
+    assert a is not None and a[2] == _luma_mean([bytes([255, 0, 0, 0, 255, 0])], 3)
+    assert MM.decode_image_png(b"not a png at all") is None
+    assert MM.decode_image_png(_encode_png(2, 2, gray, color_type=0)[:20]) is None
+
+
+def test_png_real_codec_through_seam(spark):
+    """The registered mm_image_features plan with the REAL stdlib PNG
+    codec through the decoder seam: PNG blobs decode for real ('png'),
+    non-PNG blobs fall back per blob ('fake') — same schema, same plan.
+    The default chain (decoder=None) must pick the PNG up too."""
+    rows = [bytes([0, 0, 0, 255, 255, 255]), bytes([128, 128, 128, 64, 64, 64])]
+    png = _encode_png(2, 2, rows)
+    df = spark.createDataFrame(
+        [Row(id=1, blob=bytearray(png)), Row(id=2, blob=bytearray(b"plain text bytes"))],
+        "id long, blob binary",
+    )
+    for dec in (MM.decode_image_png, None):
+        got = {r.id: r for r in MM.extract_image_features(df, decoder=dec).collect()}
+        assert (got[1].width, got[1].height, got[1].decoder) == (2, 2, "png")
+        assert got[1].mean_value == _luma_mean(rows, 3)
+        assert (got[2].width, got[2].height, got[2].decoder) == (16, 16, "fake")
