@@ -34,6 +34,44 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+_TRACKED_RDDS: list[tuple[object, frozenset[int]]] = []
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of the RDDs currently persisted in the context — including
+    ``localCheckpoint`` blocks, which ``DataFrame.unpersist()`` can NOT
+    release (the checkpoint's storage belongs to an internal RDD the
+    DataFrame API never exposes). Iterative operators snapshot this
+    before/after a checkpoint to learn the ids they created; the diff is
+    only meaningful while one operator checkpoints at a time (true for
+    every harness here — bench/verify/driver run queries serially)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def unpersist_rdd_ids(spark, ids) -> int:
+    """Release the storage of the given persisted-RDD ids (non-blocking).
+    A locally-checkpointed RDD is unusable afterwards — callers must only
+    release rounds whose successors are already materialized."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    n = 0
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+            n += 1
+    return n
+
+
+def track_rdd_ids(spark, ids) -> None:
+    """Register checkpoint-block RDD ids for the next ``release()`` —
+    the checkpoint analog of ``track`` for cached DataFrames."""
+    _TRACKED_RDDS.append((spark, frozenset(ids)))
+
+
 def release() -> int:
     """Unpersist every tracked cached relation; returns how many."""
     n = 0
@@ -41,6 +79,12 @@ def release() -> int:
         try:
             _TRACKED.pop().unpersist()
             n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    while _TRACKED_RDDS:
+        spark, ids = _TRACKED_RDDS.pop()
+        try:
+            n += unpersist_rdd_ids(spark, ids)
         except Exception:  # session already stopped — nothing to release
             pass
     return n

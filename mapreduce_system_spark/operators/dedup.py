@@ -415,7 +415,15 @@ def connected_components(
             ).alias("e")
         ).select("e.src", "e.dst")
     )
+    from mapreduce_system_spark.caches import (
+        persistent_rdd_ids,
+        track_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    spark = pairs.sparkSession
     comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    prev_ids: set[int] = set()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(comp, edges.dst == comp.id)
@@ -433,6 +441,7 @@ def connected_components(
         # The old label rides along as a flag column so convergence is a
         # filter-count over the materialized partitions — the separate
         # old-vs-new join (one extra shuffle per round) is gone.
+        before_ids = persistent_rdd_ids(spark)
         stepped = (
             comp.select("id", F.col("comp").alias("old"))
             .join(neighbor_min, "id", "left")
@@ -445,15 +454,23 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # The eager checkpoint above just materialized this round from the
+        # previous one — the previous round's blocks are now dead weight.
+        # DataFrame.unpersist can't reach checkpoint storage, so release
+        # by RDD id; without this, long convergences accumulate one
+        # materialized labeling per round until the JVM GC/ContextCleaner
+        # happens to reclaim them.
+        step_ids = persistent_rdd_ids(spark) - before_ids
+        if prev_ids:
+            unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = step_ids
         changed = stepped.where(F.col("comp") != F.col("old")).count()
         if changed == 0:
             # Neighbor-min stability is the fixpoint (for every edge
             # L(src) <= L(dst) and vice versa ⇒ labels constant per
             # component ⇒ each equals its component min), so checking
             # before the jump is sound.
-            from mapreduce_system_spark.caches import track
-
-            track(stepped)  # converged labeling: release()-able
+            track_rdd_ids(spark, step_ids)  # converged labeling: release()-able
             return stepped.select("id", F.col("comp").alias("survivor_id"))
         # Pointer jump (path doubling): a label is itself a node id, so
         # follow it one hop — L'(id) = L(L(id)) — before the next
@@ -471,4 +488,5 @@ def connected_components(
                 ),
             )
         )
+    unpersist_rdd_ids(spark, prev_ids)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

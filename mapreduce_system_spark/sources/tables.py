@@ -136,16 +136,22 @@ def load_table(
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # The NTZ→LTZ normalization below is only value-preserving when the
-    # session timezone is UTC; pin it here (runtime-settable) so a vanilla
-    # driver session in another zone can't shift normalized epochs — the
-    # same defense the nanosAsLong conf gets for the events table.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # DELIBERATE session-wide mutation, part of the catalog contract: the
+    # NTZ→LTZ normalization below is only value-preserving when the
+    # session timezone is UTC, and the driver calls queries() with its own
+    # vanilla SparkSession that our bootstrap (session.py) never touched —
+    # so the first load_table pins UTC (and is a no-op on every later call
+    # via the guard). Any user code sharing a non-UTC session with this
+    # catalog sees its timestamp parsing/formatting go UTC too; that is
+    # the documented price of cross-engine-exact timestamps (README).
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default; the conf is runtime-settable, so set it here too — the
         # driver calls queries() with its own vanilla SparkSession.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
     # LongType nanoseconds — floor to microseconds (identical to DuckDB's

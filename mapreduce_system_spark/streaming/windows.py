@@ -42,7 +42,14 @@ def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: i
     # The directory may be empty at stream-definition time (files arrive
     # later); the probe then can't infer a schema — fall back to the batch
     # catalog's normalized type (LTZ timestamp), which is what load_table
-    # would produce for every fixture flavor anyway.
+    # would produce for every fixture flavor anyway. LIMITATION (advisor
+    # r5): that fallback pins micros/LTZ, so TIMESTAMP(NANOS)-flavor
+    # fixtures (int64 physical under nanosAsLong) must NOT be
+    # late-arriving into an initially-EMPTY dir — they'd mismatch the
+    # declared schema at runtime instead of failing fast here. Every
+    # harness in this repo stages at least one file before defining the
+    # stream (tests symlink the fixture first); keep doing that, or
+    # re-create the stream once a first file exists.
     from pyspark.errors import AnalysisException
 
     try:
