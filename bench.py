@@ -102,6 +102,20 @@ def main() -> int:
         "failures": failures,
         "sf": sf,
     }
+    # Persist the full record: the driver keeps only a bounded tail of
+    # stdout, which truncates the per-query map once the catalog is large
+    # (the first ~28 queries' numbers were lost from BENCH_r05.json that
+    # way). Full catalog runs land in bench_runs/latest.json — copy to a
+    # per-round file and commit for a durable history. Partial runs
+    # (explicit query args) go to latest_partial.json so they can never
+    # masquerade as a catalog run.
+    out = Path(__file__).resolve().parent / "bench_runs"
+    try:
+        out.mkdir(exist_ok=True)
+        name = "latest_partial.json" if only else "latest.json"
+        (out / name).write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
+    except OSError as e:  # read-only checkout etc. — never fail the bench
+        print(f"# bench_runs persist skipped: {e}", file=sys.stderr)
     print(json.dumps(result))
     return 0
 

