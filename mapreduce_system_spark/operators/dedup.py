@@ -378,6 +378,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (id, survivor_id), where
     survivor_id is the minimum id reachable through the pair graph.
@@ -424,7 +425,9 @@ def connected_components(
     spark = pairs.sparkSession
     comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     prev_ids: set[int] = set()
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
+        if stats is not None:
+            stats["rounds"] = round_no  # observability only (bench notes)
         neighbor_min = (
             edges.join(comp, edges.dst == comp.id)
             .select(F.col("src").alias("id"), F.col("comp"))
