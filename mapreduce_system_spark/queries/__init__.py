@@ -15,23 +15,25 @@ from CORRECTNESS_r03/r04.
 Round-6 window (9 registry-core queries precede these, positions 1-9),
 executing VERDICT.md r5 #1: rotate the stale-evidence modules in —
 
-- fresh6 (1 NEW r6 query: stream_stateful_user_totals, the
-  applyInPandasWithState operator driven through a real stream) → 10;
+- fresh6 (2 NEW r6 queries: stream_stateful_user_totals and
+  stream_stateful_sessions — the applyInPandasWithState operator driven
+  through real streams, accumulation AND timeout-eviction halves) →
+  10-11;
 - temporal (7, r03-era rows — oldest evidence in the catalog, two
-  fixture regenerations old) → 11-17;
+  fixture regenerations old) → 12-18;
 - advanced (7, r04 rows; agg_approx_quantiles' anchor was reworked r5
   and agg_quantiles rebuilt as rank-based selection r6 — both need
-  fresh driver rows) → 18-24;
+  fresh driver rows) → 19-25;
 - multimodal (5, r04 rows; re-pin under the r5/r6 decoder-seam
-  refactors) → 25-29;
-- similarity (8, r04 rows) → 30-37;
-- relational (first 13 of 18) → 38-50.
+  refactors) → 26-30;
+- similarity (8, r04 rows) → 31-38;
+- relational (first 12 of 18) → 39-50.
 
 Out of window this round, ALL driver-green r05 (fresh/dedup/streaming/
-pipeline/textstats/sinks) or r04 (relational's last 5 by registration
-order — agg_approx_distinct, agg_star_pricing, rel_full_outer_join,
-rel_pivot_priority_revenue, rel_unpivot_metrics — none changed since
-their r04 rows).
+pipeline/textstats/sinks) or r04 (relational's last 6 by registration
+order — agg_distinct_stats, agg_approx_distinct, agg_star_pricing,
+rel_full_outer_join, rel_pivot_priority_revenue, rel_unpivot_metrics —
+none changed since their r04 rows).
 """
 
 from __future__ import annotations

@@ -1,18 +1,21 @@
-"""Round-6 addition: the stateful streaming operator, driver-checked.
+"""Round-6 additions: the stateful streaming operator, driver-checked —
+both halves of the applyInPandasWithState surface.
 
-``streaming.stateful.user_running_totals`` (applyInPandasWithState —
-the engine-side analog of the reference's reduce contract for streams,
-worker.go:161-165) was the one streaming capability with pytest-only
-evidence. This registers it with a REAL stream in the callable: the
-events fixture is staged into three parquet files, streamed back with
-``maxFilesPerTrigger=1`` (three micro-batches, so per-key state provably
-carries across batch boundaries), and the final state per user is the
-query result. The oracle is the plain batch GROUP BY — if state were
-lost or double-counted between micro-batches, the totals could not
-match it.
+- ``stream_stateful_user_totals``: ``user_running_totals`` (the
+  engine-side analog of the reference's reduce contract for streams,
+  worker.go:161-165) had pytest-only evidence. The query stages the
+  events fixture into three parquet files, streams them back with
+  ``maxFilesPerTrigger=1`` (three micro-batches, so per-key state
+  provably carries across batch boundaries), and returns the final
+  per-user state. Oracle: the plain batch GROUP BY — lost or
+  double-counted state cannot match it.
+- ``stream_stateful_sessions``: custom sessionization with
+  ``GroupStateTimeout.EventTimeTimeout`` eviction — the timer half of
+  the stateful API (state is EVICTED as the watermark passes; closed
+  sessions append exactly once). Oracle: batch gaps-and-islands.
 
-Registered FIRST among the domain modules so the query lands inside the
-driver's 50-query correctness window on its debut (see
+Registered FIRST among the domain modules so both land inside the
+driver's 50-query correctness window on their debut (see
 queries/__init__.py).
 """
 
@@ -20,6 +23,7 @@ from __future__ import annotations
 
 import shutil
 import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +31,24 @@ from pyspark.sql import functions as F
 
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Pin a small shuffle-partition count around a stream START: the
+    state store creates one instance per shuffle partition per batch, so
+    a fixture-scale stream under the session's batch-oriented setting
+    (32/200) pays 4-25× the state overhead for no parallelism gain. The
+    count binds to the query's fresh checkpoint at start and the session
+    value is restored immediately after — at production volume you would
+    size this UP, not down; the point is that it is the STREAM's knob,
+    not the session's."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # Same oracle as stream_user_totals_batch (queries/streaming.py): the
 # stream's final state must equal the batch aggregate.
@@ -55,7 +77,9 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Path(f"/tmp/spark_graft_stateful_{Path(sf_dir).name}_{app}_{uuid.uuid4().hex[:8]}")
     src, ck = str(base / "src"), str(base / "ck")
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "value"])
-    ev.repartition(3).write.mode("overwrite").parquet(src)
+    # two files = two micro-batches: the minimum that proves cross-batch
+    # state carry-over (each extra batch costs one Python call per user)
+    ev.repartition(2).write.mode("overwrite").parquet(src)
 
     final: dict[int, tuple[int, float]] = {}
     batches: list[int] = []
@@ -72,14 +96,15 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        ST.user_running_totals(stream)
-        .writeStream.foreachBatch(take_latest)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        q = (
+            ST.user_running_totals(stream)
+            .writeStream.foreachBatch(take_latest)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.awaitTermination()
     finally:
@@ -101,3 +126,146 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     ).orderBy("user_id")
+
+
+_GAP_S = 1800  # 30-minute inactivity gap, matching rel_sessionize_events
+
+# Batch gaps-and-islands twin: the stream's once-per-session appends must
+# reproduce this exactly (session keyed on integer epoch seconds, so the
+# hash has no float surface at all).
+_STATEFUL_SESSIONS_SQL = f"""
+WITH t AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), o AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > {_GAP_S}
+              THEN 1 ELSE 0 END AS ns
+  FROM t
+), s AS (
+  SELECT user_id, es,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY es
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(es) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(es) - min(es) AS dur_s
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_stateful_sessions", _STATEFUL_SESSIONS_SQL)
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful SESSIONIZATION with event-time TIMEOUT EVICTION
+    (``streaming.stateful.user_sessions_stateful``) driven through a real
+    stream — the applyInPandasWithState capability the running-totals
+    query deliberately does not exercise: timers. Sessions are appended
+    exactly once, either when a later event breaks the 30-minute gap or
+    when ``GroupStateTimeout.EventTimeTimeout`` fires as the watermark
+    passes last_event + gap — so idle keys are EVICTED, the bound that
+    makes the state store viable on an unbounded feed.
+
+    Replay discipline: events are staged into two time-CONTIGUOUS
+    parquet chunks (sorted split, file mtimes forcing arrival order) so
+    event time never regresses across micro-batches — the condition under
+    which watermark-0 streaming sessionization is exactly the batch
+    gaps-and-islands oracle. A trailing sentinel file (user_id −1, beyond
+    max_ts + gap) plus the engine's trailing no-data micro-batch push the
+    watermark past every real session's timer before the stream
+    terminates; the oracle match proves the flush is complete."""
+    import os
+
+    from mapreduce_system_spark.streaming import stateful as ST
+
+    app = spark.sparkContext.applicationId
+    base = Path(f"/tmp/spark_graft_sessions_{Path(sf_dir).name}_{app}_{uuid.uuid4().hex[:8]}")
+    src, ck = base / "src", str(base / "ck")
+    src.mkdir(parents=True)
+
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"]).withColumn(
+        "es", F.unix_timestamp("ts")
+    )
+    max_es = ev.agg(F.max("es")).collect()[0][0]
+    # staging-only time split: ONE repartitionByRange job yields two
+    # time-contiguous part files (partition 0 = lower range = part-00000),
+    # which is all parity needs — ANY contiguous split works, the
+    # boundary itself is irrelevant to the session set. Two data chunks =
+    # the minimum proving sessions span batch boundaries; every extra
+    # batch costs one Python call per live user.
+    tmp = str(base / "tmp_ranges")
+    ev.select("user_id", "ts", "es").repartitionByRange(2, "es", "user_id").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    parts = sorted(p for p in Path(tmp).iterdir() if p.name.endswith(".parquet"))
+    for i, part in enumerate(parts, start=1):
+        dst = src / f"chunk-{i}.parquet"
+        part.rename(dst)
+        t = 1_700_000_000 + i * 10  # strictly increasing mtimes = arrival order
+        os.utime(dst, (t, t))
+    # one sentinel beyond every real timer: its DATA batch fires timers
+    # up to the pre-sentinel watermark, and the trailing no-data
+    # micro-batch (spark.sql.streaming.noDataMicroBatches, default on)
+    # fires the rest once the watermark reaches the sentinel — the
+    # oracle match below proves the full flush happened
+    es = int(max_es) + _GAP_S + 61
+    sentinel = src / "chunk-9-sentinel.parquet"
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(es)).alias("ts"),
+        F.lit(es).cast("long").alias("es"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "tmp_sentinel"))
+    next(
+        p for p in (base / "tmp_sentinel").iterdir() if p.name.endswith(".parquet")
+    ).rename(sentinel)
+    t = 1_700_000_000 + 99 * 10
+    os.utime(sentinel, (t, t))
+
+    sink = str(base / "out")
+
+    def persist_appends(batch_df, batch_id: int) -> None:
+        # append mode: each closed session arrives exactly once; write it
+        # to a parquet sink instead of collecting — at sf0.1 the stream
+        # closes ~95k sessions and a driver-side collect of those WAS the
+        # dominant cost of the first formulation of this query
+        batch_df.write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, es long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    with _stream_shuffle(spark):
+        q = (
+            ST.user_sessions_stateful(stream, gap_s=_GAP_S)
+            .writeStream.foreachBatch(persist_appends)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .orderBy("user_id", "session_start")
+        )
+        # materialize before the scratch dir (including the sink) is
+        # removed — localCheckpoint pins the result partitions
+        from mapreduce_system_spark.caches import persistent_rdd_ids, track_rdd_ids
+
+        before = persistent_rdd_ids(spark)
+        out = out.localCheckpoint(eager=True)
+        track_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+        shutil.rmtree(base, ignore_errors=True)
+
+    return out

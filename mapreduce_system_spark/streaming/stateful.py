@@ -55,3 +55,88 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start long, n_events long, dur_s long"
+SESSION_STATE_SCHEMA = "start_es long, last_es long, n long"
+
+
+def _make_session_updater(gap_s: int):
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # watermark passed last_es + gap with no new events: the open
+            # session can never be extended — emit and evict. THIS is the
+            # state bound: idle keys leave the store instead of living
+            # forever (the running-totals demo's deliberate contrast).
+            s, l, n = state.get
+            closed.append((user_id, s, n, l - s))
+            state.remove()
+        else:
+            es_list: list[int] = []
+            for pdf in pdfs:
+                es_list.extend(int(x) for x in pdf["es"])
+            es_list.sort()
+            s, l, n = state.get if state.exists else (None, None, 0)
+            for es in es_list:
+                if s is None:
+                    s, l, n = es, es, 1
+                elif es - l > gap_s:
+                    closed.append((user_id, s, n, l - s))
+                    s, l, n = es, es, 1
+                else:
+                    # exactly-gap-sized intervals merge (matches the
+                    # session_window contract); out-of-order within the
+                    # allowed disorder never moves l backwards
+                    l, n = max(l, es), n + 1
+            state.update((s, l, n))
+            # fire strictly after watermark passes last_es + gap: an event
+            # at exactly last_es + gap still merges, so the timer sits at
+            # +500 ms — past every merge-eligible instant, before the next
+            # whole second a new-session event could occupy
+            state.setTimeoutTimestamp((l + gap_s) * 1000 + 500)
+        if closed:  # most calls close nothing — skip the empty Arrow batch
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in closed],
+                    "session_start": [r[1] for r in closed],
+                    "n_events": [r[2] for r in closed],
+                    "dur_s": [r[3] for r in closed],
+                }
+            )
+
+    return update
+
+
+def user_sessions_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """CUSTOM stateful sessionization with event-time timeout eviction —
+    the capability ``session_window`` cannot express when the per-session
+    output needs arbitrary user logic (here: start/count/duration at
+    close time, emitted exactly once).
+
+    ``events`` must be a STREAMING DataFrame carrying a watermarked ``ts``
+    (event time, drives the timers) and an ``es`` epoch-seconds column
+    (what the session arithmetic uses — integer, hash-exact). Per user,
+    state is one open session (start, last, count); batches extend or
+    close it, and ``GroupStateTimeout.EventTimeTimeout`` closes + EVICTS
+    idle sessions once the watermark passes last_es + gap — so the state
+    store holds only OPEN sessions, the bound that makes this viable on
+    an unbounded 100 TB/day feed. Closed sessions are appended exactly
+    once.
+
+    Exact batch parity (the registered query's oracle) additionally
+    requires the arrival order to respect event time across batches —
+    true for any watermark-disciplined source; the query's staging sorts
+    its replay files to guarantee it.
+    """
+    from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_session_updater(gap_s),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -310,3 +310,58 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
     # each source row exactly once — no loss on restart, no duplication
     # of the pre-restart batch
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_stateful_sessions_close_on_gap_and_timeout(spark, tmp_path):
+    """Custom stateful sessionization (EventTimeTimeout): a session is
+    appended exactly once — either a later event breaks the gap, or the
+    watermark passes last_event + gap and the timer EVICTS the idle key.
+    gap = 600 s here; u7's session spans two micro-batches before closing
+    by timeout, u8's single-event session closes by timeout too."""
+    src = str(tmp_path / f"sess-{uuid.uuid4().hex}")
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, es long"
+        ).write.mode("append").parquet(src)
+
+    def ev(u, iso):
+        ts = t(iso)
+        return (u, ts, int(ts.replace(tzinfo=dt.timezone.utc).timestamp()))
+
+    write([ev(7, "2024-01-01T09:00:00"), ev(7, "2024-01-01T09:05:00"), ev(8, "2024-01-01T09:00:00")])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, es long")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        ST.user_sessions_stateful(stream, gap_s=600)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark -> 09:05; nothing closes
+        assert spark.table("t_sessions").count() == 0
+        # u7 extends its open session across the batch boundary (07:12,
+        # gap 7 min <= 10); u9 pushes the watermark to 10:00
+        write([ev(7, "2024-01-01T09:12:00"), ev(9, "2024-01-01T10:00:00")])
+        q.processAllAvailable()
+        # batch ran with watermark 09:05 — u7/u8 timers (09:22 / 09:10)
+        # must NOT have fired yet from that batch's perspective; a
+        # further batch with watermark 10:00 fires both
+        write([ev(9, "2024-01-01T11:00:00")])
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.session_start, r.n_events, r.dur_s)
+            for r in spark.table("t_sessions").collect()
+        }
+        s7 = int(t("2024-01-01T09:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+        assert got[7] == (s7, 3, 720)  # crossed the batch boundary intact
+        assert got[8] == (s7, 1, 0)    # idle key evicted by the timer
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
