@@ -297,7 +297,10 @@ def lsh_bucket_topk(
     qu = with_unit_vector(queries, query_vec_col, "__qu")
     if corpus_sig is None or query_sig is None:
         if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
+            # plan-time one-row action (docstring warns): fetch only the
+            # array SIZE, not a vector, and only when the caller supplied
+            # neither dim nor precomputed signatures
+            dim = corpus.select(F.size(vec_col)).limit(1).collect()[0][0]
         if corpus_sig is None:
             corpus_sig = lsh_signatures(
                 corpus, dim, n_planes, seed, n_tables, id_col, vec_col

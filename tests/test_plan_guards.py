@@ -100,3 +100,42 @@ def test_decontaminate_is_broadcast_semi_join_on_gram(spark):
     plan = formatted_plan(df)
     _assert_equi_join_only(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_rank_selection_quantiles_plan_shape(spark):
+    """agg_quantiles' r6 rank-based selection must keep its two scale
+    properties: the per-group counts join the ranked stream as a
+    BROADCAST (never a shuffled join against the big side), and the plan
+    contains no `percentile` aggregate (the per-group value buffer the
+    rework removed)."""
+    from mapreduce_system_spark.plans.checks import formatted_plan, has_broadcast_join
+    from mapreduce_system_spark.queries.advanced import q_quantiles
+
+    df = q_quantiles(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "percentile(" not in plan, plan
+
+
+def test_stateful_session_stream_uses_append_with_event_time_timeout(spark, tmp_path):
+    """The stateful sessionization stream must plan as
+    FlatMapGroupsInPandasWithState with EventTimeTimeout (eviction) —
+    losing the timeout silently turns the state store into an unbounded
+    accumulator."""
+    import uuid as _uuid
+
+    from mapreduce_system_spark.streaming import stateful as ST
+
+    src = tmp_path / f"guard-{_uuid.uuid4().hex}"
+    spark.createDataFrame(
+        [], "user_id long, ts timestamp, es long"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, es long")
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = ST.user_sessions_stateful(stream, gap_s=600)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "flatMapGroupsWithState" in plan or "FlatMapGroupsInPandasWithState" in plan, plan
+    assert "EventTimeTimeout" in plan, plan
