@@ -87,9 +87,11 @@ def _make_session_updater(gap_s: int):
                     s, l, n = es, es, 1
                 else:
                     # exactly-gap-sized intervals merge (matches the
-                    # session_window contract); out-of-order within the
-                    # allowed disorder never moves l backwards
-                    l, n = max(l, es), n + 1
+                    # session_window contract). Under in-order replay the
+                    # min/max are no-ops; under bounded disorder (an
+                    # earlier same-session event arriving late) they keep
+                    # the span correct instead of silently shrinking it.
+                    s, l, n = min(s, es), max(l, es), n + 1
             state.update((s, l, n))
             # fire strictly after watermark passes last_es + gap: an event
             # at exactly last_es + gap still merges, so the timer sits at

@@ -322,9 +322,12 @@ def test_stateful_sessions_close_on_gap_and_timeout(spark, tmp_path):
     t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
 
     def write(rows):
+        # one file per write: each call must be ONE micro-batch under
+        # maxFilesPerTrigger=1 (a multi-file write would split a logical
+        # batch into arbitrarily-ordered micro-batches)
         spark.createDataFrame(
             rows, "user_id long, ts timestamp, es long"
-        ).write.mode("append").parquet(src)
+        ).coalesce(1).write.mode("append").parquet(src)
 
     def ev(u, iso):
         ts = t(iso)
@@ -365,3 +368,66 @@ def test_stateful_sessions_close_on_gap_and_timeout(spark, tmp_path):
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_sessions_survive_restart(spark, tmp_path):
+    """Stateful session state (including its event-time timer) must
+    survive a stop/restart from the checkpoint: an open session begun in
+    run 1 is extended and then timer-closed in run 2, emitting EXACTLY
+    one session with the full cross-restart span — no loss (state
+    dropped) and no duplicate (batch replayed)."""
+    src = str(tmp_path / "sess-ck-src")
+    ck = str(tmp_path / "sess-ck-state")
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+    def write(rows):
+        # one file per write: each call must be ONE micro-batch under
+        # maxFilesPerTrigger=1 (a multi-file write would split a logical
+        # batch into arbitrarily-ordered micro-batches)
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, es long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def ev(u, iso):
+        ts = t(iso)
+        return (u, ts, int(ts.replace(tzinfo=dt.timezone.utc).timestamp()))
+
+    emitted = []
+
+    def start():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, es long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        return (
+            ST.user_sessions_stateful(stream, gap_s=600)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(
+                    (r.user_id, r.session_start, r.n_events, r.dur_s)
+                    for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    write([ev(1, "2024-01-01T09:00:00"), ev(1, "2024-01-01T09:05:00")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert emitted == []  # session still open at shutdown
+    # restart: extend the SAME session, then push the watermark past its timer
+    write([ev(1, "2024-01-01T09:08:00")])
+    write([ev(9, "2024-01-01T11:00:00")])
+    write([ev(9, "2024-01-01T12:00:00")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    s1 = int(t("2024-01-01T09:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    got = [r for r in emitted if r[0] == 1]
+    assert got == [(1, s1, 3, 480)]  # one session, full span, exactly once
