@@ -115,3 +115,31 @@ def test_ensure_parallelism_matches_actual_scan_packing(spark, tmp_path):
             assert got == target, (n_files, actual, got)
         else:
             assert got == actual, (n_files, actual, got)
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """The payoff of write_parquet(partition_by=...): joining the
+    partitioned fact to a filtered dim on the partition column must plan
+    a dynamicpruningexpression in the scan's PartitionFilters — at 100 TB
+    that is the difference between scanning one partition and all of
+    them, and it is free ONLY if the plan stays declarative."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_system_spark.plans import checks
+
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    sinks.write_parquet(ev, fact_path, partition_by=["event_type"])
+    spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("purchase", 3.0)], "event_type string, w double"
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("w") >= 2.5)
+    j = fact.join(dim, "event_type").groupBy("event_type").agg(F.count("*").alias("n"))
+    plan = checks.formatted_plan(j)
+    assert "dynamicpruningexpression" in plan, plan
+    got = j.collect()
+    assert [r.event_type for r in got] == ["purchase"]
+    want = ev.where(F.col("event_type") == "purchase").count()
+    assert got[0].n == want
