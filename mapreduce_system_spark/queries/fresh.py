@@ -167,7 +167,13 @@ def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     float pipelines disagree by one ulp there (the advisor's round-5
     fragility note); the 1e-9 slack dwarfs cross-engine ulp noise while
     still failing any genuinely-missed neighbor."""
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    from mapreduce_system_spark.caches import tracked_cache
+
+    # the corpus is scanned by the probe export, the exact top-k, and the
+    # IVF top-k — cache the 3-column projection once for the query
+    emb = tracked_cache(
+        load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    )
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
