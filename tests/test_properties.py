@@ -85,3 +85,32 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(
         for r in df.select(TXT.winnow_fingerprints("text").alias("f")).collect()
     ]
     assert fps[0] & fps[1], (prefix, shared, suffix)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=6),
+    color_type=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_decode_roundtrip_any_image_any_filters(w, h, color_type, data):
+    """decode_image_png must reconstruct ANY 8-bit image exactly under
+    ANY per-row filter schedule: (width, height) match and the luma mean
+    equals the reference computation on the raw pixels (no Spark session
+    needed — the codec is a pure function, which is the point of the
+    adapter seam)."""
+    from mapreduce_system_spark.operators.multimodal import decode_image_png
+    from tests.test_multimodal import _encode_png, _luma_mean
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    rows = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * channels, max_size=w * channels)))
+        for _ in range(h)
+    ]
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    got = decode_image_png(_encode_png(w, h, rows, color_type=color_type, filters=filters))
+    assert got is not None
+    gw, gh, mean, name = got
+    assert (gw, gh, name) == (w, h, "png")
+    assert mean == _luma_mean(rows, channels)
