@@ -144,13 +144,17 @@ def load_table(
     # via the guard). Any user code sharing a non-UTC session with this
     # catalog sees its timestamp parsing/formatting go UTC too; that is
     # the documented price of cross-engine-exact timestamps (README).
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NOTE: conf.get(key) with NO default — passing a sentinel default
+    # (e.g. "") is VALIDATED against the conf's type on unset sessions
+    # and throws INVALID_CONF_VALUE on a vanilla driver session; both
+    # keys have built-in defaults, so the no-default read is total.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default; the conf is runtime-settable, so set it here too — the
         # driver calls queries() with its own vanilla SparkSession.
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as

@@ -143,3 +143,19 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     assert [r.event_type for r in got] == ["purchase"]
     want = ev.where(F.col("event_type") == "purchase").count()
     assert got[0].n == want
+
+
+def test_load_table_works_on_vanilla_session_confs(spark, sf_dir):
+    """The driver imports __spark_entry__ with a VANILLA SparkSession —
+    no timezone or nanosAsLong confs pre-set. newSession() reproduces
+    that shape (fresh SQLConf over the shared context): load_table must
+    self-pin its confs without touching a conf.get default (a sentinel
+    default is type-VALIDATED on unset sessions and throws
+    INVALID_CONF_VALUE — the round-6 regression this test pins)."""
+    ns = spark.newSession()
+    df = load_table(ns, sf_dir, "events", columns=["event_id", "ts"])
+    assert df.count() > 0
+    assert ns.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert ns.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    docs = load_table(ns, sf_dir, "documents", columns=["doc_id"])
+    assert docs.count() > 0
