@@ -18,6 +18,9 @@ correctness record too:
 - ``scan_orc_roundtrip``: customer staged through the ORC sink and
   re-aggregated (pushdown on the ORC scan pinned in
   tests/test_sinks_query.py).
+- ``sink_dpp_join_pruned``: the partitioned-sink payoff under a
+  dim-side filter — the fact's partitions prune only via Catalyst's
+  runtime dynamicpruningexpression (pinned in tests/test_sinks_query.py).
 
 Each oracle computes the same aggregate straight from the source parquet,
 so a round trip that corrupts any value hash-mismatches.
@@ -232,4 +235,49 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+# Dynamic partition pruning: the filter lives on the DIM side (w >= 6),
+# so only runtime subquery results can prune the fact's partitions —
+# static pruning cannot. The oracle recomputes the same join from the
+# source tables.
+_DPP_SQL = """
+WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS w FROM events)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE d.w >= 6
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("sink_dpp_join_pruned", _DPP_SQL)
+def q_sink_dpp_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning through the partitioned sink: events are
+    staged hive-partitioned by event_type, the dimension (distinct types
+    + a derived weight) is staged as parquet, and the join carries its
+    filter on the DIM side only — so the fact scan can prune partitions
+    only via Catalyst's runtime dynamicpruningexpression (asserted in
+    tests/test_sinks_query.py). At 100 TB this is the difference between
+    scanning the partitions the dim selects and scanning all of them,
+    and it is free exactly because the plan stays declarative."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    app = spark.sparkContext.applicationId
+    base = f"/tmp/spark_graft_dpp_{Path(sf_dir).name}_{app}"
+    write_parquet(ev, f"{base}/fact", partition_by=["event_type"])
+    dim = ev.select("event_type").distinct().withColumn("w", F.length("event_type"))
+    write_parquet(dim, f"{base}/dim")
+    fact = spark.read.parquet(f"{base}/fact")
+    fdim = spark.read.parquet(f"{base}/dim").where(F.col("w") >= 6)
+    return (
+        fact.join(fdim.select("event_type"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
     )

@@ -85,3 +85,14 @@ def test_orc_scan_pushes_down_filters(spark):
     df = spark.read.orc(path).where(F.col("c_acctbal") > 1000.0)
     plan = formatted_plan(df)
     assert "PushedFilters: [" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:120], plan
+
+
+def test_dpp_query_plans_dynamic_pruning(spark):
+    """The registered DPP query must actually plan the runtime pruning
+    subquery on the fact scan — without it the query still returns the
+    right rows while scanning every partition."""
+    from mapreduce_system_spark.plans.checks import formatted_plan
+    from mapreduce_system_spark.queries.sinks import q_sink_dpp_join_pruned
+
+    df = q_sink_dpp_join_pruned(spark, SF_DIR)
+    assert "dynamicpruningexpression" in formatted_plan(df)
