@@ -8,47 +8,51 @@ MapReduce-core workloads (the reference's own surface) live in
 
 IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep covers the
 first 50 registered queries in registration order. Modules whose queries
-are NEW this round or have never received a driver CORRECTNESS row are
-imported first; everything pushed past the window has a driver-green row
-from CORRECTNESS_r03/r04.
+are NEW this round, changed this round, or carry the catalog's oldest
+driver evidence are imported first; everything pushed past the window
+has a driver-green row from CORRECTNESS_r05/r06.
 
-Round-6 window (9 registry-core queries precede these, positions 1-9),
-executing VERDICT.md r5 #1: rotate the stale-evidence modules in —
+Round-7 window (9 registry-core queries precede these, positions 1-9),
+executing VERDICT.md r6 #1/#2 plus the new r7 exhibits:
 
-- fresh6 (2 NEW r6 queries: stream_stateful_user_totals and
-  stream_stateful_sessions — the applyInPandasWithState operator driven
-  through real streams, accumulation AND timeout-eviction halves) →
-  10-11;
-- temporal (7, r03-era rows — oldest evidence in the catalog, two
-  fixture regenerations old) → 12-18;
-- advanced (7, r04 rows; agg_approx_quantiles' anchor was reworked r5
-  and agg_quantiles rebuilt as rank-based selection r6 — both need
-  fresh driver rows) → 19-25;
-- multimodal (5, r04 rows; re-pin under the r5/r6 decoder-seam
-  refactors) → 26-30;
-- similarity (8, r04 rows) → 31-38;
-- relational (first 12 of 18) → 39-50.
+- fresh7 (1 NEW r7 query: rel_bloom_join_pruned — runtime Bloom-filter
+  join pruning, the row-group sibling of the DPP exhibit) → 10;
+- fresh6 (2; the totals harness was reworked this round to the
+  sink-based last-state pattern — needs a fresh driver row) → 11-12;
+- sinks (5; sink_dpp_join_pruned registered AFTER the r6 sweep and has
+  never had a driver row — the r6 verdict's #1 debt; the other four
+  refresh their r05 rows) → 13-17;
+- relational2 (6; agg_distinct_stats, agg_approx_distinct,
+  agg_star_pricing, rel_full_outer_join, rel_pivot_priority_revenue,
+  rel_unpivot_metrics — the r04-era rows, oldest evidence in the
+  catalog, split out of relational.py for exactly this rotation) →
+  18-23;
+- dedup (8, r05 rows) → 24-31;
+- textstats (9, r05 rows; registers ahead of pipeline because
+  pipeline.py imports it at module top) → 32-40;
+- pipeline (8, r05 rows) → 41-48;
+- streaming (8, r05 rows; first 2 in window) → 49-56.
 
-Out of window this round, ALL driver-green r05 (fresh/dedup/streaming/
-pipeline/textstats/sinks) or r04 (relational's last 6 by registration
-order — agg_distinct_stats, agg_approx_distinct, agg_star_pricing,
-rel_full_outer_join, rel_pivot_priority_revenue, rel_unpivot_metrics —
-none changed since their r04 rows).
+Out of window this round: streaming's last 6 (r05) and fresh (4, r05)
+— rotate these FIRST in r8 — then temporal, advanced, multimodal,
+similarity, relational (all driver-green r06).
 """
 
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    fresh6,        # NEW r6: stream_stateful_user_totals (applyInPandasWithState)
-    temporal,      # r03 rows — oldest evidence, rotate first
-    advanced,      # r04 rows + r5/r6 quantile reworks needing driver re-pin
-    multimodal,    # r04 rows + decoder-seam refactor re-pin
-    similarity,    # r04 rows
-    relational,    # r04 rows (first 13 in window)
-    fresh,         # driver-green r05
-    dedup,         # driver-green r05
-    streaming,     # driver-green r05
-    pipeline,      # driver-green r05
-    textstats,     # driver-green r05
-    sinks,         # driver-green r05
+    fresh7,        # NEW r7: rel_bloom_join_pruned (runtime Bloom-filter join)
+    fresh6,        # totals harness reworked r7 — re-pin both stateful queries
+    sinks,         # sink_dpp_join_pruned's first-ever driver row (r6 debt #1)
+    relational2,   # the six r04-era rows (r6 debt #2)
+    dedup,         # r05 rows
+    pipeline,      # r05 rows (transitively registers textstats first)
+    streaming,     # r05 rows (first 2 in window; last 6 rotate in r8)
+    fresh,         # r05 rows — out of window, rotate in r8
+    textstats,     # already registered via pipeline's import; kept for clarity
+    temporal,      # driver-green r06
+    advanced,      # driver-green r06
+    multimodal,    # driver-green r06
+    similarity,    # driver-green r06
+    relational,    # driver-green r06 (all 12 remaining)
 )

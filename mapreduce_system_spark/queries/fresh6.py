@@ -4,8 +4,8 @@ both halves of the applyInPandasWithState surface.
 - ``stream_stateful_user_totals``: ``user_running_totals`` (the
   engine-side analog of the reference's reduce contract for streams,
   worker.go:161-165) had pytest-only evidence. The query stages the
-  events fixture into three parquet files, streams them back with
-  ``maxFilesPerTrigger=1`` (three micro-batches, so per-key state
+  events fixture into two parquet files, streams them back with
+  ``maxFilesPerTrigger=1`` (two micro-batches, so per-key state
   provably carries across batch boundaries), and returns the final
   per-user state. Oracle: the plain batch GROUP BY — lost or
   double-counted state cannot match it.
@@ -27,6 +27,7 @@ from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.registry import register
@@ -66,11 +67,13 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow trigger, one file per micro-batch) and return the final
     per-user (count, sum) state.
 
-    ``foreachBatch`` keeps only the LAST update per user — batches are
-    delivered to foreachBatch strictly in order, so overwriting yields
-    the final state; its size is O(distinct users), the same bound the
-    operator's keyed state already carries. Scratch staging + checkpoint
-    dirs are per-(app, run) and removed afterwards."""
+    ``foreachBatch`` appends each batch's updates (one row per key the
+    batch touched, stamped with the batch id) to a parquet sink; the
+    final state is recovered afterwards as the last update per user —
+    one window pass over O(users x batches) SINK rows, with zero
+    driver-side collect anywhere in the harness (the sessions query's
+    sink pattern). Scratch staging + checkpoint dirs are per-(app, run)
+    and removed afterwards."""
     from mapreduce_system_spark.streaming import stateful as ST
 
     app = spark.sparkContext.applicationId
@@ -81,15 +84,15 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state carry-over (each extra batch costs one Python call per user)
     ev.repartition(2).write.mode("overwrite").parquet(src)
 
-    final: dict[int, tuple[int, float]] = {}
-    batches: list[int] = []
+    sink = str(base / "out")
 
-    def take_latest(batch_df, batch_id: int) -> None:
-        batches.append(batch_id)
-        # O(users) rows per batch — the stateful op already emits one row
-        # per updated key, so this collect is bounded by the key space.
-        for r in batch_df.collect():
-            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    def persist_updates(batch_df, batch_id: int) -> None:
+        # update mode emits one row per key updated in THIS batch; the
+        # batch-id stamp lets the post-pass keep only each key's last
+        # update. Executor-side append — nothing flows to the driver.
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink)
 
     stream = (
         spark.readStream.schema("user_id long, value double")
@@ -99,7 +102,7 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         q = (
             ST.user_running_totals(stream)
-            .writeStream.foreachBatch(take_latest)
+            .writeStream.foreachBatch(persist_updates)
             .outputMode("update")
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
@@ -107,6 +110,31 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     try:
         q.awaitTermination()
+        upd = spark.read.parquet(sink)
+        n_batches = upd.agg(F.countDistinct("batch_id")).collect()[0][0]
+        if n_batches < 2:
+            # the whole point is state ACROSS micro-batches; a single
+            # batch would silently weaken the check into a per-batch
+            # aggregation
+            raise RuntimeError(f"expected >=2 micro-batches, saw {n_batches}")
+        w = W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+        out = (
+            upd.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            # round in Spark (HALF_UP, matching the oracle), not in
+            # Python (round() is banker's rounding)
+            .select(
+                "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+            )
+            .orderBy("user_id")
+        )
+        # materialize before the scratch dir (including the sink) is
+        # removed — localCheckpoint pins the result partitions
+        from mapreduce_system_spark.caches import persistent_rdd_ids, track_rdd_ids
+
+        before = persistent_rdd_ids(spark)
+        out = out.localCheckpoint(eager=True)
+        track_rdd_ids(spark, persistent_rdd_ids(spark) - before)
     finally:
         try:
             q.stop()
@@ -114,18 +142,7 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
         shutil.rmtree(base, ignore_errors=True)
 
-    if len(batches) < 2:
-        # the whole point is state ACROSS micro-batches; a single batch
-        # would silently weaken the check into a per-batch aggregation
-        raise RuntimeError(f"expected >=2 micro-batches, saw {batches}")
-
-    rows = [(u, n, t) for u, (n, t) in sorted(final.items())]
-    out = spark.createDataFrame(rows, "user_id long, n_events long, total_value double")
-    # round in Spark (HALF_UP, matching the oracle), not in Python
-    # (round() is banker's rounding)
-    return out.select(
-        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
-    ).orderBy("user_id")
+    return out
 
 
 _GAP_S = 1800  # 30-minute inactivity gap, matching rel_sessionize_events
