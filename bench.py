@@ -76,32 +76,55 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
+    # SPARK_GRAFT_BENCH_RUNS > 1 repeats the sweep and reports the
+    # per-query MEDIAN (BASELINE.md §(e)/(g): single runs sit inside a
+    # ±30% co-tenant noise band on this box, which otherwise dominates
+    # round-over-round deltas). The driver's per-round invocation keeps
+    # the default of 1 so its wall-clock budget is unchanged; round
+    # records committed to bench_runs/ are median-of-3 runs.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    run_timings: list[dict[str, float]] = []
+    for run_i in range(n_runs):
+        timings: dict[str, float] = {}
+        for name, fn in entry_mod.queries().items():
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            try:
+                run_to_completion(fn(spark, sf_dir))
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                print(f"# bench error {name} (run {run_i}): {e}", file=sys.stderr)
+            finally:
+                caches.release()  # operator-level caches must not span queries
+        run_timings.append(timings)
+
+    import statistics
+
+    median: dict[str, float] = {}
     failures = 0
-    for name, fn in entry_mod.queries().items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            run_to_completion(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
+    for name in run_timings[0]:
+        ok = [t[name] for t in run_timings if t[name] >= 0]
+        if ok:
+            median[name] = round(statistics.median(ok), 3)
+        else:
+            median[name] = -1.0
             failures += 1
-            print(f"# bench error {name}: {e}", file=sys.stderr)
-        finally:
-            caches.release()  # operator-level caches must not span queries
 
     # failures is explicit so regression gating can tell "faster" from
     # "fewer queries ran" (a -1 entry is excluded from the total).
     result = {
         "metric": "total_query_wall",
-        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "value": round(sum(t for t in median.values() if t >= 0), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": median,
         "failures": failures,
         "sf": sf,
+        "median_of": n_runs,
     }
+    if n_runs > 1:
+        result["runs"] = run_timings
     # Persist the full record: the driver keeps only a bounded tail of
     # stdout, which truncates the per-query map once the catalog is large
     # (the first ~28 queries' numbers were lost from BENCH_r05.json that
@@ -116,7 +139,9 @@ def main() -> int:
         (out / name).write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
     except OSError as e:  # read-only checkout etc. — never fail the bench
         print(f"# bench_runs persist skipped: {e}", file=sys.stderr)
-    print(json.dumps(result))
+    # stdout gets the compact record (the driver keeps only a bounded
+    # tail); the full per-run detail lives in bench_runs/.
+    print(json.dumps({k: v for k, v in result.items() if k != "runs"}))
     return 0
 
 

@@ -106,47 +106,48 @@ def kmeans_fit(
     # without it each pass re-reads the source. At cluster scale this is
     # the standard "cache the training set" step; memory = corpus vectors.
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).cache()
-    if init in ("plusplus", "farthest"):
-        first = base.orderBy("__id").limit(1).collect()
-        if not first:
-            base.unpersist()
-            raise ValueError("kmeans_fit: input DataFrame has no rows")
-        chosen = [list(map(float, first[0]["__v"]))]
-        # deterministic uniform in (0, 1]: xxhash64 of the id, scaled
-        m = float(1 << 32)
-        u = ((F.pmod(F.xxhash64("__id"), F.lit(1 << 32))).cast("double") + 1.0) / m
-        while len(chosen) < k:
-            mind = (
-                F.least(*[_dist2(F.col("__v"), c) for c in chosen])
-                if len(chosen) > 1
-                else _dist2(F.col("__v"), chosen[0])
-            )
-            # Efraimidis–Spirakis one-sample key: argmax ln(u)/w samples
-            # with probability ∝ w (= D²); D²=0 → -inf, never chosen.
-            key = F.when(F.col("__d") > 0.0, F.ln(u) / F.col("__d")).otherwise(
-                F.lit(float("-inf"))
-            ) if init == "plusplus" else F.col("__d")
-            far = (
-                base.select("__id", "__v", mind.alias("__d"))
-                .select("__id", "__v", "__d", key.alias("__k"))
-                .orderBy(F.col("__k").desc(), "__id")
-                .limit(1)
-                .collect()[0]
-            )
-            if far["__d"] <= 0.0:
-                break  # fewer than k distinct vectors — clamp
-            chosen.append(list(map(float, far["__v"])))
-        centroids = np.asarray(chosen)
-    else:
-        seed_rows = base.orderBy("__id").limit(k).collect()
-        if not seed_rows:
-            base.unpersist()
-            raise ValueError("kmeans_fit: input DataFrame has no rows")
-        centroids = np.asarray([list(map(float, r["__v"])) for r in seed_rows])
-    k = len(centroids)  # possibly clamped
-    d = centroids.shape[1]
-    stats_schema = "cluster int, cnt long, vsum array<double>"
+    # one try for everything after the cache: a failed collect in the
+    # SEEDING passes must release the cached projection too, not just
+    # a failure inside the Lloyd loop
     try:
+        if init in ("plusplus", "farthest"):
+            first = base.orderBy("__id").limit(1).collect()
+            if not first:
+                raise ValueError("kmeans_fit: input DataFrame has no rows")
+            chosen = [list(map(float, first[0]["__v"]))]
+            # deterministic uniform in (0, 1]: xxhash64 of the id, scaled
+            m = float(1 << 32)
+            u = ((F.pmod(F.xxhash64("__id"), F.lit(1 << 32))).cast("double") + 1.0) / m
+            while len(chosen) < k:
+                mind = (
+                    F.least(*[_dist2(F.col("__v"), c) for c in chosen])
+                    if len(chosen) > 1
+                    else _dist2(F.col("__v"), chosen[0])
+                )
+                # Efraimidis–Spirakis one-sample key: argmax ln(u)/w samples
+                # with probability ∝ w (= D²); D²=0 → -inf, never chosen.
+                key = F.when(F.col("__d") > 0.0, F.ln(u) / F.col("__d")).otherwise(
+                    F.lit(float("-inf"))
+                ) if init == "plusplus" else F.col("__d")
+                far = (
+                    base.select("__id", "__v", mind.alias("__d"))
+                    .select("__id", "__v", "__d", key.alias("__k"))
+                    .orderBy(F.col("__k").desc(), "__id")
+                    .limit(1)
+                    .collect()[0]
+                )
+                if far["__d"] <= 0.0:
+                    break  # fewer than k distinct vectors — clamp
+                chosen.append(list(map(float, far["__v"])))
+            centroids = np.asarray(chosen)
+        else:
+            seed_rows = base.orderBy("__id").limit(k).collect()
+            if not seed_rows:
+                raise ValueError("kmeans_fit: input DataFrame has no rows")
+            centroids = np.asarray([list(map(float, r["__v"])) for r in seed_rows])
+        k = len(centroids)  # possibly clamped
+        d = centroids.shape[1]
+        stats_schema = "cluster int, cnt long, vsum array<double>"
         for _ in range(max_iter):
             cm = centroids  # capture current value in the task closure
             c_sqn = (cm * cm).sum(axis=1)

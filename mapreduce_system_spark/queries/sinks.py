@@ -254,16 +254,13 @@ ORDER BY e.event_type
 """
 
 
-@register("sink_dpp_join_pruned", _DPP_SQL)
-def q_sink_dpp_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic partition pruning through the partitioned sink: events are
-    staged hive-partitioned by event_type, the dimension (distinct types
-    + a derived weight) is staged as parquet, and the join carries its
-    filter on the DIM side only — so the fact scan can prune partitions
-    only via Catalyst's runtime dynamicpruningexpression (asserted in
-    tests/test_sinks_query.py). At 100 TB this is the difference between
-    scanning the partitions the dim selects and scanning all of them,
-    and it is free exactly because the plan stays declarative."""
+def dpp_pruned_totals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """Stage the partitioned fact + dim under a scratch dir and return the
+    LAZY pruned-join plan plus the scratch path. The plan-guard test
+    (tests/test_sinks_query.py) asserts dynamicpruningexpression on this
+    lazy form; the registered query materializes it and removes the
+    staging (a returned localCheckpoint would hide the DPP subquery from
+    the plan string)."""
     ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
     app = spark.sparkContext.applicationId
     base = f"/tmp/spark_graft_dpp_{Path(sf_dir).name}_{app}"
@@ -272,7 +269,7 @@ def q_sink_dpp_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(dim, f"{base}/dim")
     fact = spark.read.parquet(f"{base}/fact")
     fdim = spark.read.parquet(f"{base}/dim").where(F.col("w") >= 6)
-    return (
+    out = (
         fact.join(fdim.select("event_type"), "event_type")
         .groupBy("event_type")
         .agg(
@@ -281,3 +278,31 @@ def q_sink_dpp_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    return out, base
+
+
+@register("sink_dpp_join_pruned", _DPP_SQL)
+def q_sink_dpp_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning through the partitioned sink: events are
+    staged hive-partitioned by event_type, the dimension (distinct types
+    + a derived weight) is staged as parquet, and the join carries its
+    filter on the DIM side only — so the fact scan can prune partitions
+    only via Catalyst's runtime dynamicpruningexpression (asserted on the
+    lazy plan in tests/test_sinks_query.py). At 100 TB this is the
+    difference between scanning the partitions the dim selects and
+    scanning all of them, and it is free exactly because the plan stays
+    declarative. Materializes eagerly (the result is one row per
+    surviving event_type) so the staged copy of events never outlives
+    the call — each app run used to leave one behind in /tmp."""
+    import shutil
+
+    from mapreduce_system_spark.caches import persistent_rdd_ids, track_rdd_ids
+
+    out, base = dpp_pruned_totals(spark, sf_dir)
+    try:
+        before = persistent_rdd_ids(spark)
+        out = out.localCheckpoint(eager=True)
+        track_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

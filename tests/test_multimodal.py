@@ -269,3 +269,32 @@ def test_png_real_codec_through_seam(spark):
         assert (got[1].width, got[1].height, got[1].decoder) == (2, 2, "png")
         assert got[1].mean_value == _luma_mean(rows, 3)
         assert (got[2].width, got[2].height, got[2].decoder) == (16, 16, "fake")
+
+
+def test_png_decode_rejects_16bit_and_interlaced_per_blob():
+    """decode_image_png must return None (→ per-blob stand-in fallback)
+    for 16-bit-depth and Adam7-interlaced PNGs rather than raising or
+    mis-decoding; the identical image at 8-bit/non-interlaced decodes,
+    pinning the rejection to the header flag itself (VERDICT r6 #8)."""
+    import struct
+    import zlib
+
+    rows = [bytes([10, 20, 30, 40, 50, 60]), bytes([70, 80, 90, 100, 110, 120])]
+    good = _encode_png(2, 2, rows)
+    assert MM.decode_image_png(good) is not None  # control
+
+    def rewrite_ihdr(png, bit_depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, 2, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+        return png[:8] + chunk + png[8 + 25:]  # IHDR chunk = 4+4+13+4 bytes
+
+    assert MM.decode_image_png(rewrite_ihdr(good, bit_depth=16)) is None
+    assert MM.decode_image_png(rewrite_ihdr(good, interlace=1)) is None
+    # and the adapter chain turns that None into the deterministic
+    # stand-in instead of dropping or failing the row
+    assert MM._default_image_decoder(rewrite_ihdr(good, bit_depth=16)) is None

@@ -91,8 +91,13 @@ def test_dpp_query_plans_dynamic_pruning(spark):
     """The registered DPP query must actually plan the runtime pruning
     subquery on the fact scan — without it the query still returns the
     right rows while scanning every partition."""
-    from mapreduce_system_spark.plans.checks import formatted_plan
-    from mapreduce_system_spark.queries.sinks import q_sink_dpp_join_pruned
+    import shutil
 
-    df = q_sink_dpp_join_pruned(spark, SF_DIR)
-    assert "dynamicpruningexpression" in formatted_plan(df)
+    from mapreduce_system_spark.plans.checks import formatted_plan
+    from mapreduce_system_spark.queries.sinks import dpp_pruned_totals
+
+    df, base = dpp_pruned_totals(spark, SF_DIR)
+    try:
+        assert "dynamicpruningexpression" in formatted_plan(df)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

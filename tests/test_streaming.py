@@ -431,3 +431,43 @@ def test_stateful_sessions_survive_restart(spark, tmp_path):
     s1 = int(t("2024-01-01T09:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
     got = [r for r in emitted if r[0] == 1]
     assert got == [(1, s1, 3, 480)]  # one session, full span, exactly once
+
+
+def test_stateful_queries_identical_under_rocksdb_state_store(spark, sf_dir):
+    """VERDICT r6 #4: both driver-checked stateful queries rerun with the
+    RocksDB state-store provider (the viable backend at production key
+    cardinality — the default HDFS-backed provider holds every key's
+    state on the JVM heap) must produce row-for-row identical results.
+    Each query starts its stream from a fresh checkpoint, so the provider
+    conf binds cleanly per run."""
+    from mapreduce_system_spark.queries.fresh6 import (
+        q_stateful_sessions,
+        q_stateful_user_totals,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+
+    def run_both():
+        totals = sorted(map(tuple, q_stateful_user_totals(spark, sf_dir).collect()))
+        sessions = sorted(map(tuple, q_stateful_sessions(spark, sf_dir).collect()))
+        return totals, sessions
+
+    base_totals, base_sessions = run_both()
+    spark.conf.set(key, rocksdb)
+    try:
+        got_totals, got_sessions = run_both()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    assert got_totals == base_totals and len(got_totals) > 0
+    assert got_sessions == base_sessions and len(got_sessions) > 0
