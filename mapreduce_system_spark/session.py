@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # local-mode: driver JVM hosts all 32 executor threads, and the
+        # unset default (1g) was the real ceiling — a 10x-corpus probe
+        # OOM'd the heap while every plan in it was shuffle-clean. 8g is
+        # ~6% of the box (env contract: 128 GiB); applies only when THIS
+        # factory launches the JVM (the external driver's vanilla session
+        # keeps its own sizing, so no query may REQUIRE this).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # events.ts is parquet TIMESTAMP(NANOS) (TESTDATA fixture); Spark has
