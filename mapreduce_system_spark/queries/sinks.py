@@ -50,14 +50,35 @@ ORDER BY o_orderpriority, o_orderstatus
 """
 
 
-def partitioned_sink_path(sf_dir: str, spark: SparkSession) -> str:
-    # per-application, not just per-sf: these paths are round-tripped
-    # WITHIN the query (the oracle reads the source parquet, never this
-    # staging), so two concurrent sessions at the same sf must not race
-    # one session's overwrite against the other's re-scan. Same isolation
-    # as mr_whole_text_files_wc's staging.
+def _staging_path(kind: str, sf_dir: str, spark: SparkSession) -> str:
+    """Per-(kind, sf, application) staging path under /tmp.
+
+    Per-application, not just per-sf: these paths are round-tripped
+    WITHIN the query (the oracle reads the source parquet, never this
+    staging), so two concurrent sessions at the same sf must not race
+    one session's overwrite against the other's re-scan. The returned
+    plan READS from the staging, so it cannot be removed at the end of
+    the call (the driver executes the plan later) — instead stagings
+    from long-dead applications are reaped on the same 48 h policy as
+    mr_whole_text_files_wc (registry.py): a LIVE application re-
+    overwrites its staging on every call, so only abandoned dirs can
+    age past the cutoff."""
+    import shutil
+    import time
+
     app = spark.sparkContext.applicationId
-    return f"/tmp/spark_graft_sink_orders_{Path(sf_dir).name}_{app}"
+    path = f"/tmp/spark_graft_{kind}_{Path(sf_dir).name}_{app}"
+    for d in Path("/tmp").glob(f"spark_graft_{kind}_{Path(sf_dir).name}_*"):
+        try:
+            if d.name != Path(path).name and time.time() - d.stat().st_mtime > 48 * 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    return path
+
+
+def partitioned_sink_path(sf_dir: str, spark: SparkSession) -> str:
+    return _staging_path("sink_orders", sf_dir, spark)
 
 
 @register("sink_partitioned_roundtrip", _SINK_SQL)
@@ -114,9 +135,8 @@ def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer",
         columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
-    # per-application for the same concurrency reason as the sink staging
-    app = spark.sparkContext.applicationId
-    base = Path(f"/tmp/spark_graft_scan_{Path(sf_dir).name}_{app}")
+    # per-application + dead-app reaping (see _staging_path)
+    base = Path(_staging_path("scan", sf_dir, spark))
     # DDL schema strings are accepted anywhere a StructType is (public API)
     schema = "c_custkey long, c_nationkey int, c_acctbal double, c_mktsegment string"
     write_csv(cust.where(F.col("c_custkey") % 2 == 0), str(base / "csv"))
@@ -157,11 +177,10 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     li = load_table(
         spark, sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    # files are per-application (concurrent-session isolation, same reason
-    # as the stagings above); table NAMES are session-scoped (in-memory
-    # catalog), so static names cannot race across sessions.
-    app = spark.sparkContext.applicationId
-    base = Path(f"/tmp/spark_graft_bucketed_{Path(sf_dir).name}_{app}")
+    # files are per-application + dead-app-reaped (see _staging_path);
+    # table NAMES are session-scoped (in-memory catalog), so static
+    # names cannot race across sessions.
+    base = Path(_staging_path("bucketed", sf_dir, spark))
     write_bucketed(orders, "t_graft_orders_b", "o_orderkey", _N_BUCKETS, str(base / "orders"))
     write_bucketed(
         li.withColumnRenamed("l_orderkey", "o_orderkey"),
@@ -224,8 +243,7 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(
         spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
-    app = spark.sparkContext.applicationId
-    path = f"/tmp/spark_graft_orc_{Path(sf_dir).name}_{app}"
+    path = _staging_path("orc", sf_dir, spark)
     cust.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (
@@ -262,8 +280,7 @@ def dpp_pruned_totals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]
     staging (a returned localCheckpoint would hide the DPP subquery from
     the plan string)."""
     ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
-    app = spark.sparkContext.applicationId
-    base = f"/tmp/spark_graft_dpp_{Path(sf_dir).name}_{app}"
+    base = _staging_path("dpp", sf_dir, spark)
     write_parquet(ev, f"{base}/fact", partition_by=["event_type"])
     dim = ev.select("event_type").distinct().withColumn("w", F.length("event_type"))
     write_parquet(dim, f"{base}/dim")
