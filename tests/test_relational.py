@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from mapreduce_system_spark.operators import relational as REL
 from mapreduce_system_spark.plans import checks
 from mapreduce_system_spark.queries import relational as QREL
+from mapreduce_system_spark.queries import relational2 as QREL2
 
 
 def test_broadcast_join_plan_is_broadcast_only(spark, sf_dir):
@@ -27,7 +28,7 @@ def test_semi_join_pushes_predicate(spark, sf_dir):
 
 
 def test_star_pricing_pushes_shipdate(spark, sf_dir):
-    df = QREL.q_star_pricing(spark, sf_dir)
+    df = QREL2.q_star_pricing(spark, sf_dir)
     assert checks.has_pushed_filters(df)
     # scan must be pruned to the 6 needed columns, not the full table
     plan = checks.formatted_plan(df)
