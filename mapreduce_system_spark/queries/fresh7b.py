@@ -1,0 +1,382 @@
+"""Round-7 additions: five training-data-pipeline operators, oracle-checked.
+
+The reference's surface ends at map/shuffle/reduce over opaque strings
+(worker.go:51,104,161-165); everything here is north-star extension
+surface (BASELINE.json:6 — the LLM-data-pipeline mandate), each built
+from JVM-side built-ins with a DuckDB ANSI-SQL twin:
+
+- ``fn_date_gap_fill_daily`` — time-series resampling: a calendar spine
+  (``sequence`` + ``explode``) left-joined to daily per-type counts so
+  missing days surface as explicit zeros. Scale shape: the events table
+  aggregates FIRST (one shuffle on (type, day)); the spine is
+  days x types — broadcast-sized at any corpus scale since it grows
+  with the calendar, not the data.
+- ``txt_bm25_topk`` — BM25 retrieval over the documents table for a
+  static query set: tf / df / doc-length statistics via three hash
+  aggregations, scoring via a broadcast join of the (tiny) term list
+  against the tf table, top-k per query via a per-query window.
+  Nothing doc x doc; the corpus is scanned once.
+- ``pipe_hash_split`` — deterministic train/val/test assignment by
+  md5(doc_id) bucket (the standard reproducible-split trick: stable
+  under re-runs, insertion-order-free, no RNG state to ship). Map-only
+  plus a tiny (split, lang) rollup.
+- ``txt_unigram_surprisal`` — unigram-LM surprisal per document (mean
+  -ln p(token)), the classic cheap perplexity proxy used for corpus
+  quality filtering. The LM is the corpus's own unigram distribution:
+  one token-count aggregation (vocab-sized → broadcast) joined back to
+  the token stream, then a per-doc mean.
+- ``emb_int8_quantize_error`` — scalar int8 quantization of the
+  embedding column: per-dimension global [min, max] (one aggregation,
+  64 rows), codes = floor(255 * normalized + 0.5), then per-label mean
+  reconstruction MSE. The distributive shape (posexplode → per-dim
+  stats → broadcast join back) never materializes per-vector state on
+  the driver, unlike codebook methods that collect centroids.
+
+Float discipline (registry.py conventions): every FLOAT is cast to
+DOUBLE before arithmetic on BOTH engines, formulas are parenthesized
+identically, and outputs are rounded; guards avoid division by zero on
+constant dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mapreduce_system_spark.functions.text import tokens
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# fn_date_gap_fill_daily — calendar-spine resampling with explicit zeros
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_SQL = """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+d AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+t AS (SELECT DISTINCT event_type FROM events),
+a AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2)
+SELECT t.event_type,
+       strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+FROM d CROSS JOIN t
+LEFT JOIN a ON a.event_type = t.event_type AND a.day = d.day
+ORDER BY 1, 2
+"""
+
+
+@register("fn_date_gap_fill_daily", _GAP_FILL_SQL)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts per type with calendar gaps filled as zeros.
+
+    The aggregation runs first (the only full-data shuffle); the spine
+    (days x types) is calendar-sized, so Spark broadcasts the join no
+    matter how large `events` is. The reference cannot express this at
+    all — its model has no generator source (worker.go:92-104 reads
+    only existing splits)."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "event_type"])
+    actual = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)  # calendar-sized x type-cardinality: tiny
+    return (
+        spine.join(actual, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_bm25_topk — BM25 retrieval for a static query set
+# ---------------------------------------------------------------------------
+
+# (query, term) pairs; terms drawn from the fixture vocabulary, including
+# one rare term ("dup" — planted by the near-dup fixtures) so the idf
+# spread is exercised, not just uniform-frequency terms.
+_BM25_QUERIES: list[tuple[str, str]] = [
+    ("fast table scan", "fast"),
+    ("fast table scan", "table"),
+    ("fast table scan", "scan"),
+    ("hash join merge", "hash"),
+    ("hash join merge", "join"),
+    ("hash join merge", "merge"),
+    ("dup stream", "dup"),
+    ("dup stream", "stream"),
+]
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM tok GROUP BY 1),
+corpus AS (SELECT avg(dlen) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query, word) AS (SELECT * FROM (VALUES {_BM25_VALUES})),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(
+           ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_BM25_K1} + 1))
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / c.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (word)
+  JOIN df USING (word)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY 1, 2
+)
+SELECT query, doc_id, rank, score
+FROM (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank,
+         round(score, 4) AS score
+  FROM scored
+)
+WHERE rank <= {_BM25_TOPK}
+ORDER BY query, rank
+"""
+
+
+@register("txt_bm25_topk", _BM25_SQL)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query under BM25 (k1=1.2, b=0.75).
+
+    One tokenize pass feeds three aggregations (doc length, tf, df);
+    the query list is broadcast into the tf table, so scoring touches
+    only postings of query terms — the per-query window ranks a
+    candidate set bounded by df, never the corpus. The idf/tf-norm
+    formula is written with identical parenthesization to the oracle
+    so double math agrees to the rounded 4 decimals."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    # one tokenize pass: dl and df both derive from the tf table (dlen =
+    # sum of a doc's term frequencies), so the corpus is exploded once
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").cast("double").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    corpus = dl.agg(
+        F.avg("dlen").alias("avgdl"), F.count("*").cast("double").alias("n")
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("double").alias("df"))
+    q = spark.createDataFrame(_BM25_QUERIES, ["query", "word"])
+
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfnorm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(tf, "word")
+        .join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("query", "doc_id")
+        .agg(F.sum(idf * tfnorm).alias("score"))
+    )
+    win = W.partitionBy("query").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.select(
+            "query",
+            "doc_id",
+            F.row_number().over(win).alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+        .where(F.col("rank") <= _BM25_TOPK)
+        .orderBy("query", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_hash_split — deterministic md5-bucket train/val/test assignment
+# ---------------------------------------------------------------------------
+
+_HASH_SPLIT_SQL = """
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+    FROM documents
+  )
+)
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@register("pipe_hash_split", _HASH_SPLIT_SQL)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by md5(doc_id) bucket, reported as a
+    (split, lang) rollup of doc counts and character mass.
+
+    md5-bucketing is the reproducible-split idiom for training corpora:
+    assignment is a pure function of the row key, so it is stable across
+    re-runs, partitionings, and incremental ingests — no RNG seed to
+    ship, no shuffle to assign. Map-only + a tiny rollup; at 100 TB the
+    only cost is the scan. (The reference's model would need a custom
+    mapf emitting the bucket as the key — README.MD:82.)"""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_unigram_surprisal — unigram-LM quality scoring per document
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+lm AS (SELECT word, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY 1),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(lm.cnt / t.n)), 4) AS surprisal
+FROM tok
+JOIN lm USING (word)
+CROSS JOIN total t
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@register("txt_unigram_surprisal", _SURPRISAL_SQL)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal (-ln p) per document — the cheap perplexity
+    proxy used to quality-filter training corpora (high surprisal =
+    unusual token mix; log-perplexity = this value exactly).
+
+    The LM is the corpus's own unigram distribution: one token-count
+    aggregation produces a vocab-sized table that broadcasts back onto
+    the token stream, then a per-doc mean — two shuffles total (vocab
+    agg + per-doc agg), both map-side-combinable."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    lm = tok.groupBy("word").agg(F.count("*").cast("double").alias("cnt"))
+    total = tok.agg(F.count("*").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(lm), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_int8_quantize_error — scalar int8 embedding quantization + error audit
+# ---------------------------------------------------------------------------
+
+_INT8_SQL = """
+WITH comp AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM comp GROUP BY 1),
+deq AS (
+  SELECT c.vec_id, c.label,
+         CASE WHEN s.mx > s.mn
+              THEN s.mn + floor((c.v - s.mn) / (s.mx - s.mn) * 255 + 0.5) * (s.mx - s.mn) / 255
+              ELSE c.v
+         END AS vq,
+         c.v
+  FROM comp c JOIN stats s ON s.pos = c.pos
+),
+per_vec AS (
+  SELECT vec_id, label, sum((v - vq) * (v - vq)) / 64 AS mse
+  FROM deq GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(mse) * 1000000, 3) AS mse_ppm
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("emb_int8_quantize_error", _INT8_SQL)
+def q_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column, audited as mean
+    reconstruction MSE per label (reported in ppm — parts-per-million of
+    squared distance — so the rounded output carries signal).
+
+    Codes are floor(255 * (v - mn) / (mx - mn) + 0.5) against per-
+    dimension GLOBAL [mn, mx] — the standard 4x-compression step before
+    shipping embeddings to an ANN index. Distributive shape: posexplode
+    → 64-row per-dimension stats → broadcast join back → per-vector then
+    per-label means. No driver-side state at any corpus size (contrast
+    codebook quantizers, which collect centroids — see
+    operators/clustering.py). Constant dimensions (mx == mn) pass
+    through unquantized on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "vf"),
+    ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))
+    stats = comp.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mn, mx, v = F.col("mn"), F.col("mx"), F.col("v")
+    vq = F.when(
+        mx > mn,
+        mn + F.floor((v - mn) / (mx - mn) * 255 + 0.5) * (mx - mn) / 255,
+    ).otherwise(v)
+    per_vec = (
+        comp.join(F.broadcast(stats), "pos")
+        .select("vec_id", "label", ((v - vq) * (v - vq)).alias("se"))
+        .groupBy("vec_id", "label")
+        .agg((F.sum("se") / 64).alias("mse"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("mse") * 1000000, 3).alias("mse_ppm"),
+        )
+        .orderBy("label")
+    )

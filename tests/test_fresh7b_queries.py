@@ -1,0 +1,132 @@
+"""Round-7 fresh7b queries: semantic pins beyond the DuckDB oracle —
+calendar completeness, BM25 monotonicity/idf spread, split determinism
+and proportions, surprisal scale, and quantization error bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_MID
+
+
+def test_gap_fill_emits_complete_calendar(spark):
+    """Every (event_type, day) cell of the spine must appear exactly once,
+    days are contiguous min..max, and non-zero cells equal the plain
+    aggregate (the oracle pins values; this pins the spine shape)."""
+    from mapreduce_system_spark.queries.fresh7b import q_gap_fill_daily
+
+    out = q_gap_fill_daily(spark, SF_DIR_MID)
+    rows = out.collect()
+    types = {r.event_type for r in rows}
+    days = sorted({r.day for r in rows})
+    assert len(rows) == len(types) * len(days), "spine is not a full cross product"
+    # contiguous daily calendar between the corpus bounds
+    import datetime as dt
+
+    d0 = dt.date.fromisoformat(days[0])
+    d1 = dt.date.fromisoformat(days[-1])
+    assert len(days) == (d1 - d0).days + 1
+    # zeros exist only as explicit gap fills; totals match the raw count
+    ev_total = (
+        spark.read.parquet(f"{SF_DIR_MID}/events.parquet").count()
+    )
+    assert sum(r.n_events for r in rows) == ev_total
+
+
+def test_bm25_rare_term_dominates_and_ranks_are_dense(spark):
+    """The 'dup stream' query must rank dup-bearing documents above
+    stream-only ones (the planted rare term has far higher idf), and
+    each query's ranks must be exactly 1..k with scores non-increasing."""
+    from mapreduce_system_spark.queries.fresh7b import (
+        _BM25_TOPK,
+        q_bm25_topk,
+    )
+
+    rows = q_bm25_topk(spark, SF_DIR_MID).collect()
+    by_query: dict[str, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query, []).append(r)
+    assert set(by_query) == {"fast table scan", "hash join merge", "dup stream"}
+    for q, rs in by_query.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, _BM25_TOPK + 1))
+        scores = [r.score for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), q
+
+    # every doc containing the rare term 'dup' outscores every doc that
+    # only matches 'stream' — idf(dup) >> idf(stream) by construction
+    docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+    dup_docs = {
+        r.doc_id
+        for r in docs.where(F.lower("text").rlike(r"\bdup\b")).select("doc_id").collect()
+    }
+    dup_scores = [r.score for r in by_query["dup stream"] if r.doc_id in dup_docs]
+    other_scores = [r.score for r in by_query["dup stream"] if r.doc_id not in dup_docs]
+    assert dup_scores, "no dup-bearing doc reached the top-k at all"
+    if other_scores:
+        assert min(dup_scores) > max(other_scores)
+
+
+def test_hash_split_is_deterministic_and_proportioned(spark):
+    """Same input → identical assignment (pure function of doc_id); the
+    bucket thresholds put roughly 80/10/10 of docs in train/val/test."""
+    from mapreduce_system_spark.queries.fresh7b import q_hash_split
+
+    a = {(r.split, r.lang): (r.n_docs, r.chars) for r in q_hash_split(spark, SF_DIR_MID).collect()}
+    b = {(r.split, r.lang): (r.n_docs, r.chars) for r in q_hash_split(spark, SF_DIR_MID).collect()}
+    assert a == b
+    totals: dict[str, int] = {}
+    for (split, _), (n, _c) in a.items():
+        totals[split] = totals.get(split, 0) + n
+    n_all = sum(totals.values())
+    assert n_all == 500
+    # md5 buckets are uniform; with n=500 allow generous binomial slack
+    assert 0.70 <= totals["train"] / n_all <= 0.90
+    assert 0.04 <= totals["val"] / n_all <= 0.16
+    assert 0.04 <= totals["test"] / n_all <= 0.16
+
+
+def test_unigram_surprisal_matches_entropy_scale(spark):
+    """Every doc's surprisal lies between the corpus min/max token
+    surprisal, and the token-weighted mean surprisal equals the corpus
+    unigram entropy (a distribution identity, independent of DuckDB)."""
+    from mapreduce_system_spark.queries.fresh7b import q_unigram_surprisal
+
+    rows = q_unigram_surprisal(spark, SF_DIR_MID).collect()
+    assert len(rows) == 500
+    docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+    tok = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != F.lit(""))).alias("w")
+    )
+    counts = {r.w: r.c for r in tok.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    n = sum(counts.values())
+    surps = {w: -math.log(c / n) for w, c in counts.items()}
+    lo, hi = min(surps.values()), max(surps.values())
+    for r in rows:
+        assert lo - 1e-4 <= r.surprisal <= hi + 1e-4
+    entropy = sum((c / n) * -math.log(c / n) for c in counts.values())
+    weighted = sum(r.surprisal * r.n_tokens for r in rows) / sum(r.n_tokens for r in rows)
+    assert abs(weighted - entropy) < 1e-3
+
+
+def test_int8_quantization_error_is_bounded_by_step(spark):
+    """Scalar quantization's per-component error is at most step/2 =
+    (mx-mn)/510, so each label's MSE must be below the worst-case
+    mean-of-squared-half-steps — and strictly positive (the embeddings
+    are not already 8-bit)."""
+    from mapreduce_system_spark.queries.fresh7b import q_int8_quantize_error
+
+    rows = q_int8_quantize_error(spark, SF_DIR_MID).collect()
+    assert [r.label for r in rows] == sorted({r.label for r in rows})
+    emb = spark.read.parquet(f"{SF_DIR_MID}/embeddings.parquet")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg((F.max("v") - F.min("v")).alias("range"))
+        .collect()
+    )
+    worst_mse_ppm = sum((float(s.range) / 510.0) ** 2 for s in stats) / len(stats) * 1e6
+    for r in rows:
+        assert 0 < r.mse_ppm <= worst_mse_ppm + 1e-6, (r.label, r.mse_ppm, worst_mse_ppm)
