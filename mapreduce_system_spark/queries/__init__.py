@@ -21,22 +21,24 @@ executing VERDICT.md r6 #1/#2 plus the new r7 exhibits:
   split, unigram surprisal, int8 quantization error) → 11-15;
 - fresh7c (2 NEW r7 queries: CDC latest-state compaction, SCD2
   validity intervals) → 16-17;
+- fresh7d (1 NEW r7 query: graph_pagerank — 3-iteration PageRank vs an
+  unrolled-CTE oracle) → 18;
 - fresh6 (2; the totals harness was reworked this round to the
-  sink-based last-state pattern — needs a fresh driver row) → 18-19;
+  sink-based last-state pattern — needs a fresh driver row) → 19-20;
 - sinks (5; sink_dpp_join_pruned registered AFTER the r6 sweep and has
   never had a driver row — the r6 verdict's #1 debt; the other four
-  refresh their r05 rows) → 20-24;
+  refresh their r05 rows) → 21-25;
 - relational2 (6; agg_distinct_stats, agg_approx_distinct,
   agg_star_pricing, rel_full_outer_join, rel_pivot_priority_revenue,
   rel_unpivot_metrics — the r04-era rows, oldest evidence in the
   catalog, split out of relational.py for exactly this rotation) →
-  25-30;
-- dedup (8, r05 rows) → 31-38;
+  26-31;
+- dedup (8, r05 rows) → 32-39;
 - textstats (9, r05 rows; registers ahead of pipeline because
-  pipeline.py imports it at module top) → 39-47;
-- pipeline (first 3 of 8, r05 rows) → 48-50.
+  pipeline.py imports it at module top) → 40-48;
+- pipeline (first 2 of 8, r05 rows) → 49-50.
 
-Out of window this round: pipeline's last 5, streaming (8, r05) and
+Out of window this round: pipeline's last 6, streaming (8, r05) and
 fresh (4, r05) — rotate these FIRST in r8 — then temporal, advanced,
 multimodal, similarity, relational (all driver-green r06).
 """
@@ -47,6 +49,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh7,        # NEW r7: rel_bloom_join_pruned (runtime Bloom-filter join)
     fresh7b,       # NEW r7: 5 pipeline/retrieval/quantization queries
     fresh7c,       # NEW r7: CDC compaction + SCD2 intervals
+    fresh7d,       # NEW r7: PageRank vs unrolled-CTE oracle
     fresh6,        # totals harness reworked r7 — re-pin both stateful queries
     sinks,         # sink_dpp_join_pruned's first-ever driver row (r6 debt #1)
     relational2,   # the six r04-era rows (r6 debt #2)
