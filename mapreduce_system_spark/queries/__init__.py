@@ -23,22 +23,24 @@ executing VERDICT.md r6 #1/#2 plus the new r7 exhibits:
   validity intervals) → 16-17;
 - fresh7d (1 NEW r7 query: graph_pagerank — 3-iteration PageRank vs an
   unrolled-CTE oracle) → 18;
+- fresh7e (1 NEW r7 query: rel_funnel_conversion — ordered-event
+  funnel) → 19;
 - fresh6 (2; the totals harness was reworked this round to the
-  sink-based last-state pattern — needs a fresh driver row) → 19-20;
+  sink-based last-state pattern — needs a fresh driver row) → 20-21;
 - sinks (5; sink_dpp_join_pruned registered AFTER the r6 sweep and has
   never had a driver row — the r6 verdict's #1 debt; the other four
-  refresh their r05 rows) → 21-25;
+  refresh their r05 rows) → 22-26;
 - relational2 (6; agg_distinct_stats, agg_approx_distinct,
   agg_star_pricing, rel_full_outer_join, rel_pivot_priority_revenue,
   rel_unpivot_metrics — the r04-era rows, oldest evidence in the
   catalog, split out of relational.py for exactly this rotation) →
-  26-31;
-- dedup (8, r05 rows) → 32-39;
+  27-32;
+- dedup (8, r05 rows) → 33-40;
 - textstats (9, r05 rows; registers ahead of pipeline because
-  pipeline.py imports it at module top) → 40-48;
-- pipeline (first 2 of 8, r05 rows) → 49-50.
+  pipeline.py imports it at module top) → 41-49;
+- pipeline (first 1 of 8, r05 rows) → 50.
 
-Out of window this round: pipeline's last 6, streaming (8, r05) and
+Out of window this round: pipeline's last 7, streaming (8, r05) and
 fresh (4, r05) — rotate these FIRST in r8 — then temporal, advanced,
 multimodal, similarity, relational (all driver-green r06).
 """
@@ -50,12 +52,14 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh7b,       # NEW r7: 5 pipeline/retrieval/quantization queries
     fresh7c,       # NEW r7: CDC compaction + SCD2 intervals
     fresh7d,       # NEW r7: PageRank vs unrolled-CTE oracle
+    fresh7e,       # NEW r7: ordered-event funnel conversion
     fresh6,        # totals harness reworked r7 — re-pin both stateful queries
     sinks,         # sink_dpp_join_pruned's first-ever driver row (r6 debt #1)
     relational2,   # the six r04-era rows (r6 debt #2)
     dedup,         # r05 rows
-    pipeline,      # r05 rows (transitively registers textstats first)
-    streaming,     # r05 rows (first 2 in window; last 6 rotate in r8)
+    pipeline,      # r05 rows (transitively registers textstats first;
+                   # first 2 queries in window, last 6 rotate in r8)
+    streaming,     # r05 rows — out of window, rotate FIRST in r8
     fresh,         # r05 rows — out of window, rotate in r8
     textstats,     # already registered via pipeline's import; kept for clarity
     temporal,      # driver-green r06
