@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_system_spark.caches import tracked_cache
 from mapreduce_system_spark.operators.graph import pagerank
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
@@ -73,7 +74,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapReduce paper motivated but the reference cannot iterate."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    e = (
+    # cache the deduped directed pair set: the union below references it
+    # twice, and the operator derives outdegrees, contribution edges, AND
+    # the node set from that union — without the cache the fact-fact
+    # join + distinct (the probe's only heavy subtree) re-runs ~4x
+    e = tracked_cache(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
