@@ -130,3 +130,30 @@ def test_int8_quantization_error_is_bounded_by_step(spark):
     worst_mse_ppm = sum((float(s.range) / 510.0) ** 2 for s in stats) / len(stats) * 1e6
     for r in rows:
         assert 0 < r.mse_ppm <= worst_mse_ppm + 1e-6, (r.label, r.mse_ppm, worst_mse_ppm)
+
+
+def test_int8_quantization_constant_dimension_passes_through(spark, tmp_path):
+    """A dimension with mx == mn must pass through unquantized (zero
+    error, no division by zero) on the Spark side — the oracle has the
+    matching CASE branch, but the fixture never exercises it, so pin it
+    on a synthetic table: dim0 constant, dim1 varying."""
+    from pyspark.sql import types as T
+    import pyspark.sql.functions as F
+    from mapreduce_system_spark.queries.fresh7b import q_int8_quantize_error
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [(i, [0.5] + [float(i % 7) / 7.0] * 63, i % 2) for i in range(40)]
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_int8_quantize_error(spark, str(tmp_path)).collect()
+    assert {r.label for r in out} == {0, 1}
+    for r in out:
+        assert r.n_vecs == 20
+        # finite, small, and non-negative: the constant dim contributed 0
+        assert 0 <= r.mse_ppm < 1e6
+        assert r.mse_ppm == r.mse_ppm  # not NaN

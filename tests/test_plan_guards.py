@@ -197,3 +197,46 @@ def test_bloom_join_runtime_filter_injected_and_exact(spark):
         )
     )
     assert rows == want and len(rows) > 0
+
+
+# --- round-7 additions -----------------------------------------------------
+# The r7 queries' scale stories, pinned so a refactor cannot silently
+# degrade them: BM25 must stay broadcast-driven (the corpus never rides a
+# sort-merge join), the funnel's event_type predicates must reach the
+# parquet scan, and int8 quantization's per-dimension stats must come
+# back via broadcast.
+
+
+def test_bm25_is_broadcast_driven(spark):
+    from mapreduce_system_spark.queries.fresh7b import q_bm25_topk
+
+    plan = formatted_plan(q_bm25_topk(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # query-terms, df, and corpus-stats joins all broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_funnel_pushes_event_type_to_scan(spark):
+    from mapreduce_system_spark.plans.checks import has_pushed_filters
+    from mapreduce_system_spark.queries.fresh7e import q_funnel_conversion
+
+    df = q_funnel_conversion(spark, SF_DIR)
+    assert has_pushed_filters(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_int8_quantize_stats_join_broadcasts(spark):
+    from mapreduce_system_spark.queries.fresh7b import q_int8_quantize_error
+
+    plan = formatted_plan(q_int8_quantize_error(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gap_fill_spine_join_has_no_shuffle_join(spark):
+    from mapreduce_system_spark.queries.fresh7b import q_gap_fill_daily
+
+    plan = formatted_plan(q_gap_fill_daily(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
