@@ -1,0 +1,74 @@
+"""Round-7 addition (weighted sampling): deterministic A-ES top-k.
+
+``pipe_weighted_sample`` — weighted sampling WITHOUT replacement by the
+Efraimidis–Spirakis A-ES scheme: each row gets key = u^(1/w) for
+uniform u in (0, 1] and weight w, and the k largest keys are an exact
+weighted sample. Corpus-mixture construction uses precisely this to
+over-sample high-value documents (here w = n_chars, the "prefer longer
+documents" mix) while staying reproducible: u derives from md5(doc_id)
+— the same RNG-free trick as ``pipe_hash_split``/``pipe_hash_sample``
+— so the sample is a pure function of the corpus, stable across
+re-runs, partitionings, and engines.
+
+Scale shape: the key is map-only; the global top-k runs as Spark's
+``TakeOrderedAndProject`` (per-partition top-k, driver merge of
+k × partitions rows) — no global sort, no shuffle of the corpus, the
+same physical shape as ``mr_sort_topn``. The oracle recomputes the
+identical keys in DuckDB and must select the same k rows.
+
+The reference can express the key computation as a mapf but has no
+top-k at all — its only ordering is the per-reduce-partition key sort
+(worker.go:16-21,153; SURVEY.md §2b sorts/limits row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+
+_K = 100
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         pow(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+             / 4294967296.0,
+           CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         ) AS k
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, round(k, 6) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {_K}
+"""
+
+
+@register("pipe_weighted_sample", _WEIGHTED_SAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} A-ES weighted sample of documents with w = n_chars.
+
+    Inclusion probability rises with weight (the pytest pins the
+    sample's mean n_chars above the corpus mean); determinism comes
+    from md5-derived uniforms, so the DuckDB oracle reselects the
+    exact same rows."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / 4294967296.0
+    k = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(_K)
+        .select("doc_id", "source", "n_chars", F.round("k", 6).alias("sample_key"))
+    )

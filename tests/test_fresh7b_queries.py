@@ -157,3 +157,28 @@ def test_int8_quantization_constant_dimension_passes_through(spark, tmp_path):
         # finite, small, and non-negative: the constant dim contributed 0
         assert 0 <= r.mse_ppm < 1e6
         assert r.mse_ppm == r.mse_ppm  # not NaN
+
+
+def test_weighted_sample_prefers_heavy_docs_and_is_topk_shaped(spark):
+    """A-ES with w = n_chars must (a) return exactly k rows with keys
+    descending, (b) skew the sample toward long documents (mean sample
+    n_chars above the corpus mean), and (c) run as TakeOrderedAndProject
+    — per-partition top-k, no global sort exchange."""
+    from mapreduce_system_spark.plans.checks import formatted_plan
+    from mapreduce_system_spark.queries.fresh7f import _K, q_weighted_sample
+
+    df = q_weighted_sample(spark, SF_DIR_MID)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert len(rows) == _K
+    keys = [r.sample_key for r in rows]
+    assert all(a >= b for a, b in zip(keys, keys[1:]))
+    assert all(0 < k <= 1 for k in keys)
+    corpus_mean = (
+        spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
