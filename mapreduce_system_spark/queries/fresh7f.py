@@ -1,4 +1,4 @@
-"""Round-7 addition (weighted sampling): deterministic A-ES top-k.
+"""Round-7 additions (final): A-ES weighted sampling + shingle novelty.
 
 ``pipe_weighted_sample`` — weighted sampling WITHOUT replacement by the
 Efraimidis–Spirakis A-ES scheme: each row gets key = u^(1/w) for
@@ -71,4 +71,63 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("k"), "doc_id")
         .limit(_K)
         .select("doc_id", "source", "n_chars", F.round("k", 6).alias("sample_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_shingle_novelty — uniqueness scoring for data curation
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]) AS sg
+  FROM toks
+  WHERE len(ts) >= 3
+), ex AS (
+  SELECT doc_id, unnest(sg) AS sg FROM sh
+), dfc AS (
+  SELECT sg, count(*) AS df FROM ex GROUP BY 1
+)
+SELECT ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(avg(CASE WHEN dfc.df = 1 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END), 4) AS novelty
+FROM ex JOIN dfc USING (sg)
+GROUP BY ex.doc_id
+ORDER BY ex.doc_id
+"""
+
+
+@register("txt_shingle_novelty", _NOVELTY_SQL)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's 3-gram shingles that
+    appear in NO other document (corpus df = 1) — the uniqueness metric
+    curation pipelines use to find boilerplate (novelty → 0: template
+    families, the fixture's planted near-dups) vs one-of-a-kind text
+    (novelty → 1). Dual of the dedup pair view: same shingle algebra
+    (``functions.text.shingles``, mirrored in the oracle CTEs shared
+    with dedup_jaccard_pairs), but aggregated per document instead of
+    joined into pairs — two shuffles (shingle df, per-doc mean), no
+    doc x doc anywhere. The reference would need two chained MapReduce
+    jobs (df count, then re-join) for this."""
+    from mapreduce_system_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sh = docs.select("doc_id", F.explode(shingles("text")).alias("sg"))
+    dfc = sh.groupBy("sg").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfc, "sg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

@@ -182,3 +182,25 @@ def test_weighted_sample_prefers_heavy_docs_and_is_topk_shaped(spark):
     )
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_shingle_novelty_separates_dup_family_from_unique_text(spark):
+    """Novelty must be a share in [0, 1], cover every >=3-token doc, and
+    the planted near-dup family (docs whose text contains the 'dup'
+    marker) must score well below the corpus mean — they share almost
+    all shingles with their clones by construction."""
+    from mapreduce_system_spark.queries.fresh7f import q_shingle_novelty
+
+    rows = q_shingle_novelty(spark, SF_DIR_MID).collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r.novelty <= 1.0 and r.n_shingles > 0 for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+    dup_ids = {
+        r.doc_id
+        for r in docs.where(F.lower("text").rlike(r"\bdup\b")).select("doc_id").collect()
+    }
+    assert dup_ids, "fixture lost its planted dup family"
+    by_id = {r.doc_id: r.novelty for r in rows}
+    dup_mean = sum(by_id[i] for i in dup_ids if i in by_id) / len(dup_ids)
+    all_mean = sum(by_id.values()) / len(by_id)
+    assert dup_mean < all_mean * 0.8, (dup_mean, all_mean)
