@@ -50,6 +50,8 @@ QUERIES = [
     "rel_scd2_intervals",
     "graph_pagerank",
     "rel_funnel_conversion",
+    "pipe_weighted_sample",
+    "txt_shingle_novelty",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
