@@ -25,25 +25,27 @@ executing VERDICT.md r6 #1/#2 plus the new r7 exhibits:
   unrolled-CTE oracle) → 18;
 - fresh7e (1 NEW r7 query: rel_funnel_conversion — ordered-event
   funnel) → 19;
-- fresh7f (2 NEW r7 queries: pipe_weighted_sample — deterministic A-ES
-  weighted top-k sampling — and txt_shingle_novelty) → 20-21;
+- fresh7f (3 NEW r7 queries: pipe_weighted_sample — deterministic A-ES
+  weighted top-k sampling — txt_shingle_novelty, and
+  agg_moments_profile) → 20-22;
 - fresh6 (2; the totals harness was reworked this round to the
-  sink-based last-state pattern — needs a fresh driver row) → 22-23;
+  sink-based last-state pattern — needs a fresh driver row) → 23-24;
 - sinks (5; sink_dpp_join_pruned registered AFTER the r6 sweep and has
   never had a driver row — the r6 verdict's #1 debt; the other four
-  refresh their r05 rows) → 24-28;
+  refresh their r05 rows) → 25-29;
 - relational2 (6; agg_distinct_stats, agg_approx_distinct,
   agg_star_pricing, rel_full_outer_join, rel_pivot_priority_revenue,
   rel_unpivot_metrics — the r04-era rows, oldest evidence in the
   catalog, split out of relational.py for exactly this rotation) →
-  29-34;
-- dedup (8, r05 rows) → 35-42;
-- textstats (first 8 of 9, r05 rows; registers ahead of pipeline
-  because pipeline.py imports it at module top) → 43-50.
+  30-35;
+- dedup (8, r05 rows) → 36-43;
+- textstats (first 7 of 9, r05 rows; registers ahead of pipeline
+  because pipeline.py imports it at module top) → 44-50.
 
-Out of window this round: txt_heavy_hitters, pipeline (8), streaming
-(8) and fresh (4) — all r05; rotate these FIRST in r8 — then temporal,
-advanced, multimodal, similarity, relational (all driver-green r06).
+Out of window this round: textstats' last 2 (udtf_sentence_stats,
+txt_heavy_hitters), pipeline (8), streaming (8) and fresh (4) — all
+r05; rotate these FIRST in r8 — then temporal, advanced, multimodal,
+similarity, relational (all driver-green r06).
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh7c,       # NEW r7: CDC compaction + SCD2 intervals
     fresh7d,       # NEW r7: PageRank vs unrolled-CTE oracle
     fresh7e,       # NEW r7: ordered-event funnel conversion
-    fresh7f,       # NEW r7: A-ES weighted sampling + shingle novelty
+    fresh7f,       # NEW r7: A-ES sampling, novelty, moment aggregates
     fresh6,        # totals harness reworked r7 — re-pin both stateful queries
     sinks,         # sink_dpp_join_pruned's first-ever driver row (r6 debt #1)
     relational2,   # the six r04-era rows (r6 debt #2)

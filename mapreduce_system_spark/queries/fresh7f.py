@@ -1,4 +1,4 @@
-"""Round-7 additions (final): A-ES weighted sampling + shingle novelty.
+"""Round-7 additions (final): weighted sampling, novelty, moment aggregates.
 
 ``pipe_weighted_sample`` — weighted sampling WITHOUT replacement by the
 Efraimidis–Spirakis A-ES scheme: each row gets key = u^(1/w) for
@@ -130,4 +130,52 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_moments_profile — statistical moment aggregates
+# ---------------------------------------------------------------------------
+
+_MOMENTS_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_moments_profile", _MOMENTS_SQL)
+def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate surface per return flag: sample stddev /
+    variance, Pearson correlation, and sample covariance — the sanity
+    statistics every feature/ingest pipeline computes before training.
+    All four are algebraic aggregates (constant-size partial state:
+    n, Σx, Σx², Σxy), so Catalyst runs them partial+final with map-side
+    combine exactly like sum/count — one shuffle of 3 groups × a few
+    doubles regardless of corpus size. Both engines use the n-1 sample
+    definitions; single-pass update-order differences vanish under the
+    rounding. (The reference's reduce would need hand-written
+    sum-of-squares state for this, worker.go:161-165.)"""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
     )

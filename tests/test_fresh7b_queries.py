@@ -204,3 +204,20 @@ def test_shingle_novelty_separates_dup_family_from_unique_text(spark):
     dup_mean = sum(by_id[i] for i in dup_ids if i in by_id) / len(dup_ids)
     all_mean = sum(by_id.values()) / len(by_id)
     assert dup_mean < all_mean * 0.8, (dup_mean, all_mean)
+
+
+def test_moments_profile_is_partial_aggregable_and_sane(spark):
+    """Moment aggregates must run as a two-phase hash aggregate (no
+    window, no sort) and satisfy the Cauchy-Schwarz identity
+    |corr| <= 1 with covar = corr * sd_x * sd_y up to rounding."""
+    from mapreduce_system_spark.plans.checks import formatted_plan
+    from mapreduce_system_spark.queries.fresh7f import q_moments_profile
+
+    df = q_moments_profile(spark, SF_DIR_MID)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan and "Window" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n > 0 and r.sd_price > 0 and r.var_disc > 0
+        assert abs(r.corr_qty_price) <= 1.0
