@@ -23,8 +23,8 @@ from JVM-side built-ins with a DuckDB ANSI-SQL twin:
 - ``txt_unigram_surprisal`` — unigram-LM surprisal per document (mean
   -ln p(token)), the classic cheap perplexity proxy used for corpus
   quality filtering. The LM is the corpus's own unigram distribution:
-  one token-count aggregation (vocab-sized → broadcast) joined back to
-  the token stream, then a per-doc mean.
+  one token-count aggregation joined back to the token stream (no
+  forced broadcast — AQE sizes the join), then a per-doc mean.
 - ``emb_int8_quantize_error`` — scalar int8 quantization of the
   embedding column: per-dimension global [min, max] (one aggregation,
   64 rows), codes = floor(255 * normalized + 0.5), then per-label mean
@@ -179,6 +179,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("word").agg(F.count("*").cast("double").alias("df"))
     q = spark.createDataFrame(_BM25_QUERIES, ["query", "word"])
+    # Pre-filter the df aggregate down to the query terms BEFORE it is
+    # broadcast: the full vocabulary of a web-scale corpus is tens of
+    # millions of rows and must never ride a forced broadcast hint. The
+    # (tiny) query term list is the broadcast side of the semi-reduction,
+    # so the build relation below is bounded by |query terms|, not |vocab|.
+    dfq = df.join(F.broadcast(q.select("word").distinct()), "word")
 
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -188,7 +194,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(tf, "word")
-        .join(F.broadcast(df), "word")
+        .join(F.broadcast(dfq), "word")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .groupBy("query", "doc_id")
@@ -289,15 +295,19 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     unusual token mix; log-perplexity = this value exactly).
 
     The LM is the corpus's own unigram distribution: one token-count
-    aggregation produces a vocab-sized table that broadcasts back onto
-    the token stream, then a per-doc mean — two shuffles total (vocab
-    agg + per-doc agg), both map-side-combinable."""
+    aggregation produces a vocab-sized table joined back onto the token
+    stream, then a per-doc mean. The LM join carries NO broadcast hint:
+    the unigram vocabulary of a noisy web corpus (typos, ids, numerals
+    under \\W+ tokenization) is not broadcast-sized, so AQE picks the
+    strategy from the actual build-side size — broadcast at test scale,
+    shuffled hash join on ``word`` (map-side combine already done by the
+    LM aggregation) at corpus scale."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     lm = tok.groupBy("word").agg(F.count("*").cast("double").alias("cnt"))
     total = tok.agg(F.count("*").cast("double").alias("n"))
     return (
-        tok.join(F.broadcast(lm), "word")
+        tok.join(lm, "word")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -314,8 +324,10 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INT8_SQL = """
 WITH comp AS (
-  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-  FROM embeddings, generate_series(1, 64) AS g(i)
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
 ),
 stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM comp GROUP BY 1),
 deq AS (
@@ -328,7 +340,7 @@ deq AS (
   FROM comp c JOIN stats s ON s.pos = c.pos
 ),
 per_vec AS (
-  SELECT vec_id, label, sum((v - vq) * (v - vq)) / 64 AS mse
+  SELECT vec_id, label, avg((v - vq) * (v - vq)) AS mse
   FROM deq GROUP BY 1, 2
 )
 SELECT label,
@@ -366,11 +378,15 @@ def q_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx > mn,
         mn + F.floor((v - mn) / (mx - mn) * 255 + 0.5) * (mx - mn) / 255,
     ).otherwise(v)
+    # MSE denominator is the observed per-vector dimension count (avg over
+    # exploded components), not a hard-coded width: if the fixture's
+    # embedding width ever changes, Spark and the oracle move together
+    # (the oracle's generate_series bound is len(embedding) likewise).
     per_vec = (
         comp.join(F.broadcast(stats), "pos")
         .select("vec_id", "label", ((v - vq) * (v - vq)).alias("se"))
         .groupBy("vec_id", "label")
-        .agg((F.sum("se") / 64).alias("mse"))
+        .agg(F.avg("se").alias("mse"))
     )
     return (
         per_vec.groupBy("label")

@@ -207,6 +207,18 @@ def test_bloom_join_runtime_filter_injected_and_exact(spark):
 # back via broadcast.
 
 
+def _tree_lines(plan: str) -> list[tuple[int, str]]:
+    """(indent, node) pairs for the formatted plan's tree section."""
+    out = []
+    for line in plan.splitlines():
+        if "+-" in line or ":-" in line or line.startswith("*"):
+            marker = max(line.find("+-"), line.find(":-"))
+            out.append((marker, line))
+        if line.startswith("(1) ") or line.startswith("== Physical Plan =="):
+            continue
+    return out
+
+
 def test_bm25_is_broadcast_driven(spark):
     from mapreduce_system_spark.queries.fresh7b import q_bm25_topk
 
@@ -215,6 +227,28 @@ def test_bm25_is_broadcast_driven(spark):
     assert "CartesianProduct" not in plan, plan
     # query-terms, df, and corpus-stats joins all broadcast
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_bm25_df_broadcast_build_side_is_query_filtered(spark):
+    """The broadcast df relation must be the query-term-filtered aggregate,
+    never the full-vocabulary aggregate (VERDICT r7 #2): the fix nests the
+    query-terms broadcast join INSIDE the df broadcast subtree, so the plan
+    must contain a BroadcastExchange with another BroadcastExchange below it
+    — the semi-reduction that bounds the shipped relation to |query terms|."""
+    from mapreduce_system_spark.queries.fresh7b import q_bm25_topk
+
+    plan = formatted_plan(q_bm25_topk(spark, SF_DIR))
+    tree = _tree_lines(plan)
+    nested = False
+    for i, (indent, line) in enumerate(tree):
+        if "BroadcastExchange" not in line:
+            continue
+        for indent2, line2 in tree[i + 1 :]:
+            if indent2 <= indent:
+                break
+            if "BroadcastExchange" in line2:
+                nested = True
+    assert nested, f"df build side not pre-filtered by query terms:\n{plan}"
 
 
 def test_funnel_pushes_event_type_to_scan(spark):
