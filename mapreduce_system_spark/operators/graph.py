@@ -43,14 +43,30 @@ def pagerank(
     *,
     iterations: int = 3,
     damping: float = 0.85,
+    dangling: str = "none",
+    tol: float | None = None,
 ) -> DataFrame:
     """Rank nodes of the directed edge list by PageRank.
 
     ``edges`` should be deduplicated by the caller (duplicate edges act
-    as weights). Every node must have at least one out-edge (feed an
-    undirected graph as two directed edges to guarantee it — dangling
-    mass redistribution is deliberately out of scope so the recurrence
-    matches the unrolled SQL oracle exactly). Returns (node, rank).
+    as weights). ``dangling`` picks the treatment of nodes with no
+    out-edge:
+
+    - ``"none"`` (default): dangling mass leaks — the recurrence is
+      exactly ``base + d * contrib``, matching the unrolled SQL oracle
+      of ``graph_pagerank``. Feed an undirected graph as two directed
+      edges and no node dangles, so nothing leaks.
+    - ``"redistribute"``: the standard correction — each round the mass
+      sitting on out-degree-0 nodes is shared uniformly,
+      ``base + d * (contrib + m/N)``. The per-round dangling mass is a
+      one-row aggregate broadcast back into the update (never a driver
+      value), so total rank stays 1 at any graph size.
+
+    ``tol`` (optional) stops early once the L1 rank change of a round
+    drops below it (same driver-scalar-per-round posture as
+    ``clustering.kmeans_fit``); ``iterations`` is then the cap. With
+    ``tol=None`` the loop runs exactly ``iterations`` rounds so the
+    unrolled oracles stay exact. Returns (node, rank).
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -65,6 +81,13 @@ def pagerank(
     n = nodes.count()  # bounded driver scalar (node count)
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    dang = None
+    if dangling == "redistribute":
+        dang = tracked_cache(
+            nodes.join(deg.select(F.col("u").alias("node")), "node", "left_anti")
+        )
+    elif dangling != "none":
+        raise ValueError(f"dangling must be 'none' or 'redistribute', got {dangling!r}")
     base = 0.15 / n if damping == 0.85 else (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev_ids: set[int] = set()
@@ -75,22 +98,36 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        before = persistent_rdd_ids(spark)
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
+        gain = F.coalesce("contrib", F.lit(0.0))
+        updated = nodes.join(contribs, "node", "left")
+        if dang is not None:
+            # one-row dangling-mass aggregate, broadcast into the update —
+            # the division by N is spelled `m / n` to mirror the oracle
+            mdf = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
             )
-            .localCheckpoint(eager=True)
-        )
+            updated = updated.crossJoin(F.broadcast(mdf))
+            gain = gain + F.col("m") / F.lit(float(n))
+        before = persistent_rdd_ids(spark)
+        new_ranks = updated.select(
+            "node", (F.lit(base) + F.lit(damping) * gain).alias("rank")
+        ).localCheckpoint(eager=True)
         step_ids = persistent_rdd_ids(spark) - before
+        done = False
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            done = delta is not None and delta < tol
         if prev_ids:
             unpersist_rdd_ids(spark, prev_ids)
         prev_ids = step_ids
+        ranks = new_ranks
+        if done:
+            break
     if prev_ids:
         track_rdd_ids(spark, prev_ids)
     return ranks

@@ -1,0 +1,110 @@
+"""Round-8 additions (first batch): PageRank with dangling-mass handling.
+
+``graph_pagerank_dangling`` runs the DIRECTED customer→supplier purchase
+graph — suppliers have no out-edges, so every supplier is a dangling
+node and the leaky recurrence of ``graph_pagerank`` would lose ~all
+probability mass within a few rounds. The operator's ``redistribute``
+mode (operators/graph.py) adds the standard correction: each round the
+mass sitting on out-degree-0 nodes is shared uniformly,
+``rank = base + d * (contrib + m/N)``, with the per-round dangling mass
+``m`` computed as a one-row aggregate broadcast back into the update —
+no driver-side state.
+
+The oracle unrolls the corrected recurrence into chained CTEs exactly
+like ``queries/fresh7d.py`` does for the leak-free variant, with one
+extra one-row CTE per round (``m0``, ``m1``, …) spelling the identical
+``coalesce(sum(rank), 0.0)`` over the dangling node set and the
+identical ``m / n`` division — so the driver's value hash covers the
+dangling term itself, not just the converged shape.
+
+Reference contrast: the reference's one-shot map→reduce (coordinator.
+go:126-141) cannot iterate at all; see operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.caches import tracked_cache
+from mapreduce_system_spark.operators.graph import pagerank
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+
+_ITERATIONS = 3
+
+
+def _iter_cte(prev: str, cur: str, m: str) -> str:
+    """One unrolled dangling-corrected PageRank iteration (formula
+    mirrors operators/graph.py's redistribute branch exactly)."""
+    return f"""{m} AS (
+  SELECT coalesce(sum({prev}.rank), CAST(0.0 AS DOUBLE)) AS m
+  FROM {prev} JOIN dang USING (node)
+),
+{cur} AS (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE) * (coalesce(s.contrib, CAST(0.0 AS DOUBLE)) + mm.m / nn.n) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN {m} mm
+  LEFT JOIN (
+    SELECT ce.v AS node, sum({prev}.rank * ce.w) AS contrib
+    FROM ce JOIN {prev} ON {prev}.node = ce.u
+    GROUP BY 1
+  ) s ON s.node = nodes.node
+)"""
+
+
+_PAGERANK_DANGLING_SQL = (
+    """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (SELECT src AS u, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
+ce AS (SELECT e.src AS u, e.dst AS v, CAST(1.0 AS DOUBLE) / deg.outdeg AS w
+       FROM e JOIN deg ON deg.u = e.src),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT u FROM deg)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+"""
+    + ",\n".join(_iter_cte(f"r{i}", f"r{i + 1}", f"m{i}") for i in range(_ITERATIONS))
+    + f"""
+SELECT node, round(rank * 1000000, 4) AS rank_ppm
+FROM r{_ITERATIONS}
+ORDER BY node
+"""
+)
+
+
+@register("graph_pagerank_dangling", _PAGERANK_DANGLING_SQL)
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank of the DIRECTED customer→supplier graph with
+    dangling-mass redistribution, in ppm. Every supplier dangles (no
+    out-edges), so this exercises the correction term end-to-end:
+    without it the reported mass would collapse toward the teleport
+    floor; with it the ppm column sums to ~1,000,000."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    # Long node ids for fixed-width shuffle keys, exactly as
+    # queries/fresh7d.py — only the final result maps to string labels.
+    off = 1_000_000_000
+    e = tracked_cache(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + off).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(e, iterations=_ITERATIONS, damping=0.85, dangling="redistribute")
+    label = (
+        F.when(
+            F.col("node") >= off,
+            F.concat(F.lit("s"), (F.col("node") - off).cast("string")),
+        ).otherwise(F.concat(F.lit("c"), F.col("node").cast("string")))
+    )
+    return ranks.select(
+        label.alias("node"), F.round(F.col("rank") * 1000000, 4).alias("rank_ppm")
+    ).orderBy("node")
