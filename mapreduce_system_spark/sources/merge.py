@@ -1,0 +1,110 @@
+"""MERGE-style keyed upsert into a bucket-partitioned parquet sink.
+
+The write path a production corpus pipeline runs daily: fold an
+incremental changelog batch into a keyed sink, keeping the latest
+record per key. The read-side algebra is ``rel_cdc_latest_state``
+(queries/fresh7c.py) — ``max(struct(order_cols…, payload…))`` per key,
+an ordinary aggregate with map-side partial combine; this module adds
+the write side.
+
+Scale design — the sink is hive-partitioned by
+``__bucket = pmod(hash(key), n_buckets)``:
+
+- a batch only touches the buckets its keys hash to, so the merge
+  reads back ONLY those partitions (partition pruning on the bucket
+  column) and rewrites ONLY those partitions
+  (``partitionOverwriteMode=dynamic``). Merge cost scales with batch ∪
+  touched-bucket size, never with the full sink;
+- the only driver-side value is the touched-bucket list (≤ n_buckets
+  ints);
+- commit granularity is per-partition (FileOutputCommitter's
+  tmp+rename — the same protocol as the reference's single-committer
+  rename, worker.go:154-170, coordinator.go:50-79, applied per bucket
+  directory). Cross-bucket atomicity is deliberately NOT promised:
+  recovery is idempotent replay — re-applying a batch rewrites the
+  same buckets to the same logical content (asserted in
+  tests/test_merge_sink.py), which is the recovery contract real
+  ingest pipelines run on.
+
+At 100 TB, ``n_buckets`` sizes the rewrite amplification: more buckets
+= finer rewrites but more files; pick so one bucket's latest-state
+fits a task comfortably (the per-key state is ONE row, so bucket size
+tracks key cardinality, not changelog volume).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.caches import persistent_rdd_ids, unpersist_rdd_ids
+
+_BUCKET = "__bucket"
+
+
+def _sink_exists(sink_path: str) -> bool:
+    # dynamic-partition-overwrite commits do NOT leave a root _SUCCESS
+    # marker — presence of any committed bucket directory is the signal
+    return any(Path(sink_path).glob(f"{_BUCKET}=*"))
+
+
+def read_latest(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Current latest-state view of the sink (all buckets)."""
+    return spark.read.parquet(sink_path).drop(_BUCKET)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    sink_path: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_buckets: int = 16,
+) -> None:
+    """Upsert ``batch`` into the keyed sink at ``sink_path``.
+
+    Keeps, per key, the row with the greatest ``(order_cols…, rest…)``
+    struct across the existing state and the batch — ties are
+    impossible when ``order_cols`` is a per-key unique sequence (e.g.
+    ``[ts, event_id]``). Idempotent: re-applying a batch (or applying
+    batches in any order) converges to the same state.
+    """
+    payload = [c for c in batch.columns if c not in key_cols]
+    ordered = list(order_cols) + [c for c in payload if c not in order_cols]
+    b = batch.withColumn(_BUCKET, F.pmod(F.hash(*key_cols), F.lit(n_buckets)))
+    if _sink_exists(sink_path):
+        # touched buckets: bounded driver list (≤ n_buckets ints)
+        touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
+        cur = (
+            spark.read.parquet(sink_path)
+            .where(F.col(_BUCKET).isin(touched))
+            .select(*b.columns)
+        )
+        all_rows = cur.unionByName(b)
+    else:
+        all_rows = b
+    merged = (
+        all_rows.groupBy(*key_cols, _BUCKET)
+        .agg(F.max(F.struct(*ordered)).alias("__s"))
+        .select(
+            *key_cols,
+            *[F.col(f"__s.{c}").alias(c) for c in ordered],
+            _BUCKET,
+        )
+    )
+    # Sever the plan from the sink before overwriting it (Spark refuses a
+    # write whose source plan reads the target path). The checkpointed
+    # blocks are released right after the write commits.
+    before = persistent_rdd_ids(spark)
+    merged = merged.localCheckpoint(eager=True)
+    step_ids = persistent_rdd_ids(spark) - before
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(sink_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        if step_ids:
+            unpersist_rdd_ids(spark, step_ids)
