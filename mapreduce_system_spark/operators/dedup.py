@@ -125,6 +125,58 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: C = |A∩B| / min(|A|, |B|).
+
+    The asymmetric cousin of ``jaccard_pairs`` that catches SUBSET
+    duplicates — a short document embedded verbatim inside a long one
+    scores C ≈ 1 while its Jaccard collapses toward |A|/|B|. Because
+    unequal sizes are exactly the target, there is deliberately NO
+    length-ratio prune (contrast jaccard_pairs); candidate generation
+    is the same inverted-index equi-join with the same stop-shingle DF
+    cap bounding skew, so the plan stays linear in postings, never
+    doc×doc.
+    """
+    sets = tracked_cache(shingle_sets(df, n, text_col, id_col))
+    exploded = sets.select("id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 _MAX_LONG = (1 << 63) - 1
 
 

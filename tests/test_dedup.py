@@ -172,3 +172,21 @@ def test_connected_components_releases_previous_rounds(spark):
     assert len(grown) <= 3, grown
     caches.release()
     assert not (caches.persistent_rdd_ids(spark) - before)
+
+
+def test_containment_catches_subset_duplicate(spark):
+    """A short doc embedded verbatim in a long one: containment ~1 while
+    Jaccard stays below any useful threshold — the operator's reason to
+    exist."""
+    from mapreduce_system_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different content here entirely")],
+        ["doc_id", "text"],
+    )
+    c = {(r.id_a, r.id_b): r.containment for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in c and c[(1, 2)] >= 0.99
+    j = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) not in j

@@ -274,3 +274,8 @@ def test_gap_fill_spine_join_has_no_shuffle_join(spark):
 
     plan = formatted_plan(q_gap_fill_daily(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_containment_pairs_has_no_all_pairs_join(spark):
+    docs = load_table(spark, SF_DIR, "documents", columns=["doc_id", "text"])
+    _assert_equi_join_only(DD.containment_pairs(docs, max_shingle_df=100))
