@@ -154,3 +154,91 @@ def range_join(
     """Band join: fact rows matched to [lo, hi) intervals (broadcast)."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(bands), cond)
+
+
+def _time_as_long(col: F.Column, dtype: str) -> F.Column:
+    """Exact integer image of a time column for gap comparison: epoch
+    micros for timestamps, the raw value for integral types. Gaps are
+    compared as longs, never doubles — a double epoch loses µs precision
+    at 2024-scale magnitudes and would flip near-tie decisions."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col)
+    return col.cast("long")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Nearest-in-time as-of join (pandas ``merge_asof(direction=
+    'nearest')``): attach the right payload minimizing
+    ``|right_time − left_time|`` within the key; equal distances prefer
+    the backward (``right_time <= left_time``) match.
+
+    Built as the backward and forward propagations over ONE union of
+    the tagged streams: the same keyed window partition evaluated under
+    ascending and descending time order (one exchange, two sorts), then
+    a per-row pick by exact integer gap. Same preconditions and NULL
+    semantics as ``asof_join``; scales identically (keyed window, no
+    self-join).
+    """
+    right = right.where(F.col(on).isNotNull() & F.col(right_time).isNotNull())
+    rt_type = dict(right.dtypes)[right_time]
+    lt_type = dict(left.dtypes)[left_time]
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__r"),
+        F.struct(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema]
+        ).alias("__left"),
+        F.struct(
+            _time_as_long(F.col(right_time), rt_type).alias("__rt_us"),
+            *payload_cols,
+        ).alias("__p"),
+    )
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__r"),
+        F.struct(*left.columns).alias("__left"),
+        F.lit(None).cast(rt.schema["__p"].dataType).alias("__p"),
+    )
+    # backward: ascending time, right-before-left at ties (<= semantics);
+    # forward: descending time, right-before-left at ties (>= semantics)
+    w_b = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__r").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_f = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__r").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = lt.unionByName(rt).select(
+        "__r",
+        "__left",
+        _time_as_long(F.col("__t"), lt_type).alias("__lt_us"),
+        F.last("__p", ignorenulls=True).over(w_b).alias("__pb"),
+        F.last("__p", ignorenulls=True).over(w_f).alias("__pf"),
+    )
+    gap_b = F.col("__lt_us") - F.col("__pb.__rt_us")
+    gap_f = F.col("__pf.__rt_us") - F.col("__lt_us")
+    pick_backward = F.col("__pb").isNotNull() & (
+        F.col("__pf").isNull() | (gap_b <= gap_f)
+    )
+    chosen = F.when(pick_backward, F.col("__pb")).otherwise(F.col("__pf"))
+    return (
+        filled.where(F.col("__r") == 0)
+        .select("__left", chosen.alias("__c"))
+        .select(
+            "__left.*",
+            *[F.col("__c")[c].alias(c) for c in payload_cols],
+            F.col("__c.__rt_us").alias("__matched_time_long"),
+        )
+    )

@@ -54,6 +54,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh8a,       # NEW r8: dangling-corrected PageRank
     fresh8b,       # NEW r8: corpus statistics (KL, entropy, Zipf)
     fresh8c,       # NEW r8: stratified sample, mix weights, containment
+    fresh8d,       # NEW r8: histogram, cume/ntile, nearest as-of, HOF stats
     fresh7,        # NEW r7: rel_bloom_join_pruned (runtime Bloom-filter join)
     fresh7b,       # NEW r7: 5 pipeline/retrieval/quantization queries
     fresh7c,       # NEW r7: CDC compaction + SCD2 intervals

@@ -117,3 +117,58 @@ def test_asof_join_salted_parity_on_skewed_keys(spark, sf_dir):
     p2 = sorted((r.id, r.payload) for r in plain2.collect())
     s2 = sorted((r.id, r.payload) for r in salted2.collect())
     assert p2 == s2 and len(p2) == 1000
+
+
+def test_asof_nearest_semantics(spark):
+    """Nearest match each direction, backward preferred on exact ties,
+    NULL payload when the key has no right rows at all."""
+    from mapreduce_system_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 21, "b"), (1, 35, "c"), (2, 5, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 12, 100), (1, 20, 200), (1, 30, 300)], ["k", "t", "payload"]
+    )
+    out = {
+        r.tag: (r.payload, r["__matched_time_long"])
+        for r in asof_join_nearest(
+            left, right, on="k", left_time="t", right_time="t",
+            payload_cols=["payload"],
+        ).collect()
+    }
+    assert out["a"] == (100, 12)   # forward-only nearest (no prior right row)
+    assert out["b"] == (200, 20)   # backward 1 vs forward 9 — backward
+    assert out["c"] == (300, 30)   # backward 5 — nearest overall
+    assert out["d"] == (None, None)  # key 2 has no right rows
+
+
+def test_asof_nearest_exact_tie_prefers_backward(spark):
+    from mapreduce_system_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 20)], ["k", "t"])
+    right = spark.createDataFrame([(1, 15, "back"), (1, 25, "fwd")], ["k", "t", "p"])
+    row = asof_join_nearest(
+        left, right, on="k", left_time="t", right_time="t", payload_cols=["p"]
+    ).collect()[0]
+    assert row.p == "back"
+
+
+def test_asof_nearest_single_exchange(spark):
+    """Both direction passes must share the one keyed exchange — the
+    operator's scale claim (a second shuffle would double the cost of
+    the dominant stage at corpus scale)."""
+    from mapreduce_system_spark.operators.asof import asof_join_nearest
+    from mapreduce_system_spark.plans.checks import formatted_plan
+
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame([(1, 12, 1.0)], ["k", "t", "p"])
+    plan = formatted_plan(
+        asof_join_nearest(left, right, on="k", left_time="t", right_time="t", payload_cols=["p"])
+    )
+    tree = plan.split("\n\n")[0]
+    n_shuffles = sum(
+        1 for line in tree.splitlines() if "Exchange" in line and "Broadcast" not in line
+    )
+    assert n_shuffles <= 2, plan  # union-side partitioning; no per-direction extra
