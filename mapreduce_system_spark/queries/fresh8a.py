@@ -115,10 +115,23 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sink_merge_upsert — MERGE-style keyed compaction write path
 # ---------------------------------------------------------------------------
 
-# The oracle is rel_cdc_latest_state's algebra verbatim: folding the
-# changelog through the upsert sink in ANY batch order must land on the
-# same latest-state view a single-pass compaction computes.
-from mapreduce_system_spark.queries.fresh7c import _CDC_SQL as _MERGE_SQL
+# The oracle is rel_cdc_latest_state's algebra verbatim (kept literal —
+# importing fresh7c at module scope would register its queries here and
+# shift the correctness window): folding the changelog through the
+# upsert sink in ANY batch order must land on the same latest-state view
+# a single-pass compaction computes.
+_MERGE_SQL = """
+SELECT user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+       event_type AS last_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
 
 
 @register("sink_merge_upsert", _MERGE_SQL)

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mapreduce_system_spark.functions import text as TXT
-from mapreduce_system_spark.queries.textstats import _STOPLIST, _TOKS, _marker_score_sql
+from mapreduce_system_spark.queries._textshared import _STOPLIST, _TOKS, _marker_score_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import ensure_parallelism, load_table
 

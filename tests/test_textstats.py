@@ -108,7 +108,7 @@ def test_heavy_hitter_candidates_are_a_superset_of_true_heavy_hitters(spark):
     """The two-pass heavy-hitter query is only correct if freqItems'
     candidate set contains every token above the FINAL support — pin the
     superset guarantee at the candidate support actually used."""
-    from mapreduce_system_spark.queries.textstats import (
+    from mapreduce_system_spark.queries.textstats2 import (
         _HH_CAND_SUPPORT,
         _HH_SUPPORT,
         q_heavy_hitters,
