@@ -64,10 +64,23 @@ HEAVY = [
 _OFFSET = 10_000_000  # id offset per replica — far above any fixture id
 
 
-def build_scaled(spark, src: str, dst: str, reps: int) -> None:
-    """Write the sharded 10× documents + embeddings tables under dst."""
+def build_scaled(spark, src: str, dst: str, reps: int, organic_pct: int = 0) -> None:
+    """Write the sharded 10× documents + embeddings tables under dst.
+
+    ``organic_pct`` > 0 switches on the ORGANIC-collision variant
+    (VERDICT r7 #5 / BASELINE §(j)): that percentage of documents —
+    selected by a hash of doc_id, so the same docs in every shard —
+    replicate WITHOUT the ``r{r}x`` token prefix (doc_id still offset),
+    and the matching embeddings keep their ORIGINAL label (jitter still
+    applied). Those rows collide across shards: each organic doc's
+    shingles gain ~reps× document frequency (bucket DEPTH growth, not
+    just bucket count) and each forms a C(reps,2) cross-shard near-dup
+    clique — the per-key regime the disjoint-shard probe admits it
+    cannot exercise."""
     docs = load_table(spark, src, "documents")
     embs = load_table(spark, src, "embeddings")
+    organic_doc = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100)) < organic_pct
+    organic_vec = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(100)) < organic_pct
     doc_parts = []
     emb_parts = []
     for r in range(reps):
@@ -75,7 +88,9 @@ def build_scaled(spark, src: str, dst: str, reps: int) -> None:
             doc_parts.append(docs)
             emb_parts.append(embs)
             continue
-        tagged = F.regexp_replace("text", r"(\w+)", f"r{r}x$1")
+        tagged = F.when(organic_doc, F.col("text")).otherwise(
+            F.regexp_replace("text", r"(\w+)", f"r{r}x$1")
+        )
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + r * _OFFSET).alias("doc_id"),
@@ -100,7 +115,9 @@ def build_scaled(spark, src: str, dst: str, reps: int) -> None:
             embs.select(
                 (F.col("vec_id") + r * _OFFSET).alias("vec_id"),
                 jit.alias("embedding"),
-                (F.col("label") + r * 1000).alias("label"),
+                F.when(organic_vec, F.col("label"))
+                .otherwise(F.col("label") + r * 1000)
+                .alias("label"),
             )
         )
     out_docs = doc_parts[0]
@@ -129,6 +146,32 @@ def shingle_candidates(spark, sf_dir: str) -> int:
         F.col("c") <= _MAX_SHINGLE_DF
     )
     return _pairs_in_groups(df_)
+
+
+def shingle_df_profile(spark, sf_dir: str) -> dict:
+    """Shingle document-frequency distribution — the per-key bucket-DEPTH
+    record the organic probe exists to produce (BASELINE §(j)): if depth
+    grows while wall time tracks candidate counts, the equi-join scale
+    argument holds in the regime the disjoint-shard probe can't reach."""
+    sets = DD.shingle_sets(
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    )
+    ex = sets.select("id", F.explode("sg").alias("shingle"))
+    dfc = ex.groupBy("shingle").agg(F.count("*").alias("c"))
+    row = dfc.agg(
+        F.expr("percentile_approx(c, array(0.5, 0.9, 0.99), 10000)").alias("p"),
+        F.max("c").alias("mx"),
+        F.count("*").alias("n"),
+        F.count_if(F.col("c") > _MAX_SHINGLE_DF).alias("capped"),
+    ).collect()[0]
+    return {
+        "n_shingles": int(row["n"]),
+        "df_p50": int(row["p"][0]),
+        "df_p90": int(row["p"][1]),
+        "df_p99": int(row["p"][2]),
+        "df_max": int(row["mx"]),
+        "over_cap": int(row["capped"]),
+    }
 
 
 def minhash_band_candidates(spark, sf_dir: str) -> int:
@@ -199,11 +242,15 @@ def time_queries(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
 def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    organic_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     dst = "/tmp/spark_graft_scale/sf1"
 
     spark = get_spark("scale_probe")
-    print(f"# building {reps}x corpus at {dst} from {src}", file=sys.stderr)
-    build_scaled(spark, src, dst, reps)
+    print(
+        f"# building {reps}x corpus at {dst} from {src} (organic {organic_pct}%)",
+        file=sys.stderr,
+    )
+    build_scaled(spark, src, dst, reps, organic_pct=organic_pct)
 
     # one untimed warm-up sweep so the first timed scale doesn't absorb
     # JVM/codegen/Python-worker cold start (visible as sub-1.0 time
@@ -211,7 +258,13 @@ def main() -> int:
     print("# warm-up sweep", file=sys.stderr)
     time_queries(spark, src, runs=1)
 
-    record: dict = {"reps": reps, "src": src, "queries": {}}
+    record: dict = {
+        "reps": reps,
+        "src": src,
+        "organic_pct": organic_pct,
+        "queries": {},
+        "shingle_df": {},
+    }
     for label, d in [("sf0.1", src), ("sf1", dst)]:
         print(f"# timing {label}", file=sys.stderr)
         times = time_queries(spark, d)
@@ -219,6 +272,8 @@ def main() -> int:
         for name in HEAVY:
             cands[name] = CANDIDATE_FNS[name](spark, d)
             caches.release()
+        record["shingle_df"][label] = shingle_df_profile(spark, d)
+        caches.release()
         for name in HEAVY:
             record["queries"].setdefault(name, {})[label] = {
                 "sec": times[name],
@@ -238,7 +293,17 @@ def main() -> int:
             f"{a['candidates']} | {b['candidates']} | {cr:.2f} |"
         )
 
-    out = REPO / "bench_runs" / "scale_probe_r7.json"
+    print("| scale | shingles | df p50 | df p90 | df p99 | df max | >cap |")
+    print("|---|---|---|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        s = record["shingle_df"][label]
+        print(
+            f"| {label} | {s['n_shingles']} | {s['df_p50']} | {s['df_p90']} | "
+            f"{s['df_p99']} | {s['df_max']} | {s['over_cap']} |"
+        )
+
+    name = "scale_probe_r8_organic.json" if organic_pct else "scale_probe_r7.json"
+    out = REPO / "bench_runs" / name
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
