@@ -1,8 +1,10 @@
-"""Fixture-decade scaling curve for the round-7 query additions.
+"""Fixture-decade scaling curve for the newest query additions.
 
-The r7 probe (`tools/scale_probe.py`) covers the dedup/similarity
-candidate generators on a synthetic 10× corpus. The ten queries added
-in round 7 lean on the OTHER fixture tables (events, orders/lineitem,
+The scale probe (`tools/scale_probe.py`) covers the dedup/similarity
+candidate generators on a synthetic 10× corpus. The queries listed
+below — round 8's additions, plus agg_moments_profile, which landed
+after the r7 record was finalized (ADVICE r7 #1) — lean on the fixture
+tables (events, orders/lineitem,
 documents, embeddings), all of which ship at three scale factors —
 sf0.001 / sf0.01 / sf0.1, a real 100× span — so their scaling evidence
 can come straight from the driver-generated fixtures, no synthetic
@@ -19,8 +21,8 @@ Usage::
 
     python tools/fixture_decades.py [runs]
 
-Writes bench_runs/fixture_decades_r7.json and prints a markdown table
-(consumed by BASELINE.md §(i)).
+Writes bench_runs/fixture_decades_r8.json and prints a markdown table
+(consumed by BASELINE.md §(i)/(j)).
 """
 
 from __future__ import annotations
@@ -40,18 +42,24 @@ from mapreduce_system_spark import caches  # noqa: E402
 from mapreduce_system_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
-    "rel_bloom_join_pruned",
-    "fn_date_gap_fill_daily",
+    "agg_moments_profile",   # r7 late addition — first scaling record (ADVICE r7 #1)
+    "graph_pagerank_dangling",
+    "sink_merge_upsert",
+    "txt_kl_divergence",
+    "txt_entropy_quality",
+    "txt_bigram_cond_entropy",
+    "txt_zipf_slope",
+    "pipe_stratified_sample",
+    "pipe_source_mix_weights",
+    "dedup_containment_pairs",
+    "rel_histogram_equi_width",
+    "rel_window_cume_ntile",
+    "asof_join_nearest",
+    "emb_hof_vector_stats",
+    # changed-this-round r7 queries, re-curved after their broadcast fixes
     "txt_bm25_topk",
-    "pipe_hash_split",
     "txt_unigram_surprisal",
     "emb_int8_quantize_error",
-    "rel_cdc_latest_state",
-    "rel_scd2_intervals",
-    "graph_pagerank",
-    "rel_funnel_conversion",
-    "pipe_weighted_sample",
-    "txt_shingle_novelty",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -90,7 +98,7 @@ def main() -> int:
             flush=True,
         )
 
-    out = REPO / "bench_runs" / "fixture_decades_r7.json"
+    out = REPO / "bench_runs" / "fixture_decades_r8.json"
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps({"runs": runs, "queries": record}, indent=1, sort_keys=True) + "\n")
     spark.stop()
