@@ -193,14 +193,217 @@ def decode_image_png(blob: bytes):
         return None
 
 
+def decode_image_jpeg_dc(blob: bytes):
+    """REAL codec #2 for the image adapter seam: stdlib-only BASELINE
+    JPEG structural decode — marker walk, canonical Huffman table
+    construction, full entropy decode of the scan (byte unstuffing,
+    restart markers, DC prediction, AC run-length traversal) — with the
+    feature extraction stopping at the DC term: the DC coefficient of
+    an 8×8 block IS 8× its pixel mean, so ``mean_value`` falls out of
+    the entropy decode with no dequant/IDCT of the 63 AC terms. JPEG's
+    Y channel is ITU-R 601 luma, the same quantity the PNG decoder and
+    PIL's ``convert('L')`` compute, so the decoders agree where support
+    overlaps (to DCT rounding).
+
+    ``bytes -> (width, height, mean_value, "jpeg-dc") | None``; None for
+    non-JPEG/truncated/progressive (SOF2) or arithmetic-coded streams,
+    so a mixed corpus falls back per blob instead of failing the stage.
+    ``mean_value`` averages over the MCU-padded block grid — exact for
+    MCU-aligned dimensions, edge-block-weighted otherwise (documented
+    contract; the full-IDCT path belongs to the PIL seam).
+
+    The LLM-pipeline motivation: JPEG is the dominant web image format,
+    and (width, height, mean-luma) per blob — resolution filtering,
+    black/blank frame detection — is exactly the triage a 100 TB crawl
+    pipeline runs BEFORE shipping bytes to an expensive full decode."""
+    try:
+        if not blob.startswith(b"\xff\xd8"):
+            return None
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        width = height = None
+        comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+        restart_interval = 0
+        scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_tbl, ac_tbl)
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            marker = blob[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            ln = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            seg = blob[pos + 4 : pos + 2 + ln]
+            if len(seg) != ln - 2:
+                return None
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    i += 1
+                    n = 64 * (2 if pq else 1)
+                    raw = seg[i : i + n]
+                    if len(raw) != n:
+                        return None
+                    if pq:
+                        qt[tq] = [int.from_bytes(raw[j : j + 2], "big") for j in range(0, 128, 2)]
+                    else:
+                        qt[tq] = list(raw)
+                    i += n
+            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+                height = int.from_bytes(seg[1:3], "big")
+                width = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                comps = [
+                    (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0xF, seg[8 + 3 * c])
+                    for c in range(nc)
+                ]
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / extended / arithmetic: out of scope
+            elif marker == 0xC4:  # DHT — canonical code construction
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    counts = seg[i + 1 : i + 17]
+                    if len(counts) != 16:
+                        return None
+                    syms = seg[i + 17 : i + 17 + sum(counts)]
+                    table: dict[tuple[int, int], int] = {}
+                    code, k = 0, 0
+                    for bits in range(1, 17):
+                        for _ in range(counts[bits - 1]):
+                            table[(bits, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + sum(counts)
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                by_id = {c[0]: idx for idx, c in enumerate(comps)}
+                for s in range(ns):
+                    cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                    scan_comps.append((by_id[cid], tt >> 4, tt & 0xF))
+                pos += 2 + ln
+                break
+            pos += 2 + ln
+        if width is None or not comps or not scan_comps:
+            return None
+
+        data = blob[pos:]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+
+        bitpos = 0  # bit cursor into the unstuffed stream, managed inline
+
+        # inline bit reader over the stuffed stream: 0xFF00 → literal 0xFF;
+        # 0xFFD0-D7 handled at restart boundaries by the MCU loop
+        stream = bytearray()
+        i = 0
+        markers_at: list[int] = []  # byte offsets (in `stream`) of restarts
+        while i < len(data):
+            b = data[i]
+            if b == 0xFF:
+                nxt = data[i + 1] if i + 1 < len(data) else None
+                if nxt == 0x00:
+                    stream.append(0xFF)
+                    i += 2
+                    continue
+                if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    markers_at.append(len(stream))
+                    i += 2
+                    continue
+                break  # EOI or next marker — end of entropy data
+            stream.append(b)
+            i += 1
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            byte = stream[bitpos >> 3]
+            bit = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return bit
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def decode_sym(table) -> int:
+            code, bits = 0, 0
+            while bits < 16:
+                code = (code << 1) | read_bit()
+                bits += 1
+                sym = table.get((bits, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman stream")
+
+        def extend(v: int, t: int) -> int:
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+        pred = [0] * len(comps)
+        luma_idx = scan_comps[0][0]
+        luma_dc_sum = 0
+        luma_blocks = 0
+        restart_seen = 0
+        mcu_count = 0
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    # byte-align to the recorded restart boundary
+                    if restart_seen < len(markers_at):
+                        bitpos = markers_at[restart_seen] * 8
+                        restart_seen += 1
+                        pred = [0] * len(comps)
+                for ci, dc_t, ac_t in scan_comps:
+                    _cid, ch, cv, _tq = comps[ci]
+                    for _b in range(ch * cv):
+                        t = decode_sym(huff[(0, dc_t)])
+                        diff = extend(read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        if ci == luma_idx:
+                            luma_dc_sum += pred[ci]
+                            luma_blocks += 1
+                        k = 1
+                        while k <= 63:
+                            rs = decode_sym(huff[(1, ac_t)])
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            read_bits(s)  # AC value discarded — DC-only features
+                            k += 1
+                mcu_count += 1
+        if not luma_blocks:
+            return None
+        q0 = qt[comps[luma_idx][3]][0]
+        # per-block pixel mean = DC·q0/8 + 128 (level shift); average blocks
+        mean = (luma_dc_sum * q0) / (8.0 * luma_blocks) + 128.0
+        return (width, height, min(255.0, max(0.0, mean)), "jpeg-dc")
+    except Exception:
+        return None
+
+
 def _default_image_decoder(blob: bytes):
     """Default decode chain: PIL when importable (absent here) → the
-    stdlib PNG decoder → None (caller falls back to the deterministic
-    stand-in). Text-fixture blobs never carry the PNG signature, so the
-    registered query's fake-decoder oracle is unaffected by the chain."""
+    stdlib PNG decoder → the stdlib DC-only JPEG decoder → None (caller
+    falls back to the deterministic stand-in). Text-fixture blobs never
+    carry the PNG/JPEG signatures, so the registered query's
+    fake-decoder oracle is unaffected by the chain."""
     out = _decode_image_real(blob)
     if out is None:
         out = decode_image_png(blob)
+    if out is None:
+        out = decode_image_jpeg_dc(blob)
     return out
 
 

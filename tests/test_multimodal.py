@@ -298,3 +298,141 @@ def test_png_decode_rejects_16bit_and_interlaced_per_blob():
     # and the adapter chain turns that None into the deterministic
     # stand-in instead of dropping or failing the row
     assert MM._default_image_decoder(rewrite_ihdr(good, bit_depth=16)) is None
+
+
+# ---------------------------------------------------------------------------
+# decode_image_jpeg_dc — hand-assembled minimal baseline JPEGs (no imaging
+# library exists in this container, so the fixtures are built marker by
+# marker; every expected mean is computed from the DC math by hand).
+# ---------------------------------------------------------------------------
+
+
+def _dqt(q: int) -> bytes:
+    return b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([q] * 64)
+
+
+def _sof0(w: int, h: int, comps: list[tuple[int, int]]) -> bytes:
+    # comps: [(component_id, HV byte)], all on quant table 0
+    body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hv in comps:
+        body += bytes([cid, hv, 0])
+    return b"\xff\xc0" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def _dht(tc: int, th: int, sym: int) -> bytes:
+    # one code of length 1 ("0") mapping to `sym`
+    body = bytes([(tc << 4) | th]) + bytes([1] + [0] * 15) + bytes([sym])
+    return b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def _sos(comp_ids: list[int]) -> bytes:
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])
+    body += bytes([0, 63, 0])
+    return b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def test_jpeg_dc_decodes_minimal_grayscale():
+    """8x8 grayscale, q0=8, one block with DC diff 8 (category 4, bits
+    1000) then EOB: block mean = 8*8/8 + 128 = 136."""
+    from mapreduce_system_spark.operators.multimodal import decode_image_jpeg_dc
+
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(8, 8, [(1, 0x11)])
+        + _dht(0, 0, 0x04)  # DC: category 4
+        + _dht(1, 0, 0x00)  # AC: EOB
+        + _sos([1])
+        + bytes([0b01000011])  # 0 | 1000 | 0 | pad 11
+        + b"\xff\xd9"
+    )
+    assert decode_image_jpeg_dc(blob) == (8, 8, 136.0, "jpeg-dc")
+
+
+def test_jpeg_dc_tracks_dc_prediction_across_blocks():
+    """16x8 grayscale, two MCUs: diffs +8 then -8 (DC prediction back to
+    0): block means 136 and 128 average to 132."""
+    from mapreduce_system_spark.operators.multimodal import decode_image_jpeg_dc
+
+    # bits: [0|1000|0] [0|0111|0] = 010000 001110 + pad -> 0x40 0xEF
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(16, 8, [(1, 0x11)])
+        + _dht(0, 0, 0x04)
+        + _dht(1, 0, 0x00)
+        + _sos([1])
+        + bytes([0x40, 0xEF])
+        + b"\xff\xd9"
+    )
+    assert decode_image_jpeg_dc(blob) == (16, 8, 132.0, "jpeg-dc")
+
+
+def test_jpeg_dc_handles_420_color_mcu():
+    """16x16 YCbCr 4:2:0: one MCU of 4 luma + 2 chroma blocks, all DC
+    diffs 0 (category 0, no bits): flat mid-gray, mean 128."""
+    from mapreduce_system_spark.operators.multimodal import decode_image_jpeg_dc
+
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(16, 16, [(1, 0x22), (2, 0x11), (3, 0x11)])
+        + _dht(0, 0, 0x00)  # DC: category 0 (diff = 0)
+        + _dht(1, 0, 0x00)  # AC: EOB
+        + _sos([1, 2, 3])
+        + bytes([0x00, 0x0F])  # 12 zero bits + pad
+        + b"\xff\xd9"
+    )
+    assert decode_image_jpeg_dc(blob) == (16, 16, 128.0, "jpeg-dc")
+
+
+def test_jpeg_dc_rejects_out_of_scope_streams():
+    from mapreduce_system_spark.operators.multimodal import decode_image_jpeg_dc
+
+    progressive = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + (b"\xff\xc2" + _sof0(8, 8, [(1, 0x11)])[4:])  # SOF2 body
+    )
+    assert decode_image_jpeg_dc(progressive) is None
+    assert decode_image_jpeg_dc(b"\xff\xd8\xff") is None
+    assert decode_image_jpeg_dc(b"not a jpeg") is None
+    truncated = b"\xff\xd8" + _dqt(8) + _sof0(8, 8, [(1, 0x11)])
+    assert decode_image_jpeg_dc(truncated) is None
+
+
+def test_default_chain_routes_png_jpeg_and_fake_per_blob(spark):
+    """Mixed corpus through the seam with the default chain: each blob
+    picks its own real decoder (png / jpeg-dc) and unknown bytes fall to
+    the deterministic stand-in — per blob, never per stage (the scope
+    contract of VERDICT r7 #8: PNG + WAV + baseline-JPEG-DC are the
+    REAL in-container codecs; PIL remains the optional full-decode
+    path behind the same seam)."""
+    rows = [bytes([0, 0, 0, 255, 255, 255]), bytes([128, 128, 128, 64, 64, 64])]
+    png = _encode_png(2, 2, rows)
+    jpeg = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(8, 8, [(1, 0x11)])
+        + _dht(0, 0, 0x04)
+        + _dht(1, 0, 0x00)
+        + _sos([1])
+        + bytes([0b01000011])
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(id=1, blob=bytearray(png)),
+            Row(id=2, blob=bytearray(jpeg)),
+            Row(id=3, blob=bytearray(b"plain text bytes")),
+        ],
+        "id long, blob binary",
+    )
+    got = {r.id: r for r in MM.extract_image_features(df).collect()}
+    assert got[1].decoder == "png"
+    assert (got[2].width, got[2].height, got[2].mean_value, got[2].decoder) == (
+        8, 8, 136.0, "jpeg-dc",
+    )
+    assert got[3].decoder == "fake"
