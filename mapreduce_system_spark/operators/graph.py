@@ -131,3 +131,64 @@ def pagerank(
     if prev_ids:
         track_rdd_ids(spark, prev_ids)
     return ranks
+
+
+def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Triangle census of an undirected graph given as value-ordered
+    distinct edges (``u`` < ``v``, no duplicates): one row with
+    n_nodes / n_edges / n_triangles / n_wedges / transitivity.
+
+    Compact-forward orientation: every edge is directed away from its
+    lower-(degree, id) endpoint, and wedges are generated only at each
+    triangle's minimum-(degree, id) vertex — so a degree-h hub emits
+    no wedges from its own adjacency and total wedge volume is bounded
+    by O(E · arboricity) instead of Θ(Σ d²). Every step is an
+    equi-join or partial+final aggregate; nothing is force-broadcast
+    (AQE sizes the joins), and the only driver-visible state is the
+    final one-row summary. (Reference contrast: the one-shot
+    map+reduce pipeline, coordinator.go:126-141, cannot chain the
+    three joins this needs.)"""
+    pr = pr.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    deg = (
+        pr.select(F.col("u").alias("node"))
+        .unionAll(pr.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    eo = (
+        pr.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1, e2 = eo.alias("e1"), eo.alias("e2")
+    wedges = e1.join(
+        e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
+    ).select(F.col("e1.t").alias("a"), F.col("e2.t").alias("b"))
+    tri = wedges.join(
+        pr, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b"))
+    ).agg(F.count("*").alias("n_triangles"))
+    wed = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1) / 2)).cast("long").alias("n_wedges")
+    )
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    edges = pr.agg(F.count("*").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges))  # four 1-row aggregates
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wed))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "transitivity"
+            ),
+        )
+    )

@@ -25,25 +25,32 @@ debuts:
 - textstats2 (2, r05 rows: udtf_sentence_stats + txt_heavy_hitters,
   split out of textstats for exactly this rotation — textstats' other
   7 are r07-green and stay out) → 30-31;
-- fresh7b (5; 3 CHANGED r8: BM25's broadcast build side pre-filtered,
-  surprisal's vocab broadcast hint dropped, int8's dimension count
-  derived — plus 2 r07-green riders) → 32-36;
+- fresh7b (3, ALL CHANGED r8: BM25's broadcast build side
+  pre-filtered, surprisal's vocab broadcast hint dropped, int8's
+  dimension count derived; its two r07-green unchanged riders moved to
+  ``fresh7b2``, out of window, so the slots track changed code) →
+  32-34;
 - fresh7d (1; graph_pagerank — operator gained dangling/tol paths
-  this round, so its fixed-iteration row re-pins) → 37;
+  this round, so its fixed-iteration row re-pins) → 35;
 - fresh8a (2 NEW r8: graph_pagerank_dangling, sink_merge_upsert) →
-  38-39;
+  36-37;
 - fresh8b (4 NEW r8: KL divergence, char entropy, bigram conditional
-  entropy, Zipf slope) → 40-43;
+  entropy, Zipf slope) → 38-41;
 - fresh8c (3 NEW r8: stratified sample, source-mix weights,
-  containment dedup) → 44-46;
+  containment dedup) → 42-44;
 - fresh8d (4 NEW r8: equi-width histogram, cume/ntile window family,
-  nearest as-of join, HOF vector stats) → 47-50.
+  nearest as-of join, HOF vector stats) → 45-48;
+- fresh8e (2 NEW r8: per-label centroid outliers, correlated scalar
+  subquery Q17) → 49-50.
 
-Out of window this round (all driver-green r06/r07): fresh7, fresh7c,
-fresh7e, fresh7f, fresh6, sinks, relational2, dedup, textstats (7),
-temporal, advanced, multimodal, similarity, relational. Oldest rows
-after the r8 sweep are r06 — rotate those first in r9 (temporal,
-advanced, multimodal, similarity, relational).
+Out of window this round: fresh8f (NEW r8, landed after the window
+filled — rotate FIRST in r9 so each gets its debut driver row),
+fresh7b2 (the two unchanged r07-green queries split out of fresh7b),
+then the driver-green r06/r07 modules: fresh7, fresh7c, fresh7e,
+fresh7f, fresh6, sinks, relational2, dedup, textstats (7), temporal,
+advanced, multimodal, similarity, relational. Oldest rows after the
+r8 sweep are r06 — r9's window should take fresh8f, then temporal,
+advanced, multimodal, similarity, relational.
 """
 
 from __future__ import annotations
@@ -59,6 +66,9 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh8b,       # NEW r8: corpus statistics (KL, entropy, Zipf)
     fresh8c,       # NEW r8: stratified sample, mix weights, containment
     fresh8d,       # NEW r8: histogram, cume/ntile, nearest as-of, HOF stats
+    fresh8e,       # NEW r8: centroid outliers, correlated scalar subquery
+    fresh8f,       # NEW r8, past the 50-query window — r9 debuts
+    fresh7b2,      # r07-green riders split out of fresh7b (unchanged code)
     fresh7,        # driver-green r07
     fresh7c,       # driver-green r07
     fresh7e,       # driver-green r07
