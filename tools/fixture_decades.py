@@ -60,6 +60,14 @@ QUERIES = [
     "txt_bm25_topk",
     "txt_unigram_surprisal",
     "emb_int8_quantize_error",
+    # late round-8 batch (fresh8e/fresh8f)
+    "emb_centroid_outliers",
+    "rel_scalar_subquery_q17",
+    "graph_triangle_count",
+    "rel_sql_api_q8_market_share",
+    "fn_ewma_user_value",
+    "fn_linear_interpolate_daily",
+    "pipe_incremental_dedup",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
