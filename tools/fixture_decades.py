@@ -68,6 +68,10 @@ QUERIES = [
     "fn_ewma_user_value",
     "fn_linear_interpolate_daily",
     "pipe_incremental_dedup",
+    "rel_table_profile",
+    "rel_not_exists_subquery",
+    "agg_grouped_mode_argmax",
+    "txt_bigram_surprisal",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
