@@ -192,3 +192,64 @@ def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             ),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Minimum hop distance from a seed set over a directed edge list
+    (feed an undirected graph as two directed edges): returns
+    (node, hop) for every node reached within ``max_hops``.
+
+    The third iterative-graph surface next to ``pagerank`` and
+    ``operators/dedup.py::connected_components``, and the workload the
+    reference's one-shot map→reduce pipeline (coordinator.go:126-141)
+    cannot chain at all. Per round the frontier does ONE equi-join onto
+    the cached edge list plus ONE left-anti against the visited set —
+    both shuffles on the node id, AQE-sized. Only the FRONTIER is
+    checkpointed per round — the visited set is the lazy union of the
+    already-materialized frontiers, so each round materializes O(new
+    nodes), not O(all visited); every round's blocks stay live (the
+    union references them) and are handed to ``track_rdd_ids`` for the
+    harness-level ``release()``, total storage O(V). The only
+    driver-side value is the per-round frontier count that detects
+    exhaustion — never a node list. On a 1000-executor cluster the
+    frontier join co-partitions with the edge list's hash
+    distribution; ``max_hops`` bounds the round count the way the
+    small-world diameter bounds real graphs.
+    """
+    spark = edges.sparkSession
+    e = tracked_cache(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    before0 = persistent_rdd_ids(spark)
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    all_ids = persistent_rdd_ids(spark) - before0
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        before = persistent_rdd_ids(spark)
+        nxt = nxt.localCheckpoint(eager=True)
+        all_ids |= persistent_rdd_ids(spark) - before
+        n_new = nxt.count()  # bounded driver scalar: frontier size
+        if n_new == 0:
+            break
+        dist = dist.union(nxt)
+        frontier = nxt
+    if all_ids:
+        track_rdd_ids(spark, all_ids)
+    return dist

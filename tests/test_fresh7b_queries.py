@@ -15,7 +15,7 @@ def test_gap_fill_emits_complete_calendar(spark):
     """Every (event_type, day) cell of the spine must appear exactly once,
     days are contiguous min..max, and non-zero cells equal the plain
     aggregate (the oracle pins values; this pins the spine shape)."""
-    from mapreduce_system_spark.queries.fresh7b import q_gap_fill_daily
+    from mapreduce_system_spark.queries.fresh7b2 import q_gap_fill_daily
 
     out = q_gap_fill_daily(spark, SF_DIR_MID)
     rows = out.collect()
@@ -72,7 +72,7 @@ def test_bm25_rare_term_dominates_and_ranks_are_dense(spark):
 def test_hash_split_is_deterministic_and_proportioned(spark):
     """Same input → identical assignment (pure function of doc_id); the
     bucket thresholds put roughly 80/10/10 of docs in train/val/test."""
-    from mapreduce_system_spark.queries.fresh7b import q_hash_split
+    from mapreduce_system_spark.queries.fresh7b2 import q_hash_split
 
     a = {(r.split, r.lang): (r.n_docs, r.chars) for r in q_hash_split(spark, SF_DIR_MID).collect()}
     b = {(r.split, r.lang): (r.n_docs, r.chars) for r in q_hash_split(spark, SF_DIR_MID).collect()}

@@ -270,7 +270,7 @@ def test_int8_quantize_stats_join_broadcasts(spark):
 
 
 def test_gap_fill_spine_join_has_no_shuffle_join(spark):
-    from mapreduce_system_spark.queries.fresh7b import q_gap_fill_daily
+    from mapreduce_system_spark.queries.fresh7b2 import q_gap_fill_daily
 
     plan = formatted_plan(q_gap_fill_daily(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
