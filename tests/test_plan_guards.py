@@ -279,3 +279,48 @@ def test_gap_fill_spine_join_has_no_shuffle_join(spark):
 def test_containment_pairs_has_no_all_pairs_join(spark):
     docs = load_table(spark, SF_DIR, "documents", columns=["doc_id", "text"])
     _assert_equi_join_only(DD.containment_pairs(docs, max_shingle_df=100))
+
+
+def test_skew_profile_topk_avoids_global_sort(spark):
+    """The heavy-keys report must take its top-k with per-partition
+    heaps (TakeOrderedAndProject), and the one-row totals must come
+    back via broadcast, not a shuffle join."""
+    from mapreduce_system_spark.queries.fresh8h import q_skew_profile
+
+    plan = formatted_plan(q_skew_profile(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_equi_depth_histogram_counts_ride_broadcast_not_window(spark):
+    """Group sizes must join in via broadcast — an unbounded count(*)
+    window would buffer whole groups; the decile assignment itself
+    stays window-free beyond the single row_number sort."""
+    from mapreduce_system_spark.queries.fresh8h import q_histogram_equi_depth
+
+    plan = formatted_plan(q_histogram_equi_depth(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly the one ranking window — no count(*) window was added
+    # (windowspecdefinition appears once per window function instance)
+    assert plan.count("windowspecdefinition") == 1, plan
+
+
+def test_grouped_linreg_is_partial_final_aggregate(spark):
+    """The fit must run as hash aggregates (partial+final) with the
+    part dimension broadcast — no window, no sort-based fallback."""
+    from mapreduce_system_spark.queries.fresh8h import q_grouped_linreg
+
+    plan = formatted_plan(q_grouped_linreg(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_snapshot_diff_is_single_equi_join(spark):
+    """The reconciliation must be one equi full-outer join — never a
+    cartesian/nested-loop shape."""
+    from mapreduce_system_spark.queries.fresh8h import q_snapshot_diff
+
+    plan = formatted_plan(q_snapshot_diff(spark, SF_DIR))
+    for op in _ALL_PAIRS_OPS:
+        assert op not in plan, plan

@@ -72,6 +72,13 @@ QUERIES = [
     "rel_not_exists_subquery",
     "agg_grouped_mode_argmax",
     "txt_bigram_surprisal",
+    # eighth batch (fresh8h)
+    "graph_bfs_reachability",
+    "agg_grouped_linreg",
+    "fn_time_weighted_avg",
+    "rel_histogram_equi_depth",
+    "rel_skew_profile",
+    "rel_snapshot_diff",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
