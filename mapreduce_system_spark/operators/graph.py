@@ -145,16 +145,21 @@ def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     by O(E · arboricity) instead of Θ(Σ d²). Every step is an
     equi-join or partial+final aggregate; nothing is force-broadcast
     (AQE sizes the joins), and the only driver-visible state is the
-    final one-row summary. (Reference contrast: the one-shot
-    map+reduce pipeline, coordinator.go:126-141, cannot chain the
-    three joins this needs.)"""
-    pr = pr.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    final one-row summary. The edge list, degree table, and oriented
+    edge list are each consumed by 2–4 downstream subtrees, so all
+    three are cached (released by the harness-level ``release()``) —
+    without this the caller's edge-construction join re-executes once
+    per consumer. (Reference contrast: the one-shot map+reduce
+    pipeline, coordinator.go:126-141, cannot chain the three joins
+    this needs.)"""
+    pr = tracked_cache(pr.select(F.col(u).alias("u"), F.col(v).alias("v")))
     deg = (
         pr.select(F.col("u").alias("node"))
         .unionAll(pr.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+    deg = tracked_cache(deg)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
@@ -166,6 +171,7 @@ def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
+    eo = tracked_cache(eo)
     e1, e2 = eo.alias("e1"), eo.alias("e2")
     wedges = e1.join(
         e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
