@@ -79,6 +79,11 @@ QUERIES = [
     "rel_histogram_equi_depth",
     "rel_skew_profile",
     "rel_snapshot_diff",
+    # ninth batch (fresh8i)
+    "pipe_group_kfold",
+    "txt_ttr_lexical_diversity",
+    "emb_centroid_distance_matrix",
+    "fn_moving_window_stats",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
