@@ -84,6 +84,10 @@ QUERIES = [
     "txt_ttr_lexical_diversity",
     "emb_centroid_distance_matrix",
     "fn_moving_window_stats",
+    # tenth batch (fresh8j)
+    "fn_cohort_retention",
+    "txt_vocab_coverage",
+    "graph_degree_distribution",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
