@@ -324,3 +324,20 @@ def test_snapshot_diff_is_single_equi_join(spark):
     plan = formatted_plan(q_snapshot_diff(spark, SF_DIR))
     for op in _ALL_PAIRS_OPS:
         assert op not in plan, plan
+
+
+def test_bucket_lookup_scans_only_selected_buckets(spark):
+    """The point lookup on the bucketed orders table must show bucket
+    pruning (SelectedBucketsCount ≤ |keys| out of 8) — reading all
+    buckets for a key lookup is the regression this pins."""
+    import re
+
+    from mapreduce_system_spark.queries.fresh8k import (
+        _LOOKUP_KEYS,
+        q_bucket_pruned_lookup,
+    )
+
+    plan = formatted_plan(q_bucket_pruned_lookup(spark, SF_DIR))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    assert int(m.group(1)) <= len(_LOOKUP_KEYS) < int(m.group(2)), plan
