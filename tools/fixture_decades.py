@@ -88,6 +88,9 @@ QUERIES = [
     "fn_cohort_retention",
     "txt_vocab_coverage",
     "graph_degree_distribution",
+    # eleventh batch (fresh8k)
+    "sink_bucket_pruned_lookup",
+    "pipe_source_manifest",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
