@@ -100,10 +100,10 @@ def q_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     One partial+final aggregate over a map-only fingerprint projection
     — commutative addition makes the checksum partitioning- and
     order-insensitive by construction. Summed 32-bit terms stay inside
-    BIGINT up to ~2³¹ docs PER SOURCE (documented bound; a 100 TB
-    corpus with bigger sources would lift the term to the same
-    arithmetic modulo 2⁶⁴, which both engines wrap identically —
-    DuckDB's UBIGINT sum is cast after the add)."""
+    BIGINT up to ~2³¹ docs PER SOURCE — a documented bound, not a
+    wraparound contract (DuckDB sums into HUGEINT while Spark's long
+    would wrap, so past the bound the right form is per-term modular
+    reduction, e.g. sum(b % p) with a < 2³² prime, on both engines)."""
     docs = load_table(spark, sf_dir, "documents", columns=["source", "text", "n_chars"])
     bucket32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     return (
