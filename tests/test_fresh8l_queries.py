@@ -1,0 +1,101 @@
+"""Round-8 fresh8l queries: semantic pins beyond the DuckDB oracle —
+point-in-time attribution on a hand-built stream, and MAD parity with
+numpy plus the robustness property z-scores lack."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_MID
+
+
+def _ts(minute: int):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_pit_join_attributes_clicks_to_the_interval_state(spark):
+    """Hand stream for one user: view@1, purchase@5, view@9 with clicks
+    at 0/2/6/10 — attribution must be none/view/purchase/view (the
+    click BEFORE any state is 'none'; each other click matches exactly
+    the interval containing it, not every historical state)."""
+    rows = [
+        (1, _ts(1), 100, "view", 1.0),
+        (2, _ts(5), 100, "purchase", 1.0),
+        (3, _ts(9), 100, "view", 1.0),
+        (10, _ts(0), 100, "click", 1.0),
+        (11, _ts(2), 100, "click", 2.0),
+        (12, _ts(6), 100, "click", 4.0),
+        (13, _ts(10), 100, "click", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    import mapreduce_system_spark.queries.fresh8l as M
+
+    orig = M.load_table
+    M.load_table = lambda _s, _d, _n, columns=None: ev.select(*(columns or ev.columns))
+    try:
+        got = {r.state: (r.n_clicks, r.total_value) for r in M.q_pit_join_scd2(spark, "ignored").collect()}
+    finally:
+        M.load_table = orig
+    assert got == {"none": (1, 1.0), "view": (2, 10.0), "purchase": (1, 4.0)}
+
+
+def test_pit_join_never_amplifies_clicks(spark):
+    """Every click appears exactly once in the attribution totals —
+    non-overlapping intervals make the join 1:≤1."""
+    from mapreduce_system_spark.queries.fresh8l import q_pit_join_scd2
+    from mapreduce_system_spark.sources.tables import load_table
+
+    out = q_pit_join_scd2(spark, SF_DIR_MID)
+    n_clicks = (
+        load_table(spark, SF_DIR_MID, "events", columns=["event_type"])
+        .where(F.col("event_type") == "click")
+        .count()
+    )
+    assert sum(r.n_clicks for r in out.collect()) == n_clicks
+
+
+def test_mad_outliers_matches_numpy_and_resists_contamination(spark):
+    """Median/MAD per flag equal numpy's; and the MAD cut keeps flagging
+    a planted cluster of extreme values whose presence would have
+    inflated a stddev-based cut (the robustness property)."""
+    import numpy as np
+
+    from mapreduce_system_spark.queries.fresh8l import _MAD_CUT, _MAD_K, q_mad_outliers
+    from mapreduce_system_spark.sources.tables import load_table
+
+    rows = q_mad_outliers(spark, SF_DIR_MID).collect()
+    li = load_table(
+        spark, SF_DIR_MID, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    assert {r.flag for r in rows} == set(by_flag)
+    for r in rows:
+        v = np.array(by_flag[r.flag])
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        assert r.n == len(v)
+        assert abs(r.median_price - med) < 1e-3
+        assert abs(r.mad - mad) < 1e-3
+        n_out = int(np.sum(np.abs(v - med) > _MAD_CUT * _MAD_K * mad))
+        assert r.n_outliers == n_out
+        assert abs(r.outlier_rate - n_out / len(v)) < 1e-6
+        assert 0 <= r.outlier_rate < 0.5  # 50% breakdown: never majority
+
+    # robustness: contaminate one group with 5% extreme values — the MAD
+    # moves little, so the planted points are still flagged
+    base = np.array(by_flag[rows[0].flag])
+    planted = np.concatenate([base, np.full(max(1, len(base) // 20), base.max() * 100)])
+    med_c = np.median(planted)
+    mad_c = np.median(np.abs(planted - med_c))
+    assert np.all(
+        np.abs(planted[len(base):] - med_c) > _MAD_CUT * _MAD_K * mad_c
+    ), "MAD cut lost the planted outliers"
+    sd_c = planted.std()
+    # the z-score cut's stddev is inflated ~sqrt(contamination)·extreme
+    assert sd_c > 10 * np.abs(base - base.mean()).std()
