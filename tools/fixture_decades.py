@@ -91,6 +91,9 @@ QUERIES = [
     # eleventh batch (fresh8k)
     "sink_bucket_pruned_lookup",
     "pipe_source_manifest",
+    # twelfth batch (fresh8l)
+    "rel_pit_join_scd2",
+    "agg_mad_outliers",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
