@@ -201,3 +201,28 @@ def test_snapshot_diff_class_accounting(spark):
     assert got["removed"] + got["changed"] + got["unchanged"] == n_v1
     assert got["added"] + got["changed"] + got["unchanged"] == n_v2
 
+
+def test_bfs_with_seeds_outside_the_graph(spark):
+    """Seeds with no edges still appear at hop 0; nothing else is
+    reached through them; an empty seed set yields an empty result."""
+    from mapreduce_system_spark.operators.graph import bfs_hops
+
+    und = [("a", "b")]
+    e = spark.createDataFrame(und + [(v, u) for u, v in und], ["u", "v"])
+    lonely = spark.createDataFrame([("z",)], ["node"])
+    got = {r.node: r.hop for r in bfs_hops(e, lonely, max_hops=3).collect()}
+    assert got == {"z": 0}
+
+    empty = spark.createDataFrame([], "node string")
+    assert bfs_hops(e, empty, max_hops=3).count() == 0
+
+
+def test_bfs_seed_duplicates_do_not_double_count(spark):
+    """Duplicate seed rows collapse — the hop-0 frontier is a set."""
+    from mapreduce_system_spark.operators.graph import bfs_hops
+
+    und = [("a", "b")]
+    e = spark.createDataFrame(und + [(v, u) for u, v in und], ["u", "v"])
+    seeds = spark.createDataFrame([("a",), ("a",), ("a",)], ["node"])
+    rows = bfs_hops(e, seeds, max_hops=2).collect()
+    assert sorted((r.node, r.hop) for r in rows) == [("a", 0), ("b", 1)]

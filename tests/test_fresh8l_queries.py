@@ -99,3 +99,17 @@ def test_mad_outliers_matches_numpy_and_resists_contamination(spark):
     sd_c = planted.std()
     # the z-score cut's stddev is inflated ~sqrt(contamination)·extreme
     assert sd_c > 10 * np.abs(base - base.mean()).std()
+
+def test_group_median_handles_tiny_and_even_groups(spark):
+    """Rank-selection median: single row → the value itself; even count
+    → mean of the two middles; odd count → exact middle."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_system_spark.queries.fresh8l import _group_median
+
+    df = spark.createDataFrame(
+        [("one", 7.0), ("two", 1.0), ("two", 3.0), ("odd", 1.0), ("odd", 9.0), ("odd", 5.0)],
+        ["g", "v"],
+    )
+    got = {r.g: r.med for r in _group_median(df, "g", F.col("v"), "med").collect()}
+    assert got == {"one": 7.0, "two": 2.0, "odd": 5.0}
