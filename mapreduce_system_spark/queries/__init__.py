@@ -44,7 +44,7 @@ debuts:
   subquery Q17) → 49-50.
 
 Out of window this round: fresh8f, fresh8g, fresh8h, fresh8i,
-fresh8j, fresh8k, and fresh8l (NEW r8,
+fresh8j, fresh8k, fresh8l, and fresh8m (NEW r8,
 landed after the window filled — rotate FIRST in r9 so each gets its
 debut driver row), fresh7b2 (the two unchanged r07-green queries split
 out of fresh7b),
@@ -52,8 +52,8 @@ then the driver-green r06/r07 modules: fresh7, fresh7c, fresh7e,
 fresh7f, fresh6, sinks, relational2, dedup, textstats (7), temporal,
 advanced, multimodal, similarity, relational. Oldest rows after the
 r8 sweep are r06 — r9's window should take fresh8f + fresh8g +
-fresh8h + fresh8i + fresh8j + fresh8k + fresh8l, then temporal,
-advanced, multimodal, similarity, relational.
+fresh8h + fresh8i + fresh8j + fresh8k + fresh8l + fresh8m, then
+temporal, advanced, multimodal, similarity, relational.
 """
 
 from __future__ import annotations
@@ -77,6 +77,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh8j,       # NEW r8, past the 50-query window — r9 debuts
     fresh8k,       # NEW r8, past the 50-query window — r9 debuts
     fresh8l,       # NEW r8, past the 50-query window — r9 debuts
+    fresh8m,       # NEW r8, past the 50-query window — r9 debuts
     fresh7b2,      # r07-green riders split out of fresh7b (unchanged code)
     fresh7,        # driver-green r07
     fresh7c,       # driver-green r07
