@@ -94,6 +94,10 @@ QUERIES = [
     # twelfth batch (fresh8l)
     "rel_pit_join_scd2",
     "agg_mad_outliers",
+    # thirteenth batch (fresh8m)
+    "fn_ohlc_hourly",
+    "pipe_keep_latest_k",
+    "emb_pca_power_iteration",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
