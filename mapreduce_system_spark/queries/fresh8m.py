@@ -73,9 +73,10 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark side: open/close are ``min(struct(ts, event_id, value))`` /
     ``max(struct(...))`` — argmin/argmax as ORDINARY aggregates, so
-    the whole query is ONE partial+final hash aggregate with map-side
-    combine: each mapper reduces its split to one candidate bar per
-    (type, hour) before the shuffle. The oracle uses the equivalent
+    the whole query is ONE partial+final aggregate (SortAggregate —
+    struct buffers aren't hash-buffer types — but the property that
+    matters is the map-side combine): each mapper reduces its split to
+    one candidate bar per (type, hour) before the shuffle. The oracle uses the equivalent
     row_number()=1 formulation (identical by the unique (ts, event_id)
     total order) — two different mechanisms, one hash. The window
     variant would shuffle-and-sort EVERY raw event; at 100 TB the

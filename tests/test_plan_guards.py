@@ -341,3 +341,27 @@ def test_bucket_lookup_scans_only_selected_buckets(spark):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, f"no bucket pruning in plan:\n{plan}"
     assert int(m.group(1)) <= len(_LOOKUP_KEYS) < int(m.group(2)), plan
+
+
+def test_ohlc_is_window_free_partial_final_aggregate(spark):
+    """The OHLC bars must plan as hash aggregates with map-side partial
+    combine — no window sort of the raw stream (the formulation the
+    argmin/argmax struct algebra exists to avoid)."""
+    from mapreduce_system_spark.queries.fresh8m import q_ohlc_hourly
+
+    plan = formatted_plan(q_ohlc_hourly(spark, SF_DIR))
+    assert "windowspecdefinition" not in plan, plan
+    # struct-typed min/max buffers force SortAggregate (not Hash), but the
+    # scale property is the partial+final split — map-side combine present
+    assert "partial_min(struct" in plan, plan
+    assert "partial_max(struct" in plan, plan
+
+
+def test_keep_latest_k_rides_window_group_limit(spark):
+    """The rn <= K retention filter must be pushed into the sort as a
+    WindowGroupLimit — per-key K-row heaps, not a full partition sort
+    followed by a filter."""
+    from mapreduce_system_spark.queries.fresh8m import q_keep_latest_k
+
+    plan = formatted_plan(q_keep_latest_k(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
