@@ -193,9 +193,12 @@ def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             "n_edges",
             "n_triangles",
             "n_wedges",
-            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
-                "transitivity"
-            ),
+            # wedge-free graphs (e.g. a perfect matching): Spark's
+            # non-ANSI x/0 is NULL while DuckDB's IEEE division is NaN —
+            # pin both engines to 0.0 so the oracle hash cannot diverge
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .alias("transitivity"),
         )
     )
 

@@ -81,7 +81,9 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_edges,
        tri.n_triangles AS n_triangles,
        wed.n_wedges AS n_wedges,
-       round(3.0 * tri.n_triangles / wed.n_wedges, 6) AS transitivity
+       CASE WHEN wed.n_wedges = 0 THEN 0.0
+            ELSE round(3.0 * tri.n_triangles / wed.n_wedges, 6)
+       END AS transitivity
 FROM tri CROSS JOIN wed
 """
 

@@ -140,10 +140,11 @@ _LINREG_SQL = """
 SELECT p.p_brand AS brand,
        CAST(count(*) AS BIGINT) AS n,
        round(covar_samp(l.l_quantity, l.l_extendedprice)
-             / var_samp(l.l_quantity), 4) AS slope,
+             / nullif(var_samp(l.l_quantity), 0), 4) AS slope,
        round(avg(l.l_extendedprice)
              - covar_samp(l.l_quantity, l.l_extendedprice)
-               / var_samp(l.l_quantity) * avg(l.l_quantity), 4) AS intercept,
+               / nullif(var_samp(l.l_quantity), 0)
+               * avg(l.l_quantity), 4) AS intercept,
        round(corr(l.l_quantity, l.l_extendedprice)
              * corr(l.l_quantity, l.l_extendedprice), 6) AS r2
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -171,7 +172,11 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    slope = F.covar_samp(x, y) / F.var_samp(x)
+    # nullif-guard the denominator: a degenerate group (single row or
+    # constant quantity) must yield NULL on BOTH engines — unguarded,
+    # Spark's non-ANSI x/0 gives NULL but DuckDB's IEEE division gives
+    # inf/NaN, a latent cross-engine hash divergence
+    slope = F.covar_samp(x, y) / F.nullif(F.var_samp(x), F.lit(0))
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"))

@@ -46,6 +46,19 @@ def test_triangle_stats_on_path_has_no_triangles(spark):
     assert row["n_wedges"] == 3  # the three interior nodes
 
 
+def test_triangle_stats_wedge_free_graph_transitivity_zero(spark):
+    """A perfect matching has zero wedges; transitivity must be an
+    explicit 0.0 on both engines, not Spark-NULL-vs-DuckDB-NaN (the
+    unguarded 3·tri/wedges division diverges cross-engine on x/0)."""
+    from mapreduce_system_spark.operators.graph import triangle_stats
+
+    matching = _edges(spark, [(1, 2), (3, 4), (5, 6)])
+    row = triangle_stats(matching).collect()[0]
+    assert row["n_wedges"] == 0
+    assert row["n_triangles"] == 0
+    assert row["transitivity"] == 0.0
+
+
 def test_triangle_stats_hub_plus_one_closure(spark):
     """A star (hub 1, leaves 2..6) plus one leaf-leaf edge: exactly the
     one triangle that edge closes, counted once — the case a

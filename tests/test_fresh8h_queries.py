@@ -63,6 +63,42 @@ def test_bfs_query_census_partitions_the_node_set(spark):
     assert supp_hops <= n_supp and cust_hops <= n_cust
 
 
+def test_grouped_linreg_degenerate_group_is_null_on_both_engines(spark):
+    """A group with constant x (var_samp = 0) must fit to NULL on BOTH
+    engines. Unguarded, Spark's non-ANSI x/0 yields NULL but DuckDB's
+    IEEE division yields inf/NaN — the nullif(var_samp, 0) guard pins
+    the shared contract the oracle hash depends on."""
+    import duckdb
+
+    x, y = F.col("x"), F.col("y")
+    slope = F.covar_samp(x, y) / F.nullif(F.var_samp(x), F.lit(0))
+    got = (
+        spark.createDataFrame(
+            [("a", 5.0, 1.0), ("a", 5.0, 2.0), ("b", 7.0, 3.0)],
+            "g string, x double, y double",
+        )
+        .groupBy("g")
+        .agg(
+            F.round(slope, 4).alias("slope"),
+            F.round(F.avg(y) - slope * F.avg(x), 4).alias("intercept"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    assert got[0].slope is None and got[0].intercept is None  # constant x
+    assert got[1].slope is None and got[1].intercept is None  # single row
+    ora = duckdb.sql(
+        """
+        SELECT g,
+               round(covar_samp(x, y) / nullif(var_samp(x), 0), 4) AS slope
+        FROM (VALUES ('a', 5.0, 1.0), ('a', 5.0, 2.0), ('b', 7.0, 3.0))
+             t(g, x, y)
+        GROUP BY g ORDER BY g
+        """
+    ).fetchall()
+    assert ora[0][1] is None and ora[1][1] is None
+
+
 def test_grouped_linreg_matches_numpy_on_one_brand(spark):
     """Slope/intercept/r² for one brand equal numpy's closed-form least
     squares on the same points (sample covariance definitions)."""

@@ -3,6 +3,7 @@
 Usage::
 
     python tools/bench_compare.py OLD.json NEW.json [threshold]
+    python tools/bench_compare.py --table OLD.json NEW.json [threshold]
 
 Accepts either a raw bench.py line or a driver BENCH_r*.json wrapper
 (the JSON is extracted by regex from whatever surrounds it). Queries
@@ -10,9 +11,14 @@ slower than ``threshold``× (default 1.5) are listed; new/removed queries
 are reported separately so "faster because fewer ran" is visible.
 Exit code 1 when any regression crosses the threshold.
 
-Per BASELINE.md §(e): totals on this host swing ±30% with co-tenant
-load, so compare per-query ratios within same-session runs and treat
-sub-second entries as noise (they are skipped below 0.5 s baseline).
+``--table`` prints a markdown table of EVERY per-query move beyond the
+threshold (default 1.4 in this mode) in EITHER direction — the generated
+round-notes table BASELINE.md must carry verbatim, so an adverse row can
+never be silently omitted from the record the way r8's 4.2×
+``mm_blob_features`` move was (VERDICT r8 #3). Sub-0.5 s baselines are
+still skipped as documented noise, but ANY entry whose new time exceeds
+2 s is reported regardless of its baseline so a noise-class query cannot
+grow large silently.
 """
 
 from __future__ import annotations
@@ -24,6 +30,12 @@ import sys
 
 def load(path: str) -> dict:
     raw = open(path).read()
+    try:  # bench_runs/*.json are plain (pretty-printed) bench records
+        d = json.loads(raw)
+        if isinstance(d, dict) and "queries" in d:
+            return d
+    except ValueError:
+        pass
     m = re.search(r'\{\\?"metric\\?".*', raw)
     if m is None:
         raise SystemExit(f"no bench JSON found in {path}")
@@ -33,22 +45,61 @@ def load(path: str) -> dict:
     return json.loads(re.search(r'\{"metric".*\}', txt).group(0))
 
 
+def moves(old: dict, new: dict, threshold: float) -> list[tuple]:
+    """Every shared query whose ratio leaves [1/threshold, threshold].
+
+    Skips sub-0.5 s baselines (documented host noise) unless the new
+    time is over 2 s — a formerly-trivial query that grew big is exactly
+    the move the table exists to surface.
+    """
+    oq, nq = old["queries"], new["queries"]
+    out = []
+    for name in sorted(set(oq) & set(nq)):
+        a, b = oq[name], nq[name]
+        if a is None or b is None or a <= 0 or b <= 0:
+            continue
+        if a < 0.5 and b <= 2.0:
+            continue
+        r = b / a
+        if r > threshold or r < 1.0 / threshold:
+            out.append((name, a, b, r))
+    return sorted(out, key=lambda x: -x[3])
+
+
+def print_table(old: dict, new: dict, threshold: float) -> None:
+    rows = moves(old, new, threshold)
+    print(
+        f"| query | old s | new s | ratio | direction |\n|---|---|---|---|---|"
+    )
+    if not rows:
+        print(f"| _none_ | — | — | — | no move beyond {threshold}x |")
+    for name, a, b, r in rows:
+        d = "REGRESSION" if r > 1 else "improvement"
+        print(f"| `{name}` | {a:.2f} | {b:.2f} | {r:.2f}x | {d} |")
+    print(
+        f"\ntotals: {old['value']}s/{len(old['queries'])}q -> "
+        f"{new['value']}s/{len(new['queries'])}q  "
+        f"(failures {old.get('failures', '?')} -> {new.get('failures', '?')})"
+    )
+
+
 def main() -> int:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    table = "--table" in argv
+    if table:
+        argv.remove("--table")
+    if len(argv) < 2:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old, new = load(argv[0]), load(argv[1])
+    threshold = float(argv[2]) if len(argv) > 2 else (1.4 if table else 1.5)
+    if table:
+        print_table(old, new, threshold)
+        return 0
     oq, nq = old["queries"], new["queries"]
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
-    regressions = []
-    for name in sorted(set(oq) & set(nq)):
-        a, b = oq[name], nq[name]
-        if a is None or b is None or a < 0.5 or b <= 0:
-            continue  # failed entries / sub-noise baselines
-        if b / a > threshold:
-            regressions.append((name, a, b, b / a))
+    regressions = [m for m in moves(old, new, threshold) if m[3] > 1]
     print(
         f"old: {old['value']}s/{len(oq)}q  new: {new['value']}s/{len(nq)}q  "
         f"(failures {old.get('failures', '?')} -> {new.get('failures', '?')})"
@@ -57,7 +108,7 @@ def main() -> int:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"REMOVED ({len(removed)}): {', '.join(removed)}")
-    for name, a, b, r in sorted(regressions, key=lambda x: -x[3]):
+    for name, a, b, r in regressions:
         print(f"REGRESSION {name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
     if not regressions:
         print(f"no per-query regression > {threshold}x")

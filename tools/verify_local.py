@@ -5,6 +5,12 @@ DuckDB over the same sf directory, then compares row count, column names,
 and order-insensitive values. Usage:
 
     python tools/verify_local.py [sf_dir] [query ...]
+
+Full-catalog runs (no explicit query args) also write a JSON artifact to
+``bench_runs/verify_full_latest.json`` — one entry per query with status/
+rows/seconds — so each round can commit a durable record of out-of-window
+health next to the driver's 50-query CORRECTNESS window (VERDICT r8 #6).
+Copy it to ``bench_runs/verify_full_r{N}.json`` when committing.
 """
 
 from __future__ import annotations
@@ -61,6 +67,7 @@ def main() -> int:
             print(f"note {name}: oracle is sf0.01-bound; rows-only at {sf_dir}")
             del oracles[name]
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -70,29 +77,34 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"status": "FAIL", "err": f"spark: {e}"[:300]}
             continue
         finally:
             caches.release()  # operator caches must not span queries
-        took = time.time() - t0
+        took = round(time.time() - t0, 1)
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {took:.1f}s)")
             if len(sdf) == 0:
                 print(f"WARN {name}: zero rows")
+            record[name] = {"status": "rows-only", "rows": len(sdf), "sec": took}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"status": "FAIL", "err": f"duckdb: {e}"[:300]}
             continue
         s, o = normalize(sdf), normalize(odf)
         if len(s) != len(o):
             failures.append(name)
             print(f"FAIL {name}: rows spark={len(s)} duckdb={len(o)}")
+            record[name] = {"status": "FAIL", "err": f"rows {len(s)} vs {len(o)}"}
             continue
         if list(s.columns) != list(o.columns):
             failures.append(name)
             print(f"FAIL {name}: cols spark={list(s.columns)} duckdb={list(o.columns)}")
+            record[name] = {"status": "FAIL", "err": "column mismatch"}
             continue
         mismatch = None
         for c in s.columns:
@@ -105,10 +117,36 @@ def main() -> int:
         if mismatch:
             failures.append(name)
             print(f"FAIL {name}: {mismatch}")
+            record[name] = {"status": "FAIL", "err": mismatch[:300]}
         else:
             print(f"PASS {name} ({len(s)} rows, {took:.1f}s)")
+            record[name] = {"status": "PASS", "rows": len(s), "sec": took}
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if not only:  # full-catalog runs leave a durable committable artifact
+        import json
+
+        out = REPO / "bench_runs" / "verify_full_latest.json"
+        try:
+            out.write_text(
+                json.dumps(
+                    {
+                        "sf_dir": sf_dir,
+                        "n_queries": len(record),
+                        "n_pass": sum(
+                            1 for r in record.values() if r["status"] == "PASS"
+                        ),
+                        "failures": failures,
+                        "queries": record,
+                    },
+                    indent=1,
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+            print(f"wrote {out}")
+        except OSError as e:
+            print(f"artifact persist skipped: {e}")
     return 1 if failures else 0
 
 
