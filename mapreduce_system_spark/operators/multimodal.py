@@ -122,6 +122,26 @@ def decode_image_png(blob: bytes):
     is per-blob ``bytes -> features``, and at scale the cost center is
     the codec itself, which a production deployment swaps for a native
     one through this same seam."""
+    rec = _png_reconstruct(blob)
+    if rec is None:
+        return None
+    width, height, channels, gray, lines = rec
+    total = 0
+    for line in lines:
+        if gray:
+            total += sum(line[0::channels])
+        else:
+            for i in range(0, width * channels, channels):
+                total += (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]) // 1000
+    return (width, height, total / (width * height), "png")
+
+
+def _png_reconstruct(blob: bytes):
+    """Shared PNG scanline reconstruction (chunk walk, zlib inflate,
+    None/Sub/Up/Average/Paeth filters): ``bytes -> (width, height,
+    channels, is_gray, [reconstructed scanline bytearrays]) | None``.
+    Consumed by ``decode_image_png`` (luma mean) and
+    ``decode_image_png_pixels`` (full luma plane for the resize seam)."""
     import zlib
 
     try:
@@ -155,8 +175,7 @@ def decode_image_png(blob: bytes):
         if len(raw) != (stride + 1) * height:
             return None
         prev = bytearray(stride)
-        total = 0
-        gray = color_type in (0, 4)
+        lines: list[bytearray] = []
         for y in range(height):
             off = y * (stride + 1)
             f = raw[off]
@@ -182,15 +201,37 @@ def decode_image_png(blob: bytes):
                     line[i] = (line[i] + pred) & 0xFF
             elif f != 0:
                 return None
-            if gray:
-                total += sum(line[0::channels])
-            else:
-                for i in range(0, stride, channels):
-                    total += (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]) // 1000
+            lines.append(line)
             prev = line
-        return (width, height, total / (width * height), "png")
+        return (width, height, channels, color_type in (0, 4), lines)
     except Exception:
         return None
+
+
+def decode_image_png_pixels(blob: bytes):
+    """Full-pixel PNG decode for the resize seam: ``bytes -> (width,
+    height, HxW uint8 luma ndarray, "png") | None``. Same reconstruction
+    and integer ITU-R 601-2 luma as ``decode_image_png`` — the plane's
+    mean equals that decoder's ``mean_value`` by construction."""
+    import numpy as np
+
+    rec = _png_reconstruct(blob)
+    if rec is None:
+        return None
+    width, height, channels, gray, lines = rec
+    plane = np.empty((height, width), dtype=np.uint8)
+    for y, line in enumerate(lines):
+        a = np.frombuffer(bytes(line), dtype=np.uint8).reshape(width, channels)
+        if gray:
+            plane[y] = a[:, 0]
+        else:
+            px = (
+                299 * a[:, 0].astype(np.int32)
+                + 587 * a[:, 1].astype(np.int32)
+                + 114 * a[:, 2].astype(np.int32)
+            ) // 1000
+            plane[y] = px.astype(np.uint8)
+    return (width, height, plane, "png")
 
 
 def decode_image_jpeg_dc(blob: bytes):
@@ -216,6 +257,56 @@ def decode_image_jpeg_dc(blob: bytes):
     and (width, height, mean-luma) per blob — resolution filtering,
     black/blank frame detection — is exactly the triage a 100 TB crawl
     pipeline runs BEFORE shipping bytes to an expensive full decode."""
+    return _jpeg_decode(blob, pixels=False)
+
+
+# zigzag position k -> raster index within the 8x8 block (ITU T.81 fig. 5)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_JPEG_IDCT_M = None  # 8x8 IDCT basis, built lazily (numpy import cost)
+
+
+def _jpeg_idct_matrix():
+    global _JPEG_IDCT_M
+    if _JPEG_IDCT_M is None:
+        import numpy as np
+
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _JPEG_IDCT_M = m
+    return _JPEG_IDCT_M
+
+
+def decode_image_jpeg_pixels(blob: bytes):
+    """Full-pixel baseline-JPEG decode for the resize seam: ``bytes ->
+    (width, height, HxW uint8 luma ndarray, "jpeg") | None``.
+
+    Extends the DC triage decoder with the remaining reconstruction
+    stages: every luma coefficient is kept through the entropy decode
+    (inverse zigzag), dequantized against its table, inverse-DCT'd
+    (separable 8×8 basis, float64), level-shifted +128 and clamped; the
+    block grid is assembled into the component plane, cropped to the
+    component's natural resolution, and UPSAMPLED by replication to the
+    full image when the luma component is subsampled (rare — Y is
+    normally the max-factor component). Chroma blocks are traversed
+    (the stream demands it) but not reconstructed: JPEG's Y channel IS
+    the ITU-R 601 luma every consumer of this seam wants — the same
+    quantity the PNG decoder and PIL's ``convert('L')`` compute — so
+    color-space work adds nothing to the gray pipeline and belongs to
+    the PIL seam when RGB output is actually needed. Same fallback
+    contract as the DC decoder: None for progressive/arithmetic/
+    truncated streams, so a mixed corpus falls back per blob."""
+    return _jpeg_decode(blob, pixels=True)
+
+
+def _jpeg_decode(blob: bytes, pixels: bool):
     try:
         if not blob.startswith(b"\xff\xd8"):
             return None
@@ -351,6 +442,7 @@ def decode_image_jpeg_dc(blob: bytes):
         luma_idx = scan_comps[0][0]
         luma_dc_sum = 0
         luma_blocks = 0
+        luma_coef_blocks: list[tuple[int, int, list[int]]] = []
         restart_seen = 0
         mcu_count = 0
         for _my in range(mcus_y):
@@ -364,12 +456,16 @@ def decode_image_jpeg_dc(blob: bytes):
                 for ci, dc_t, ac_t in scan_comps:
                     _cid, ch, cv, _tq = comps[ci]
                     for _b in range(ch * cv):
+                        want = pixels and ci == luma_idx
+                        coefs = [0] * 64 if want else None
                         t = decode_sym(huff[(0, dc_t)])
                         diff = extend(read_bits(t), t) if t else 0
                         pred[ci] += diff
                         if ci == luma_idx:
                             luma_dc_sum += pred[ci]
                             luma_blocks += 1
+                            if want:
+                                coefs[0] = pred[ci]
                         k = 1
                         while k <= 63:
                             rs = decode_sym(huff[(1, ac_t)])
@@ -380,15 +476,51 @@ def decode_image_jpeg_dc(blob: bytes):
                                 k += 16
                                 continue
                             k += r
-                            read_bits(s)  # AC value discarded — DC-only features
+                            v = read_bits(s)  # AC value (zigzag position k)
+                            if want and k <= 63:
+                                coefs[k] = extend(v, s)
                             k += 1
+                        if want:
+                            bv, bh2 = divmod(_b, ch)
+                            luma_coef_blocks.append(
+                                (_my * cv + bv, _mx * ch + bh2, coefs)
+                            )
                 mcu_count += 1
         if not luma_blocks:
             return None
-        q0 = qt[comps[luma_idx][3]][0]
-        # per-block pixel mean = DC·q0/8 + 128 (level shift); average blocks
-        mean = (luma_dc_sum * q0) / (8.0 * luma_blocks) + 128.0
-        return (width, height, min(255.0, max(0.0, mean)), "jpeg-dc")
+        if not pixels:
+            q0 = qt[comps[luma_idx][3]][0]
+            # per-block pixel mean = DC·q0/8 + 128 (level shift); avg blocks
+            mean = (luma_dc_sum * q0) / (8.0 * luma_blocks) + 128.0
+            return (width, height, min(255.0, max(0.0, mean)), "jpeg-dc")
+
+        # full reconstruction: dequant (zigzag-ordered tables), inverse
+        # zigzag, separable 8x8 IDCT, +128 level shift, assemble + crop,
+        # replicate-upsample if the luma component is subsampled
+        import numpy as np
+
+        _cid, ch, cv, tq = comps[luma_idx]
+        if hmax % ch or vmax % cv:
+            return None  # non-integral upsampling factor: out of scope
+        qtab = np.asarray(qt[tq], dtype=np.float64)
+        zz = np.asarray(_JPEG_ZIGZAG)
+        m = _jpeg_idct_matrix()
+        plane = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+        fr = np.zeros(64, dtype=np.float64)
+        for brow, bcol, coefs in luma_coef_blocks:
+            fr[zz] = np.asarray(coefs, dtype=np.float64) * qtab
+            px = m.T @ fr.reshape(8, 8) @ m + 128.0
+            plane[brow * 8 : brow * 8 + 8, bcol * 8 : bcol * 8 + 8] = px
+        comp_w = -(-width * ch // hmax)
+        comp_h = -(-height * cv // vmax)
+        plane = plane[:comp_h, :comp_w]
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        plane = plane[:height, :width]
+        plane = np.clip(np.rint(plane), 0.0, 255.0).astype(np.uint8)
+        return (width, height, plane, "jpeg")
     except Exception:
         return None
 
@@ -450,17 +582,60 @@ RESIZED_SCHEMA = "id long, width int, height int, pixels binary, decoder string"
 AUDIO_FEATURE_SCHEMA = "id long, n_samples long, duration_s double, rms double, decoder string"
 
 
+def _decode_image_pixels_real(blob: bytes):
+    """PIL full-pixel path (absent in this container; kept first in the
+    chain so a production image works with zero engine changes):
+    ``bytes -> (width, height, HxW uint8 luma ndarray, "pil") | None``."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(blob))
+        if img.width * img.height == 0:
+            return None
+        return (img.width, img.height, np.asarray(img.convert("L")), "pil")
+    except Exception:
+        return None
+
+
+def _default_pixel_decoder(blob: bytes):
+    """Full-pixel decode chain for the resize seam: PIL when importable
+    (absent here) → stdlib PNG pixels → stdlib baseline-JPEG pixels →
+    None (caller falls back to the 1-D byte-signal stand-in). The two
+    stdlib decoders are REAL and exercisable in this container."""
+    out = _decode_image_pixels_real(blob)
+    if out is None:
+        out = decode_image_png_pixels(blob)
+    if out is None:
+        out = decode_image_jpeg_pixels(blob)
+    return out
+
+
 def resize_image(
-    df: DataFrame, width: int = 8, height: int = 8, id_col: str = "id", blob_col: str = "blob"
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    pixel_decoder=None,
 ) -> DataFrame:
     """Resize to a fixed grid (the embedding-model preprocessing shape).
 
-    Without a codec library the DETERMINISTIC STAND-IN treats the blob as
-    a 1-D byte signal and mean-pools it into width×height buckets — the
-    output schema, batch shape, and byte budget (w·h per row) are exactly
-    what a real bilinear resize would produce."""
+    ``pixel_decoder`` is the ADAPTER SEAM (``bytes -> (w, h, HxW uint8
+    ndarray, name) | None``; default chain PIL → stdlib PNG → stdlib
+    baseline JPEG): decoded planes are AREA-MEAN resampled onto the
+    target grid — each target cell averages its integer-boundary source
+    box, exact for integral downscale ratios, pixel replication when
+    upscaling. Blobs no decoder accepts (the text fixtures) keep the
+    DETERMINISTIC STAND-IN — the blob as a 1-D byte signal mean-pooled
+    into width×height buckets (tag ``"fake"``, what the registered
+    query's oracle replays byte-for-byte) — so the output schema, batch
+    shape, and byte budget (w·h per row) are identical on every path."""
 
     ensure_package_on_executors(df.sparkSession)
+    decode_px = pixel_decoder if pixel_decoder is not None else _default_pixel_decoder
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -469,23 +644,42 @@ def resize_image(
         for pdf in batches:
             out = {"id": [], "width": [], "height": [], "pixels": [], "decoder": []}
             for id_, blob in zip(pdf[id_col], pdf[blob_col]):
-                sig = np.frombuffer(bytes(blob), dtype=np.uint8)
-                if len(sig) >= n_px:
-                    step = len(sig) // n_px
-                    px = (
-                        sig[: n_px * step]
-                        .reshape(n_px, step)
-                        .mean(axis=1)
-                        .astype(np.uint8)
-                        .tobytes()
-                    )
-                else:  # shorter than the grid → zero-pad
-                    px = sig.tobytes() + bytes(n_px - len(sig))
+                b = bytes(blob)
+                decoded = decode_px(b)
+                if decoded is not None:
+                    _w, _h, plane, dec = decoded
+                    src_h, src_w = plane.shape
+                    grid = np.empty((height, width), dtype=np.uint8)
+                    pf = plane.astype(np.float64)
+                    for j in range(height):
+                        y0 = j * src_h // height
+                        y1 = max(y0 + 1, (j + 1) * src_h // height)
+                        for i in range(width):
+                            x0 = i * src_w // width
+                            x1 = max(x0 + 1, (i + 1) * src_w // width)
+                            grid[j, i] = np.uint8(
+                                min(255.0, np.rint(pf[y0:y1, x0:x1].mean()))
+                            )
+                    px = grid.tobytes()
+                else:
+                    dec = "fake"
+                    sig = np.frombuffer(b, dtype=np.uint8)
+                    if len(sig) >= n_px:
+                        step = len(sig) // n_px
+                        px = (
+                            sig[: n_px * step]
+                            .reshape(n_px, step)
+                            .mean(axis=1)
+                            .astype(np.uint8)
+                            .tobytes()
+                        )
+                    else:  # shorter than the grid → zero-pad
+                        px = sig.tobytes() + bytes(n_px - len(sig))
                 out["id"].append(id_)
                 out["width"].append(width)
                 out["height"].append(height)
                 out["pixels"].append(px)
-                out["decoder"].append("fake")
+                out["decoder"].append(dec)
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(resize, schema=RESIZED_SCHEMA)

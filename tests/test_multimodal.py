@@ -436,3 +436,165 @@ def test_default_chain_routes_png_jpeg_and_fake_per_blob(spark):
         8, 8, 136.0, "jpeg-dc",
     )
     assert got[3].decoder == "fake"
+
+
+# ---------------------------------------------------------------------------
+# decode_image_jpeg_pixels — full reconstruction (dequant + inverse zigzag
+# + IDCT + level shift); fixtures hand-assembled like the DC family, with
+# expected pixels derived from the textbook IDCT formula written
+# independently here (not the module's basis matrix).
+# ---------------------------------------------------------------------------
+
+
+def _dht_multi(tc: int, th: int, counts16: list[int], syms: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(counts16) + bytes(syms)
+    return b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def _bits(s: str) -> bytes:
+    """Pack a bit string into bytes, 1-padded (JPEG pad convention)."""
+    s = s.replace(" ", "")
+    s += "1" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _ref_idct(coef_raster):
+    """Independent 8x8 IDCT straight from the T.81 formula."""
+    import math
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * coef_raster[u][v]
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            out[y][x] = acc / 4.0 + 128.0
+    return out
+
+
+def test_jpeg_pixels_dc_only_block_is_flat():
+    """DC-only block: every pixel equals DC*q/8 + 128 exactly (the IDCT
+    of a DC-only block is uniform) — the fixture from the DC test."""
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(8, 8, [(1, 0x11)])
+        + _dht(0, 0, 0x04)
+        + _dht(1, 0, 0x00)
+        + _sos([1])
+        + bytes([0b01000011])
+        + b"\xff\xd9"
+    )
+    got = MM.decode_image_jpeg_pixels(blob)
+    assert got is not None
+    w, h, plane, name = got
+    assert (w, h, name) == (8, 8, "jpeg")
+    assert plane.shape == (8, 8)
+    assert (plane == 136).all()
+
+
+def test_jpeg_pixels_ac_coefficient_matches_reference_idct():
+    """One AC coefficient (zigzag k=1 → F[0][1]): the decoded plane must
+    match the textbook IDCT within rounding. DC table: single code '0'
+    → category 0; AC table: canonical 2-bit codes 00→0x01 (run 0 size
+    1), 01→0x00 (EOB). Stream per block: DC '0', AC '00'+value bit '1'
+    (+1), EOB '01'."""
+    import numpy as np
+
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(8, 8, [(1, 0x11)])
+        + _dht(0, 0, 0x00)  # DC: category 0, diff = 0
+        + _dht_multi(1, 0, [0, 2] + [0] * 14, [0x01, 0x00])
+        + _sos([1])
+        + _bits("0 00 1 01")
+        + b"\xff\xd9"
+    )
+    got = MM.decode_image_jpeg_pixels(blob)
+    assert got is not None
+    _w, _h, plane, _ = got
+    coef = [[0.0] * 8 for _ in range(8)]
+    coef[0][1] = 1 * 8  # value +1 dequantized by q=8
+    want = _ref_idct(coef)
+    for y in range(8):
+        for x in range(8):
+            assert abs(int(plane[y][x]) - want[y][x]) <= 0.5 + 1e-9, (y, x)
+    # and the plane mean agrees with the DC triage decoder's mean (the
+    # AC term integrates to ~0 over the block)
+    dc = MM.decode_image_jpeg_dc(blob)
+    assert abs(float(np.mean(plane)) - dc[2]) < 1.0
+
+
+def test_jpeg_pixels_four_blocks_resize_roundtrip(spark):
+    """16x16 grayscale JPEG of four flat 8x8 blocks (means 136/128/144/
+    120) through the REAL registered resize plan at 2x2: each grid cell
+    is exactly its block mean, and extract_image_features' DC mean is
+    exactly the four-block average — VERDICT r8 #5's round-trip pin."""
+    # DC table: 2-bit canonical codes 00→cat4, 01→cat5; AC: EOB only.
+    # diffs: +8 ('00'+'1000'), -8 ('00'+'0111'), +16 ('01'+'10000'),
+    # -24 ('01'+'00111') — predictions 8, 0, 16, -8 = means 136/128/144/120.
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(16, 16, [(1, 0x11)])
+        + _dht_multi(0, 0, [0, 2] + [0] * 14, [0x04, 0x05])
+        + _dht(1, 0, 0x00)
+        + _sos([1])
+        + _bits("00 1000 0  00 0111 0  01 10000 0  01 00111 0")
+        + b"\xff\xd9"
+    )
+    got = MM.decode_image_jpeg_pixels(blob)
+    assert got is not None
+    _w, _h, plane, _ = got
+    assert plane.shape == (16, 16)
+    assert (plane[:8, :8] == 136).all() and (plane[:8, 8:] == 128).all()
+    assert (plane[8:, :8] == 144).all() and (plane[8:, 8:] == 120).all()
+
+    df = spark.createDataFrame(
+        [Row(id=1, blob=bytearray(blob)), Row(id=2, blob=bytearray(b"text"))],
+        "id long, blob binary",
+    )
+    rz = {r.id: r for r in MM.resize_image(df, width=2, height=2).collect()}
+    assert rz[1].decoder == "jpeg"
+    assert bytes(rz[1].pixels) == bytes([136, 128, 144, 120])
+    assert rz[2].decoder == "fake"  # non-image blobs keep the stand-in
+    feats = {r.id: r for r in MM.extract_image_features(df).collect()}
+    assert feats[1].mean_value == (136 + 128 + 144 + 120) / 4
+    assert feats[1].decoder == "jpeg-dc"
+
+
+def test_png_pixels_resize_area_means(spark):
+    """4x4 gray PNG with known pixels through the resize seam at 2x2:
+    each cell is the exact mean of its 2x2 source box."""
+    rows = [
+        bytes([10, 20, 100, 200]),
+        bytes([30, 40, 100, 200]),
+        bytes([0, 0, 50, 50]),
+        bytes([0, 0, 150, 150]),
+    ]
+    png = _encode_png(4, 4, rows, color_type=0)
+    got = MM.decode_image_png_pixels(png)
+    assert got is not None and got[:2] == (4, 4) and got[3] == "png"
+    assert got[2].shape == (4, 4)
+    df = spark.createDataFrame([Row(id=1, blob=bytearray(png))], "id long, blob binary")
+    r = MM.resize_image(df, width=2, height=2).collect()[0]
+    assert r.decoder == "png"
+    assert bytes(r.pixels) == bytes([25, 150, 0, 100])
+
+
+def test_jpeg_pixels_rejects_progressive_like_dc():
+    progressive = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + (b"\xff\xc2" + _sof0(8, 8, [(1, 0x11)])[4:])
+    )
+    assert MM.decode_image_jpeg_pixels(progressive) is None
+    assert MM.decode_image_jpeg_pixels(b"\xff\xd8\xff") is None
