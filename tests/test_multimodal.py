@@ -598,3 +598,31 @@ def test_jpeg_pixels_rejects_progressive_like_dc():
     )
     assert MM.decode_image_jpeg_pixels(progressive) is None
     assert MM.decode_image_jpeg_pixels(b"\xff\xd8\xff") is None
+
+
+def test_jpeg_pixels_restart_markers_reset_dc_prediction():
+    """DRI=1 with an RST0 between two MCUs: the entropy decoder must
+    byte-align at the restart and reset DC prediction — block means
+    136 then 128 (not 136/136+8), for both the DC triage decoder and
+    the full-pixel plane."""
+    dri = b"\xff\xdd" + (4).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(16, 8, [(1, 0x11)])
+        + _dht_multi(0, 0, [0, 2] + [0] * 14, [0x04, 0x00])  # 00→cat4, 01→cat0
+        + _dht(1, 0, 0x00)  # AC: EOB only
+        + dri
+        + _sos([1])
+        + _bits("00 1000 0")  # MCU 0: diff +8 → DC 8 → mean 136 (1-padded)
+        + b"\xff\xd0"         # RST0: byte-align, pred resets
+        + _bits("01 0")       # MCU 1: cat0 diff 0 → DC 0 → mean 128
+        + b"\xff\xd9"
+    )
+    assert MM.decode_image_jpeg_dc(blob) == (16, 8, 132.0, "jpeg-dc")
+    got = MM.decode_image_jpeg_pixels(blob)
+    assert got is not None
+    _w, _h, plane, _ = got
+    assert plane.shape == (8, 16)
+    assert (plane[:, :8] == 136).all()
+    assert (plane[:, 8:] == 128).all()
