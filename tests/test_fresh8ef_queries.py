@@ -80,6 +80,11 @@ def test_triangle_query_plan_has_no_cartesian(spark):
 
     plan = formatted_plan(q_triangle_count(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+    # the closure probe must HASH the edge side, not sort-merge: the
+    # wedge stream is the E·arboricity (always-larger) relation, and a
+    # planner fallback to SMJ would re-introduce the 41M-row sort the
+    # shuffle_hash hint removes (measured 23% of the probe stage)
+    assert "ShuffledHashJoin" in plan, plan
 
 
 # ---------------------------------------------------------------------------
