@@ -25,10 +25,25 @@ runtime-vs-candidates relation.
 
 Usage::
 
-    python tools/scale_probe.py [reps] [src_sf_dir]
+    python tools/scale_probe.py [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --graph [reps] [src_sf_dir] [organic_pct]
 
-Writes the record to bench_runs/scale_probe_r7.json and prints a
-markdown table (consumed by BASELINE.md §(h)).
+Writes the record to bench_runs/scale_probe_r7.json (disjoint),
+scale_probe_r8_organic.json (organic_pct > 0), or
+scale_probe_r9_graph.json (--graph) and prints a markdown table
+(consumed by BASELINE.md §(h)/(j)/(l)).
+
+``--graph`` (VERDICT r8 #4) probes the iterative-graph family instead of
+the dedup family: it replicates the order/lineitem edge construction at
+``reps``× with ORGANIC node collisions — ``organic_pct`` (default 10) of
+part/supplier/customer keys keep their identity in every replica, so
+those nodes' degrees grow ~reps× (the skewed-hub regime) while the rest
+of the key space shards. Alongside wall time it records the exact
+quantities the compact-forward argument is about: naive wedge volume
+Σ C(d,2) (what a Θ(Σ d²) plan would generate) vs ORIENTED wedge volume
+Σ C(outdeg,2) (what triangle_stats actually generates), plus the degree
+tail. The claim under test: wall tracks oriented wedges, not naive
+wedges, when hubs grow.
 """
 
 from __future__ import annotations
@@ -239,10 +254,239 @@ def time_queries(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
     return {n: round(statistics.median(v), 3) for n, v in series.items()}
 
 
+GRAPH_QUERIES = ["graph_triangle_count", "graph_bfs_reachability"]
+
+
+def build_scaled_graph(spark, src: str, dst: str, reps: int, organic_pct: int) -> None:
+    """Write ``reps``× lineitem + orders under dst (supplier/nation copied
+    verbatim — the BFS seed set stays the original nation's suppliers).
+
+    Replica r offsets l_orderkey/o_orderkey by r·10M so baskets replicate
+    without merging (per-order pair generation stays bounded by basket
+    size). Node keys — l_partkey, l_suppkey, o_custkey — are offset the
+    same way EXCEPT the organic fraction (hash-chosen, the same keys in
+    every replica), which keep their identity: an organic part is bought
+    in every replica's baskets, so its co-purchase degree grows ~reps×
+    and the wedge space at that hub grows ~reps² — exactly the skew
+    regime the degree-ordered orientation exists for. Organic suppliers
+    likewise splice every replica's customers into one component, so BFS
+    frontiers must cross reps× the graph through hub fan-out."""
+    organic = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(100)) < organic_pct  # noqa: E731
+    li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    orders = load_table(spark, src, "orders", columns=["o_orderkey", "o_custkey"])
+    li_parts, ord_parts = [], []
+    for r in range(reps):
+        if r == 0:
+            li_parts.append(li)
+            ord_parts.append(orders)
+            continue
+        li_parts.append(
+            li.select(
+                (F.col("l_orderkey") + r * _OFFSET).alias("l_orderkey"),
+                F.when(organic("l_partkey"), F.col("l_partkey"))
+                .otherwise(F.col("l_partkey") + r * _OFFSET)
+                .alias("l_partkey"),
+                F.when(organic("l_suppkey"), F.col("l_suppkey"))
+                .otherwise(F.col("l_suppkey") + r * _OFFSET)
+                .alias("l_suppkey"),
+            )
+        )
+        ord_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + r * _OFFSET).alias("o_orderkey"),
+                F.when(organic("o_custkey"), F.col("o_custkey"))
+                .otherwise(F.col("o_custkey") + r * _OFFSET)
+                .alias("o_custkey"),
+            )
+        )
+    out_li = li_parts[0]
+    for p in li_parts[1:]:
+        out_li = out_li.unionByName(p)
+    out_ord = ord_parts[0]
+    for p in ord_parts[1:]:
+        out_ord = out_ord.unionByName(p)
+    out_li.repartition(16).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+    out_ord.repartition(8).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    for t in ("supplier", "nation"):
+        load_table(spark, src, t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def tri_graph_profile(spark, sf_dir: str) -> dict:
+    """Edge/degree/wedge census of the part co-purchase graph, built with
+    the registered query's own construction. ``naive_wedges`` = Σ C(d,2)
+    (the Θ(Σ d²) volume a per-node wedge join would generate);
+    ``oriented_wedges`` = Σ C(outdeg,2) under the (degree, id) orientation
+    (the volume triangle_stats actually generates — its O(E·arboricity)
+    bound made countable)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pr = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        pr.select(F.col("u").alias("node"))
+        .unionAll(pr.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .cache()
+    )
+    drow = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("percentile_approx(d, array(0.5, 0.9, 0.99), 10000)").alias("pct"),
+        F.max("d").alias("mx"),
+        (F.sum(F.col("d") * (F.col("d") - 1) / 2)).cast("long").alias("naive"),
+    ).collect()[0]
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    outdeg = (
+        pr.join(du, "u")
+        .join(dv, "v")
+        .select(F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("od"))
+    )
+    oriented = int(
+        outdeg.agg(
+            (F.sum(F.col("od") * (F.col("od") - 1) / 2)).cast("long")
+        ).collect()[0][0]
+        or 0
+    )
+    n_edges = pr.count()
+    pr.unpersist()
+    deg.unpersist()
+    return {
+        "n_nodes": int(drow["n_nodes"]),
+        "n_edges": int(n_edges),
+        "deg_p50": int(drow["pct"][0]),
+        "deg_p90": int(drow["pct"][1]),
+        "deg_p99": int(drow["pct"][2]),
+        "deg_max": int(drow["mx"]),
+        "naive_wedges": int(drow["naive"]),
+        "oriented_wedges": oriented,
+    }
+
+
+def bfs_graph_profile(spark, sf_dir: str) -> dict:
+    """Size of the customer–supplier co-transaction graph BFS runs on."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+        .cache()
+    )
+    n_edges = e0.count()
+    n_nodes = (
+        e0.select(F.col("u").alias("n")).union(e0.select(F.col("v").alias("n"))).distinct().count()
+    )
+    e0.unpersist()
+    return {"n_nodes": int(n_nodes), "n_edges": int(2 * n_edges)}
+
+
+def graph_main(reps: int, src: str, organic_pct: int) -> int:
+    dst = "/tmp/spark_graft_scale/graph_sf1"
+    spark = get_spark("scale_probe_graph")
+    print(
+        f"# building {reps}x graph tables at {dst} from {src} (organic {organic_pct}%)",
+        file=sys.stderr,
+    )
+    build_scaled_graph(spark, src, dst, reps, organic_pct)
+
+    import statistics
+
+    qs = entry_mod.queries()
+    record: dict = {
+        "mode": "graph",
+        "reps": reps,
+        "src": src,
+        "organic_pct": organic_pct,
+        "queries": {},
+        "graph": {},
+    }
+    # untimed warm-up (JVM/codegen/python pool), same as the dedup mode
+    print("# warm-up sweep", file=sys.stderr)
+    for name in GRAPH_QUERIES:
+        qs[name](spark, src).write.format("noop").mode("overwrite").save()
+        caches.release()
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        print(f"# timing {label}", file=sys.stderr)
+        series: dict[str, list[float]] = {n: [] for n in GRAPH_QUERIES}
+        for _ in range(3):
+            for name in GRAPH_QUERIES:
+                t0 = time.time()
+                qs[name](spark, d).write.format("noop").mode("overwrite").save()
+                series[name].append(time.time() - t0)
+                caches.release()
+        record["graph"][label] = {
+            "triangle": tri_graph_profile(spark, d),
+            "bfs": bfs_graph_profile(spark, d),
+        }
+        caches.release()
+        for name in GRAPH_QUERIES:
+            record["queries"].setdefault(name, {})[label] = {
+                "sec": round(statistics.median(series[name]), 3)
+            }
+
+    a, b = record["graph"]["sf0.1"]["triangle"], record["graph"]["sf1"]["triangle"]
+    print("| scale | nodes | edges | deg p50 | deg p99 | deg max | naive wedges | oriented wedges |")
+    print("|---|---|---|---|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        t = record["graph"][label]["triangle"]
+        print(
+            f"| {label} | {t['n_nodes']} | {t['n_edges']} | {t['deg_p50']} | "
+            f"{t['deg_p99']} | {t['deg_max']} | {t['naive_wedges']} | {t['oriented_wedges']} |"
+        )
+    print(
+        f"| ratio | {b['n_nodes']/a['n_nodes']:.1f} | {b['n_edges']/a['n_edges']:.1f} | — | "
+        f"{b['deg_p99']/max(a['deg_p99'],1):.1f} | {b['deg_max']/max(a['deg_max'],1):.1f} | "
+        f"**{b['naive_wedges']/a['naive_wedges']:.1f}** | **{b['oriented_wedges']/a['oriented_wedges']:.1f}** |"
+    )
+    print()
+    print("| query | sf0.1 s | sf1 s | time × | volume driver × |")
+    print("|---|---|---|---|---|")
+    for name in GRAPH_QUERIES:
+        qa = record["queries"][name]["sf0.1"]["sec"]
+        qb = record["queries"][name]["sf1"]["sec"]
+        record["queries"][name]["time_ratio"] = round(qb / qa, 2)
+        if name == "graph_triangle_count":
+            vol = b["oriented_wedges"] / a["oriented_wedges"]
+        else:
+            ga = record["graph"]["sf0.1"]["bfs"]["n_edges"]
+            gb = record["graph"]["sf1"]["bfs"]["n_edges"]
+            vol = gb / ga
+        record["queries"][name]["volume_ratio"] = round(vol, 2)
+        print(f"| {name} | {qa} | {qb} | {qb/qa:.2f} | {vol:.2f} |")
+
+    out = REPO / "bench_runs" / "scale_probe_r9_graph.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0
+
+
 def main() -> int:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    organic_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    args = list(sys.argv[1:])
+    graph_mode = "--graph" in args
+    if graph_mode:
+        args.remove("--graph")
+    reps = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    organic_pct = int(args[2]) if len(args) > 2 else (10 if graph_mode else 0)
+    if graph_mode:
+        return graph_main(reps, src, organic_pct)
     dst = "/tmp/spark_graft_scale/sf1"
 
     spark = get_spark("scale_probe")
