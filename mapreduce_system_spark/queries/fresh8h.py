@@ -205,7 +205,7 @@ WITH d AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
-       round(sum(value * dur_us) / sum(dur_us), 4) AS twap
+       round(sum(value * dur_us) / nullif(sum(dur_us), 0), 4) AS twap
 FROM d
 GROUP BY user_id
 ORDER BY user_id
@@ -224,7 +224,11 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     durations are exact BIGINT µs on both engines, so the weighted-sum
     operands are bit-identical and only summation order is absorbed by
     the rounding. A user with a single event yields NULL twap on both
-    engines (no closed holding period)."""
+    engines (no closed holding period); a user whose events all share
+    ONE timestamp would make ``sum(dur_us) = 0``, where Spark's
+    non-ANSI division yields NULL but DuckDB's IEEE division yields
+    NaN — the nullif guard pins both engines to NULL (the ADVICE-r8
+    degenerate-division class, applied proactively)."""
     ev = load_table(
         spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
     )
@@ -241,7 +245,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
             F.round(
-                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+                F.sum(F.col("value") * F.col("dur_us"))
+                / F.nullif(F.sum("dur_us"), F.lit(0)),
+                4,
             ).alias("twap"),
         )
         .orderBy("user_id")

@@ -168,7 +168,7 @@ p AS (
   GROUP BY 1, 2
 )
 SELECT label_a, label_b,
-       round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+       round(dot / nullif(sqrt(na) * sqrt(nb), 0), 6) AS cosine
 FROM p
 ORDER BY label_a, label_b
 """
@@ -212,7 +212,12 @@ def q_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "label_a",
         "label_b",
-        F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6).alias("cosine"),
+        # nullif-guard: a zero-norm centroid (degenerate label) makes the
+        # denominator 0 — Spark non-ANSI division yields NULL, DuckDB IEEE
+        # yields NaN; pin both to NULL (ADVICE-r8 class, proactive)
+        F.round(
+            F.col("dot") / F.nullif(F.sqrt("na") * F.sqrt("nb"), F.lit(0.0)), 6
+        ).alias("cosine"),
     ).orderBy("label_a", "label_b")
 
 

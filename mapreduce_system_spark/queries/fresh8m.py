@@ -185,7 +185,7 @@ w1 AS (
   FROM comp c JOIN s1 ON s1.vec_id = c.vec_id GROUP BY c.pos
 ),
 n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
-v1 AS (SELECT pos, w / nrm AS v FROM w1 CROSS JOIN n1),
+v1 AS (SELECT pos, w / nullif(nrm, 0) AS v FROM w1 CROSS JOIN n1),
 s2 AS (
   SELECT c.vec_id, sum(c.val * v1.v) AS s
   FROM comp c JOIN v1 ON v1.pos = c.pos GROUP BY c.vec_id
@@ -195,7 +195,7 @@ w2 AS (
   FROM comp c JOIN s2 ON s2.vec_id = c.vec_id GROUP BY c.pos
 ),
 n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2)
-SELECT pos, round(w / nrm, 6) AS loading
+SELECT pos, round(w / nullif(nrm, 0), 6) AS loading
 FROM w2 CROSS JOIN n2
 ORDER BY pos
 """
@@ -230,7 +230,11 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = w1.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     v1 = w1.crossJoin(F.broadcast(n1)).select(
-        "pos", (F.col("w") / F.col("nrm")).alias("v")
+        # nullif on the norm: a zero iterate (input orthogonal to v —
+        # measure-zero but possible) must be NULL on both engines, not
+        # Spark-NULL-vs-DuckDB-inf (ADVICE-r8 class, proactive; the
+        # oracle mirrors the guard so expressions stay identical)
+        "pos", (F.col("w") / F.nullif(F.col("nrm"), F.lit(0.0))).alias("v")
     )
     s2 = (
         comp.join(F.broadcast(v1), "pos")
@@ -245,6 +249,11 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     return (
         w2.crossJoin(F.broadcast(n2))
-        .select("pos", F.round(F.col("w") / F.col("nrm"), 6).alias("loading"))
+        .select(
+            "pos",
+            F.round(
+                F.col("w") / F.nullif(F.col("nrm"), F.lit(0.0)), 6
+            ).alias("loading"),
+        )
         .orderBy("pos")
     )

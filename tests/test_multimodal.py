@@ -626,3 +626,60 @@ def test_jpeg_pixels_restart_markers_reset_dc_prediction():
     assert plane.shape == (8, 16)
     assert (plane[:, :8] == 136).all()
     assert (plane[:, 8:] == 128).all()
+
+
+def test_jpeg_pixels_420_luma_block_positions():
+    """4:2:0 MCU with four DISTINCT flat luma blocks: data units are
+    ordered left-to-right then top-to-bottom inside the MCU, so the
+    decoded quadrants must land at (0,0)/(0,1)/(1,0)/(1,1) — a
+    transposed assembly would swap 128/144. Chroma rides the same DC
+    table with zero diffs."""
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(16, 16, [(1, 0x22), (2, 0x11), (3, 0x11)])
+        + _dht_multi(0, 0, [0, 2] + [0] * 14, [0x04, 0x05])  # 00→cat4, 01→cat5
+        + _dht(1, 0, 0x00)
+        + _sos([1, 2, 3])
+        # luma diffs +8, -8, +16, -24 → DC 8,0,16,-8 → means 136/128/144/120;
+        # cat5 codes: -8 → 00111? no: cat4 of -8 is 0111 via '00'; see below
+        + _bits("00 1000 0  00 0111 0  01 10000 0  01 00111 0  01 00000 0  01 00000 0")
+        + b"\xff\xd9"
+    )
+    # chroma blocks: '01'(cat5) + 5 bits 00000 → extend(0,5) = -31 diff,
+    # harmless (chroma is traversed, not reconstructed) but keeps the
+    # stream aligned with only the two available codes.
+    got = MM.decode_image_jpeg_pixels(blob)
+    assert got is not None
+    _w, _h, plane, _ = got
+    assert plane.shape == (16, 16)
+    assert (plane[:8, :8] == 136).all(), "top-left"
+    assert (plane[:8, 8:] == 128).all(), "top-right"
+    assert (plane[8:, :8] == 144).all(), "bottom-left"
+    assert (plane[8:, 8:] == 120).all(), "bottom-right"
+    assert MM.decode_image_jpeg_dc(blob)[:3] == (16, 16, 132.0)
+
+
+def test_jpeg_pixels_subsampled_luma_upsamples_by_replication():
+    """Luma at (1,1) against a (2,2) chroma component (legal, unusual):
+    the luma plane decodes at half resolution (8x8 for a 16x16 image)
+    and must replicate-upsample to full size."""
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(16, 16, [(1, 0x11), (2, 0x22)])
+        + _dht_multi(0, 0, [0, 2] + [0] * 14, [0x04, 0x00])  # 00→cat4, 01→cat0
+        + _dht(1, 0, 0x00)
+        + _sos([1, 2])
+        # MCU: 1 luma block (diff +8 → mean 136), then 4 chroma blocks
+        # with cat0 (zero) diffs
+        + _bits("00 1000 0  01 0  01 0  01 0  01 0")
+        + b"\xff\xd9"
+    )
+    got = MM.decode_image_jpeg_pixels(blob)
+    assert got is not None
+    w, h, plane, _ = got
+    assert (w, h) == (16, 16)
+    assert plane.shape == (16, 16)
+    assert (plane == 136).all()
+    assert MM.decode_image_jpeg_dc(blob)[:3] == (16, 16, 136.0)
