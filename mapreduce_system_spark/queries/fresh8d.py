@@ -41,7 +41,7 @@ _N_BUCKETS = 16
 _HIST_SQL = f"""
 WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
 b AS (
-  SELECT CAST(least({_N_BUCKETS - 1}, floor(((o_totalprice - mn) / (mx - mn)) * {_N_BUCKETS}.0)) AS BIGINT) AS bucket,
+  SELECT CAST(least({_N_BUCKETS - 1}, floor(((o_totalprice - mn) / nullif(mx - mn, 0)) * {_N_BUCKETS}.0)) AS BIGINT) AS bucket,
          o_totalprice, mn, mx
   FROM orders CROSS JOIN mm
 )
@@ -68,8 +68,12 @@ def q_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v, mn, mx = F.col("o_totalprice"), F.col("mn"), F.col("mx")
     nb = float(_N_BUCKETS)
+    # nullif on the range: a constant column (mx = mn) must bucket to
+    # NULL on both engines — unguarded, Spark's non-ANSI x/0 is NULL but
+    # DuckDB's IEEE division is NaN (ADVICE-r8 class, proactive)
     bucket = F.least(
-        F.lit(_N_BUCKETS - 1), F.floor(((v - mn) / (mx - mn)) * nb)
+        F.lit(_N_BUCKETS - 1),
+        F.floor(((v - mn) / F.nullif(mx - mn, F.lit(0))) * nb),
     ).cast("long")
     return (
         orders.crossJoin(F.broadcast(mm))
