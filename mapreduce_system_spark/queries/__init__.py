@@ -17,28 +17,33 @@ executing VERDICT.md r8 #1 — every fresh8f–fresh8m query debuts (these
 29 landed after the r8 window filled and have NEVER had a driver row),
 and the remaining 12 slots start on the r06-stale modules:
 
-- fresh8f (5; transitivity zero-guard CHANGED r9 per ADVICE) → 10-14;
+- fresh8f (5; transitivity zero-guard CHANGED r9 per ADVICE, plus the
+  triangle probe-join SHJ hint) → 10-14;
 - fresh8g (4) → 15-18;
-- fresh8h (6; linreg nullif-guard CHANGED r9 per ADVICE) → 19-24;
-- fresh8i (4) → 25-28;
+- fresh8h (6; linreg + TWAP nullif-guards CHANGED r9) → 19-24;
+- fresh8i (4; centroid-cosine guard CHANGED r9) → 25-28;
 - fresh8j (3) → 29-31;
 - fresh8k (2) → 32-33;
 - fresh8l (2) → 34-35;
-- fresh8m (3) → 36-38;
-- temporal (7, r06 rows — the oldest remaining evidence) → 39-45;
-- multimodal (5, r06 rows; also re-pins ``mm_blob_features``, the r8
-  bench watch item) → 46-50.
+- fresh8m (3; PCA norm guards CHANGED r9) → 36-38;
+- fresh8d (4; equi-width histogram range guard CHANGED r9 — changed
+  code re-enters the window even though its r08 rows are fresh) →
+  39-42;
+- multimodal (5, r06 rows; the resize pixel seam CHANGED r9, and
+  ``mm_blob_features`` is the r8 bench watch item) → 43-47;
+- temporal's first 3 (fn_json_props, fn_math_scalar_profile,
+  fn_json_map_props; r06 rows) → 48-50.
 
 Out of window this round (all driver-green r06-r08, judge-re-verified
-r8): advanced (7), similarity (8), relational (12) — the remaining
-r06-stale rows, rotate these FIRST in r10 (27 of 41 slots) — then the
+r8, and all 155 PASS in bench_runs/verify_full_r9.json): temporal's
+last 4, advanced (7), similarity (8), relational (12) — the remaining
+r06-stale rows, rotate these FIRST in r10 (31 of 41 slots) — then the
 r07/r08-green modules: pipeline, streaming, fresh, textstats2,
-fresh7b, fresh7d, fresh8a-fresh8e (all r08 rows), fresh7b2, fresh7,
-fresh7c, fresh7e, fresh7f, fresh6, sinks, relational2, dedup,
+fresh7b, fresh7d, fresh8a-fresh8c, fresh8e (r08 rows), fresh7b2,
+fresh7, fresh7c, fresh7e, fresh7f, fresh6, sinks, relational2, dedup,
 textstats. NO catalog growth in r9 (VERDICT r8 #1: hold growth below
 the free slots until no query's freshest driver row is older than two
-rounds — after r9 the oldest rows are r08 except advanced/similarity/
-relational at r06, which r10's window clears with room to spare).
+rounds — after r10's rotation nothing will be older than two rounds).
 """
 
 from __future__ import annotations
@@ -46,14 +51,15 @@ from __future__ import annotations
 from mapreduce_system_spark.queries import (  # noqa: F401
     fresh8f,       # r9 debut (never driver-checked) + ADVICE guard change
     fresh8g,       # r9 debut (never driver-checked)
-    fresh8h,       # r9 debut (never driver-checked) + ADVICE guard change
-    fresh8i,       # r9 debut (never driver-checked)
+    fresh8h,       # r9 debut (never driver-checked) + guard changes
+    fresh8i,       # r9 debut (never driver-checked) + guard change
     fresh8j,       # r9 debut (never driver-checked)
     fresh8k,       # r9 debut (never driver-checked)
     fresh8l,       # r9 debut (never driver-checked)
-    fresh8m,       # r9 debut (never driver-checked)
-    temporal,      # r06 rows — oldest remaining evidence
-    multimodal,    # r06 rows + mm_blob_features bench watch item
+    fresh8m,       # r9 debut (never driver-checked) + guard changes
+    fresh8d,       # histogram guard CHANGED r9 — changed code re-enters
+    multimodal,    # resize pixel seam CHANGED r9 + r06 rows
+    temporal,      # r06 rows — first 3 fill the window; rest r10
     advanced,      # r06 rows — rotate FIRST in r10
     similarity,    # r06 rows — rotate FIRST in r10
     relational,    # r06 rows — rotate FIRST in r10
@@ -66,7 +72,6 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh8a,       # driver-green r08
     fresh8b,       # driver-green r08
     fresh8c,       # driver-green r08
-    fresh8d,       # driver-green r08
     fresh8e,       # driver-green r08
     fresh7b2,      # driver-green r07
     fresh7,        # driver-green r07
