@@ -134,7 +134,17 @@ _MAD_CUT = 3.0
 def _group_median(df: DataFrame, g: str, value: Column, out: str) -> DataFrame:
     """Exact per-group linear-interpolation median via rank-based
     selection (``agg_quantiles``'s spill-safe shape): disk-backed sort,
-    broadcast counts, keep only the two interpolation ranks."""
+    broadcast counts, keep only the two interpolation ranks.
+
+    Parallelism is min(groups, cores) — each group sorts in one
+    disk-backed task. A distributed-rank variant (repartitionByRange
+    over (group, value), per-cell row_number, broadcast cumulative
+    offsets) lifts that to the partition count but pays a range-sampling
+    pass plus a second full-data shuffle: measured ADVERSE at sf0.1
+    (2.1-2.8 s → 3.6-3.8 s full-query, results identical), so the
+    single-sort shape stays. It becomes the right trade only when a hot
+    group dwarfs a core's sort throughput — at that scale prefer the
+    documented sketch path (``agg_approx_quantiles``) first."""
     v = value.alias("v")
     base = df.select(F.col(g), v)
     cnts = base.groupBy(g).agg(F.count("*").alias("cnt"))
