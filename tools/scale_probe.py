@@ -27,11 +27,23 @@ Usage::
 
     python tools/scale_probe.py [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --graph [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --manifest
 
 Writes the record to bench_runs/scale_probe_r7.json (disjoint),
 scale_probe_r8_organic.json (organic_pct > 0), or
 scale_probe_r9_graph.json (--graph) and prints a markdown table
 (consumed by BASELINE.md §(h)/(j)/(l)).
+
+``--manifest`` (VERDICT r8 "missing #4") does not time anything: it
+rebuilds all three probe corpora (disjoint, organic, graph) with the
+recorded parameters and writes ``bench_runs/sf1_manifest.json`` — per
+table the row count and an ORDER-INDEPENDENT checksum (bit_xor of
+xxhash64 over every column), plus the source-fixture checksums and the
+exact one-command re-runs. Every construction above is a deterministic
+function of the sf0.1 fixture (offsets, xxhash64-derived organic picks
+and jitter — no RNG), so the committed manifest lets any later round
+assert "the corpus behind BASELINE §(h)/(j)/(l) is bit-identically this
+one" before re-running a probe.
 
 ``--graph`` (VERDICT r8 #4) probes the iterative-graph family instead of
 the dedup family: it replicates the order/lineitem edge construction at
@@ -477,8 +489,92 @@ def graph_main(reps: int, src: str, organic_pct: int) -> int:
     return 0
 
 
+def _table_fingerprint(spark, path: str) -> dict:
+    """Row count + order-independent content checksum of one parquet
+    table: bit_xor of xxhash64 over every column — invariant to row
+    order and partitioning, so two independently-built corpora compare
+    with one integer."""
+    df = spark.read.parquet(path)
+    row = (
+        df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    return {"rows": int(row["n"]), "xxhash64_bit_xor": int(row["x"] or 0)}
+
+
+def manifest_main() -> int:
+    """Pin the three probe corpora (BASELINE §(h)/(j)/(l)) in a committed
+    manifest: rebuild each with its recorded parameters, fingerprint
+    every table, and record the one-command re-runs."""
+    src = "/root/testdata/sf0.1"
+    root = "/tmp/spark_graft_scale"
+    spark = get_spark("scale_probe_manifest")
+    record: dict = {
+        "mode": "manifest",
+        "src": src,
+        "note": (
+            "every corpus is a deterministic function of the sf0.1 fixture "
+            "(id offsets per replica, xxhash64-derived organic key picks and "
+            "embedding jitter; no RNG) — rebuilds must reproduce these "
+            "fingerprints exactly"
+        ),
+        "source_tables": {},
+        "corpora": {},
+    }
+    for t in ("documents", "embeddings", "lineitem", "orders", "supplier", "nation"):
+        record["source_tables"][t] = _table_fingerprint(spark, f"{src}/{t}.parquet")
+        print(f"# source {t}: {record['source_tables'][t]}", file=sys.stderr)
+    corpora = [
+        (
+            "disjoint_r7",
+            "python tools/scale_probe.py 10 /root/testdata/sf0.1 0",
+            "scale_probe_r7.json / BASELINE (h)",
+            lambda d: build_scaled(spark, src, d, 10, organic_pct=0),
+            ("documents", "embeddings"),
+        ),
+        (
+            "organic_r8",
+            "python tools/scale_probe.py 10 /root/testdata/sf0.1 10",
+            "scale_probe_r8_organic.json / BASELINE (j)",
+            lambda d: build_scaled(spark, src, d, 10, organic_pct=10),
+            ("documents", "embeddings"),
+        ),
+        (
+            "graph_r9",
+            "python tools/scale_probe.py --graph 10 /root/testdata/sf0.1 10",
+            "scale_probe_r9_graph.json / BASELINE (l)",
+            lambda d: build_scaled_graph(spark, src, d, 10, 10),
+            ("lineitem", "orders", "supplier", "nation"),
+        ),
+    ]
+    for name, cmd, probe_record, build, tables in corpora:
+        dst = f"{root}/manifest_{name}"
+        print(f"# building {name} at {dst}", file=sys.stderr)
+        t0 = time.time()
+        build(dst)
+        entry = {
+            "rebuild_cmd": cmd,
+            "probe_record": probe_record,
+            "build_sec": round(time.time() - t0, 1),
+            "tables": {},
+        }
+        for t in tables:
+            entry["tables"][t] = _table_fingerprint(spark, f"{dst}/{t}.parquet")
+            print(f"#   {t}: {entry['tables'][t]}", file=sys.stderr)
+        record["corpora"][name] = entry
+        caches.release()
+    out = REPO / "bench_runs" / "sf1_manifest.json"
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree(root, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     args = list(sys.argv[1:])
+    if "--manifest" in args:
+        return manifest_main()
     graph_mode = "--graph" in args
     if graph_mode:
         args.remove("--graph")
