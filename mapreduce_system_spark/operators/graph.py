@@ -133,6 +133,37 @@ def pagerank(
     return ranks
 
 
+def degree_census(pr: DataFrame) -> DataFrame:
+    """(node, d) degree table of a value-ordered distinct edge list."""
+    return (
+        pr.select(F.col("u").alias("node"))
+        .unionAll(pr.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def orient_by_degree(pr: DataFrame, deg: DataFrame) -> DataFrame:
+    """Compact-forward orientation: every edge directed away from its
+    lower-(degree, id) endpoint, as (s, t). Shared by ``triangle_stats``
+    and ``tools/scale_probe.tri_graph_profile`` so the probe's
+    oriented-wedge census measures the operator's ACTUAL orientation —
+    a private copy in the probe could silently drift if this rule ever
+    changes, leaving the scale record comparing wall time against the
+    wrong work volume."""
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    return (
+        pr.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+
+
 def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Triangle census of an undirected graph given as value-ordered
     distinct edges (``u`` < ``v``, no duplicates): one row with
@@ -153,25 +184,8 @@ def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     pipeline, coordinator.go:126-141, cannot chain the three joins
     this needs.)"""
     pr = tracked_cache(pr.select(F.col(u).alias("u"), F.col(v).alias("v")))
-    deg = (
-        pr.select(F.col("u").alias("node"))
-        .unionAll(pr.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    deg = tracked_cache(deg)
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    eo = (
-        pr.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-    )
-    eo = tracked_cache(eo)
+    deg = tracked_cache(degree_census(pr))
+    eo = tracked_cache(orient_by_degree(pr, deg))
     e1, e2 = eo.alias("e1"), eo.alias("e2")
     wedges = e1.join(
         e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))

@@ -127,21 +127,35 @@ def decode_image_png(blob: bytes):
         return None
     width, height, channels, gray, lines = rec
     total = 0
-    for line in lines:
-        if gray:
-            total += sum(line[0::channels])
-        else:
-            for i in range(0, width * channels, channels):
-                total += (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]) // 1000
+    try:
+        for line in lines:
+            if gray:
+                total += sum(line[0::channels])
+            else:
+                for i in range(0, width * channels, channels):
+                    total += (
+                        299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]
+                    ) // 1000
+    except ValueError:  # bad filter byte mid-stream
+        return None
     return (width, height, total / (width * height), "png")
 
 
 def _png_reconstruct(blob: bytes):
     """Shared PNG scanline reconstruction (chunk walk, zlib inflate,
     None/Sub/Up/Average/Paeth filters): ``bytes -> (width, height,
-    channels, is_gray, [reconstructed scanline bytearrays]) | None``.
-    Consumed by ``decode_image_png`` (luma mean) and
-    ``decode_image_png_pixels`` (full luma plane for the resize seam)."""
+    channels, is_gray, <scanline generator>) | None``. Consumed by
+    ``decode_image_png`` (luma mean) and ``decode_image_png_pixels``
+    (full luma plane for the resize seam).
+
+    The scanlines come back as a GENERATOR, not a list: the mean-only
+    consumer keeps O(stride) live bytes (current + previous line) the
+    way it did before the r9 pixel-seam refactor shared this code —
+    buffering the whole plane here would roughly double the per-blob
+    peak of the mapInPandas stage for that consumer on large images.
+    The generator raises ``ValueError`` on an invalid filter byte;
+    callers translate that to the usual ``None`` (fall back to the
+    stand-in for this blob)."""
     import zlib
 
     try:
@@ -174,8 +188,11 @@ def _png_reconstruct(blob: bytes):
         stride = width * channels
         if len(raw) != (stride + 1) * height:
             return None
+    except Exception:
+        return None
+
+    def lines():
         prev = bytearray(stride)
-        lines: list[bytearray] = []
         for y in range(height):
             off = y * (stride + 1)
             f = raw[off]
@@ -200,12 +217,11 @@ def _png_reconstruct(blob: bytes):
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     line[i] = (line[i] + pred) & 0xFF
             elif f != 0:
-                return None
-            lines.append(line)
+                raise ValueError("bad PNG filter byte")
+            yield line
             prev = line
-        return (width, height, channels, color_type in (0, 4), lines)
-    except Exception:
-        return None
+
+    return (width, height, channels, color_type in (0, 4), lines())
 
 
 def decode_image_png_pixels(blob: bytes):
@@ -220,17 +236,20 @@ def decode_image_png_pixels(blob: bytes):
         return None
     width, height, channels, gray, lines = rec
     plane = np.empty((height, width), dtype=np.uint8)
-    for y, line in enumerate(lines):
-        a = np.frombuffer(bytes(line), dtype=np.uint8).reshape(width, channels)
-        if gray:
-            plane[y] = a[:, 0]
-        else:
-            px = (
-                299 * a[:, 0].astype(np.int32)
-                + 587 * a[:, 1].astype(np.int32)
-                + 114 * a[:, 2].astype(np.int32)
-            ) // 1000
-            plane[y] = px.astype(np.uint8)
+    try:
+        for y, line in enumerate(lines):
+            a = np.frombuffer(bytes(line), dtype=np.uint8).reshape(width, channels)
+            if gray:
+                plane[y] = a[:, 0]
+            else:
+                px = (
+                    299 * a[:, 0].astype(np.int32)
+                    + 587 * a[:, 1].astype(np.int32)
+                    + 114 * a[:, 2].astype(np.int32)
+                ) // 1000
+                plane[y] = px.astype(np.uint8)
+    except ValueError:  # bad filter byte mid-stream
+        return None
     return (width, height, plane, "png")
 
 
@@ -649,17 +668,29 @@ def resize_image(
                 if decoded is not None:
                     _w, _h, plane, dec = decoded
                     src_h, src_w = plane.shape
-                    grid = np.empty((height, width), dtype=np.uint8)
+                    # area-mean via two reduceat passes (rows then
+                    # columns) instead of a per-cell Python loop: the
+                    # integer-boundary boxes are exactly reduceat's
+                    # segments ([y0_j, y0_{j+1}) contiguous when
+                    # downscaling; a repeated index degenerates to the
+                    # single row a[y0] — the same [y0, y0+1)
+                    # replication box the loop used when upscaling).
+                    # Box sums of uint8 values are exact in float64, so
+                    # the output is bit-identical to the per-cell
+                    # slice-mean at any summation order — this is pure
+                    # interpreter-dispatch savings (a 224x224 target is
+                    # 50k Python iterations per blob the old way).
+                    ys = np.arange(height) * src_h // height
+                    xs = np.arange(width) * src_w // width
+                    cy = np.maximum(ys + 1, np.append(ys[1:], src_h)) - ys
+                    cx = np.maximum(xs + 1, np.append(xs[1:], src_w)) - xs
                     pf = plane.astype(np.float64)
-                    for j in range(height):
-                        y0 = j * src_h // height
-                        y1 = max(y0 + 1, (j + 1) * src_h // height)
-                        for i in range(width):
-                            x0 = i * src_w // width
-                            x1 = max(x0 + 1, (i + 1) * src_w // width)
-                            grid[j, i] = np.uint8(
-                                min(255.0, np.rint(pf[y0:y1, x0:x1].mean()))
-                            )
+                    sums = np.add.reduceat(
+                        np.add.reduceat(pf, ys, axis=0), xs, axis=1
+                    )
+                    grid = np.minimum(
+                        255.0, np.rint(sums / (cy[:, None] * cx[None, :]))
+                    ).astype(np.uint8)
                     px = grid.tobytes()
                 else:
                     dec = "fake"

@@ -39,7 +39,7 @@ the quotient is bit-identical before rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -153,6 +153,16 @@ ORDER BY 1
 """
 
 
+def _linreg_slope(x: Column, y: Column) -> Column:
+    """cov(x,y)/var(x) with the degenerate-group guard: a single-row or
+    constant-x group must yield NULL on BOTH engines — unguarded,
+    Spark's non-ANSI x/0 gives NULL but DuckDB's IEEE division gives
+    inf/NaN, a latent cross-engine hash divergence. Module-level so the
+    degenerate-input pytest exercises the exact expression the
+    registered query ships (not a re-typed copy that could drift)."""
+    return F.covar_samp(x, y) / F.nullif(F.var_samp(x), F.lit(0))
+
+
 @register("agg_grouped_linreg", _LINREG_SQL)
 def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares fit of extended price on quantity per part brand:
@@ -172,11 +182,7 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    # nullif-guard the denominator: a degenerate group (single row or
-    # constant quantity) must yield NULL on BOTH engines — unguarded,
-    # Spark's non-ANSI x/0 gives NULL but DuckDB's IEEE division gives
-    # inf/NaN, a latent cross-engine hash divergence
-    slope = F.covar_samp(x, y) / F.nullif(F.var_samp(x), F.lit(0))
+    slope = _linreg_slope(x, y)  # nullif-guarded (see helper docstring)
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"))

@@ -67,11 +67,18 @@ def test_grouped_linreg_degenerate_group_is_null_on_both_engines(spark):
     """A group with constant x (var_samp = 0) must fit to NULL on BOTH
     engines. Unguarded, Spark's non-ANSI x/0 yields NULL but DuckDB's
     IEEE division yields inf/NaN — the nullif(var_samp, 0) guard pins
-    the shared contract the oracle hash depends on."""
+    the shared contract the oracle hash depends on. Uses the SAME
+    expression object the registered query ships (fresh8h._linreg_slope)
+    and asserts the guard is spelled in the oracle SQL, so reverting the
+    guard on EITHER engine fails here — a re-typed local copy of the
+    expression would keep passing."""
     import duckdb
 
+    from mapreduce_system_spark.queries.fresh8h import _LINREG_SQL, _linreg_slope
+
+    assert "nullif(var_samp(l.l_quantity), 0)" in _LINREG_SQL
     x, y = F.col("x"), F.col("y")
-    slope = F.covar_samp(x, y) / F.nullif(F.var_samp(x), F.lit(0))
+    slope = _linreg_slope(x, y)
     got = (
         spark.createDataFrame(
             [("a", 5.0, 1.0), ("a", 5.0, 2.0), ("b", 7.0, 3.0)],

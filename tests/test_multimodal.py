@@ -590,6 +590,47 @@ def test_png_pixels_resize_area_means(spark):
     assert bytes(r.pixels) == bytes([25, 150, 0, 100])
 
 
+def test_resize_area_means_match_per_cell_reference(spark):
+    """The reduceat-vectorized area resampler must be bit-identical to
+    the per-cell integer-boundary slice-mean it replaced, on awkward
+    shapes: non-divisible downscale (37x23→8x8), pure upscale
+    (5x3→8x8, replication boxes), and mixed (4x13→8x8)."""
+    import numpy as np
+
+    planes = {}
+    rng = np.random.default_rng(7)
+    for pid, (h, w) in enumerate([(37, 23), (5, 3), (4, 13)], start=1):
+        planes[pid] = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def fake_decoder_for(pid):
+        plane = planes[pid]
+        return (plane.shape[1], plane.shape[0], plane, "unit")
+
+    def decoder(blob):
+        return fake_decoder_for(int(bytes(blob)[0]))
+
+    df = spark.createDataFrame(
+        [Row(id=pid, blob=bytearray([pid])) for pid in planes],
+        "id long, blob binary",
+    )
+    got = {
+        r.id: np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(8, 8)
+        for r in MM.resize_image(df, width=8, height=8, pixel_decoder=decoder).collect()
+    }
+    for pid, plane in planes.items():
+        src_h, src_w = plane.shape
+        pf = plane.astype(np.float64)
+        want = np.empty((8, 8), dtype=np.uint8)
+        for j in range(8):
+            y0 = j * src_h // 8
+            y1 = max(y0 + 1, (j + 1) * src_h // 8)
+            for i in range(8):
+                x0 = i * src_w // 8
+                x1 = max(x0 + 1, (i + 1) * src_w // 8)
+                want[j, i] = np.uint8(min(255.0, np.rint(pf[y0:y1, x0:x1].mean())))
+        assert np.array_equal(got[pid], want), pid
+
+
 def test_jpeg_pixels_rejects_progressive_like_dc():
     progressive = (
         b"\xff\xd8"

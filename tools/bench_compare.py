@@ -18,7 +18,10 @@ never be silently omitted from the record the way r8's 4.2×
 ``mm_blob_features`` move was (VERDICT r8 #3). Sub-0.5 s baselines are
 still skipped as documented noise, but ANY entry whose new time exceeds
 2 s is reported regardless of its baseline so a noise-class query cannot
-grow large silently.
+grow large silently. Removed and newly-FAILING queries print as
+explicit table rows ("faster because fewer ran" must be visible), and
+the exit code matches the default mode: 1 when any regression, removed,
+or failed row exists.
 """
 
 from __future__ import annotations
@@ -32,7 +35,19 @@ def load(path: str) -> dict:
     raw = open(path).read()
     try:  # bench_runs/*.json are plain (pretty-printed) bench records
         d = json.loads(raw)
-        if isinstance(d, dict) and "queries" in d:
+        # a bench record's "queries" maps name -> seconds; reject other
+        # artifact families that also carry a "queries" key (e.g. the
+        # verify_full_*.json status maps) with the clean error below
+        # instead of a TypeError deep inside moves()
+        if (
+            isinstance(d, dict)
+            and "value" in d
+            and isinstance(d.get("queries"), dict)
+            and all(
+                v is None or isinstance(v, (int, float))
+                for v in d["queries"].values()
+            )
+        ):
             return d
     except ValueError:
         pass
@@ -66,21 +81,43 @@ def moves(old: dict, new: dict, threshold: float) -> list[tuple]:
     return sorted(out, key=lambda x: -x[3])
 
 
-def print_table(old: dict, new: dict, threshold: float) -> None:
+def print_table(old: dict, new: dict, threshold: float) -> bool:
+    """Print the round-notes table; True when any adverse signal exists.
+
+    A move table that omitted removed or newly-failing queries would
+    re-open the r8 silent-omission hole from the other side ("faster
+    because fewer ran"), so those are printed as explicit rows too.
+    """
+    oq, nq = old["queries"], new["queries"]
     rows = moves(old, new, threshold)
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    failed = sorted(
+        n
+        for n in set(oq) & set(nq)
+        if (nq[n] is None or nq[n] < 0) and (oq[n] is not None and oq[n] >= 0)
+    )
     print(
         f"| query | old s | new s | ratio | direction |\n|---|---|---|---|---|"
     )
-    if not rows:
+    if not (rows or removed or failed):
         print(f"| _none_ | — | — | — | no move beyond {threshold}x |")
     for name, a, b, r in rows:
         d = "REGRESSION" if r > 1 else "improvement"
         print(f"| `{name}` | {a:.2f} | {b:.2f} | {r:.2f}x | {d} |")
+    for name in failed:
+        print(f"| `{name}` | {oq[name]:.2f} | — | — | **FAILED** |")
+    for name in removed:
+        print(f"| `{name}` | {oq[name]:.2f} | — | — | **REMOVED** |")
+    if added:
+        print(f"\nadded ({len(added)}): {', '.join(f'`{n}`' for n in added)}")
     print(
         f"\ntotals: {old['value']}s/{len(old['queries'])}q -> "
         f"{new['value']}s/{len(new['queries'])}q  "
         f"(failures {old.get('failures', '?')} -> {new.get('failures', '?')})"
     )
+    regressions = [m for m in rows if m[3] > 1]
+    return bool(regressions or removed or failed)
 
 
 def main() -> int:
@@ -94,8 +131,10 @@ def main() -> int:
     old, new = load(argv[0]), load(argv[1])
     threshold = float(argv[2]) if len(argv) > 2 else (1.4 if table else 1.5)
     if table:
-        print_table(old, new, threshold)
-        return 0
+        # same exit contract as the default mode: the table is for the
+        # round notes, but a caller gating on the exit code must still
+        # see adverse rows (regression/removed/failed) as nonzero
+        return 1 if print_table(old, new, threshold) else 0
     oq, nq = old["queries"], new["queries"]
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))

@@ -329,7 +329,12 @@ def tri_graph_profile(spark, sf_dir: str) -> dict:
     (the Θ(Σ d²) volume a per-node wedge join would generate);
     ``oriented_wedges`` = Σ C(outdeg,2) under the (degree, id) orientation
     (the volume triangle_stats actually generates — its O(E·arboricity)
-    bound made countable)."""
+    bound made countable). The census CONSUMES the operator's own
+    ``degree_census`` / ``orient_by_degree`` helpers rather than a local
+    re-implementation, so if the orientation rule ever changes the probe
+    measures the new shape by construction."""
+    from mapreduce_system_spark.operators.graph import degree_census, orient_by_degree
+
     li = (
         load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -342,29 +347,14 @@ def tri_graph_profile(spark, sf_dir: str) -> dict:
         .distinct()
         .cache()
     )
-    deg = (
-        pr.select(F.col("u").alias("node"))
-        .unionAll(pr.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .cache()
-    )
+    deg = degree_census(pr).cache()
     drow = deg.agg(
         F.count("*").alias("n_nodes"),
         F.expr("percentile_approx(d, array(0.5, 0.9, 0.99), 10000)").alias("pct"),
         F.max("d").alias("mx"),
         (F.sum(F.col("d") * (F.col("d") - 1) / 2)).cast("long").alias("naive"),
     ).collect()[0]
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    outdeg = (
-        pr.join(du, "u")
-        .join(dv, "v")
-        .select(F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"))
-        .groupBy("s")
-        .agg(F.count("*").alias("od"))
-    )
+    outdeg = orient_by_degree(pr, deg).groupBy("s").agg(F.count("*").alias("od"))
     oriented = int(
         outdeg.agg(
             (F.sum(F.col("od") * (F.col("od") - 1) / 2)).cast("long")
