@@ -145,6 +145,16 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     assert got[0].n == want
 
 
+def test_session_factory_sizes_codegen_cache_to_catalog(spark):
+    """get_spark must carry the codegen-cache sizing (BASELINE §(o)): at
+    the 100-entry default a 155-query catalog thrashes the generated-
+    class cache and every repeated pass re-pays Janino + C2 warmup per
+    stage (measured 190.9 → 153.1 s full-catalog median-of-3). The
+    session fixture comes from get_spark, so reading the conf here pins
+    the knob against accidental removal."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
+
+
 def test_load_table_works_on_vanilla_session_confs(spark, sf_dir):
     """The driver imports __spark_entry__ with a VANILLA SparkSession —
     no timezone or nanosAsLong confs pre-set. newSession() reproduces
