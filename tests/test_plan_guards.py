@@ -365,3 +365,43 @@ def test_keep_latest_k_rides_window_group_limit(spark):
 
     plan = formatted_plan(q_keep_latest_k(spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_degenerate_division_guards_survive_in_both_engines(spark):
+    """The r9 ADVICE-class guards (divide-by-zero on degenerate inputs:
+    Spark non-ANSI NULL vs DuckDB IEEE inf/NaN) must stay in the SHIPPED
+    artifacts on BOTH sides: the nullif rewrite (`... = 0)) null else`)
+    in the registered query's physical plan line that produces the
+    guarded column, and the nullif/CASE spelling in the oracle SQL.
+    Asserting on the real plan (not a re-typed expression) means
+    reverting any one guard fails here — the linreg guard has its own
+    executable degenerate-input test in test_fresh8h_queries."""
+    from mapreduce_system_spark.queries.fresh8d import _HIST_SQL, q_histogram_equi_width
+    from mapreduce_system_spark.queries.fresh8f import _TRIANGLE_SQL, q_triangle_count
+    from mapreduce_system_spark.queries.fresh8h import _TWAP_SQL, q_time_weighted_avg
+    from mapreduce_system_spark.queries.fresh8i import (
+        _CENTROID_MATRIX_SQL,
+        q_centroid_distance_matrix,
+    )
+    from mapreduce_system_spark.queries.fresh8m import _PCA_SQL, q_pca_power_iteration
+
+    for fn, alias, sql, spelling in [
+        (q_time_weighted_avg, "AS twap", _TWAP_SQL, "nullif(sum(dur_us), 0)"),
+        (
+            q_centroid_distance_matrix,
+            "AS cosine",
+            _CENTROID_MATRIX_SQL,
+            "nullif(sqrt(na) * sqrt(nb), 0)",
+        ),
+        (q_pca_power_iteration, "AS loading", _PCA_SQL, "nullif(nrm, 0)"),
+        (q_histogram_equi_width, "AS bucket", _HIST_SQL, "nullif(mx - mn, 0)"),
+    ]:
+        assert spelling in sql, (alias, spelling)
+        plan = formatted_plan(fn(spark, SF_DIR))
+        lines = [ln for ln in plan.splitlines() if alias in ln]
+        assert any("null else" in ln for ln in lines), (alias, lines[:3])
+    # transitivity uses a CASE-pinned 0.0 (not nullif) on both engines
+    assert "CASE WHEN wed.n_wedges = 0 THEN 0.0" in _TRIANGLE_SQL
+    plan = formatted_plan(q_triangle_count(spark, SF_DIR))
+    trans = [ln for ln in plan.splitlines() if "AS transitivity" in ln]
+    assert any("CASE WHEN" in ln and "0.0" in ln for ln in trans), trans[:3]
