@@ -60,6 +60,28 @@ def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str 
     )
 
 
+def _capped_postings(sets: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """(id, sz, shingle) postings with the stop-shingle DF cap applied —
+    the candidate-generation step shared by ``jaccard_pairs`` and
+    ``containment_pairs`` (one definition so a cap change can never
+    silently apply to only one operator). ``sz`` carries the TRUE
+    pre-cap set size through the explode (the pair group then has both
+    sizes in-row — no post-join size lookups); the lower-bound semantics
+    this gives the capped scores are documented on ``jaccard_pairs``."""
+    exploded = sets.select(
+        "id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    return exploded
+
+
 def jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -73,8 +95,14 @@ def jaccard_pairs(
     Candidates = pairs sharing ≥1 shingle (inverted-index join — never
     all-pairs); |A∩B| falls out of the join group count; |A|/|B| join back
     from per-doc sizes. ``max_shingle_df`` drops stop-shingles to bound the
-    join's skew at corpus scale (alters recall only for pairs whose every
-    shared shingle is a stop-shingle — i.e. templates).
+    join's skew at corpus scale. Cap semantics (mirrored exactly by the
+    DuckDB oracle): set sizes are the TRUE |A|/|B| while the intersection
+    counts only non-stop shingles, so the reported score is a LOWER BOUND
+    of true Jaccard — a pair whose shared shingles are partly stop-
+    shingles scores lower and can fall below the threshold (it vanishes
+    entirely only when every shared shingle is a stop-shingle). That is
+    the conservative direction for dedup: template boilerplate can only
+    SUBTRACT evidence of similarity, never add false merges.
     """
     # cache the shingle sets: the expensive shingle expression would
     # otherwise be evaluated twice below (size + explode reference the
@@ -82,17 +110,7 @@ def jaccard_pairs(
     # relation into any concurrent plan with the same subtree (minhash).
     # Tracked so multi-query harnesses can caches.release() between runs.
     sets = tracked_cache(shingle_sets(df, n, text_col, id_col))
-    # carry |set| through the explode: the pair group then has both sizes
-    # in-row — no post-join size lookups.
-    exploded = sets.select("id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle"))
-    if max_shingle_df is not None:
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .where(F.col("df_") > max_shingle_df)
-            .select("shingle")
-        )
-        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    exploded = _capped_postings(sets, max_shingle_df)
     a = exploded.alias("a")
     b = exploded.alias("b")
     # Length filter (similarity-join standard): jaccard(A,B) ≤ min/max of
@@ -141,19 +159,12 @@ def containment_pairs(
     unequal sizes are exactly the target, there is deliberately NO
     length-ratio prune (contrast jaccard_pairs); candidate generation
     is the same inverted-index equi-join with the same stop-shingle DF
-    cap bounding skew, so the plan stays linear in postings, never
+    cap bounding skew (same lower-bound cap semantics — see
+    ``jaccard_pairs``), so the plan stays linear in postings, never
     doc×doc.
     """
     sets = tracked_cache(shingle_sets(df, n, text_col, id_col))
-    exploded = sets.select("id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle"))
-    if max_shingle_df is not None:
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .where(F.col("df_") > max_shingle_df)
-            .select("shingle")
-        )
-        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    exploded = _capped_postings(sets, max_shingle_df)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -207,6 +218,17 @@ def _signature_array(num_hashes: int):
     )
 
 
+def _minhash_sig(sets: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from a shingle-set relation — the ONE definition of the
+    element-hash + fold step, shared by ``minhash_signatures`` (the
+    materialized/exported form an external oracle verifies) and
+    ``minhash_lsh_pairs`` (the banding pipeline): a seed or cast tweak
+    applied to only one of them would silently desynchronize the LSH
+    candidates from the signatures the verification story reads."""
+    hsets = sets.select("id", F.transform("sg", lambda s: F.xxhash64(s)).alias("hs"))
+    return hsets.select("id", _signature_array(num_hashes).alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
@@ -215,9 +237,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature columns — map-only, zero shuffle."""
-    sets = shingle_sets(df, n, text_col, id_col)
-    hsets = sets.select("id", F.transform("sg", lambda s: F.xxhash64(s)).alias("hs"))
-    sig = hsets.select("id", _signature_array(num_hashes).alias("sig"))
+    sig = _minhash_sig(shingle_sets(df, n, text_col, id_col), num_hashes)
     return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(num_hashes)])
 
 
@@ -237,11 +257,16 @@ def minhash_lsh_pairs(
     Precision is exact; recall = 1-(1-s^r)^b (r=2, b=64 ⇒ >99.99% at
     s=0.5). Candidate volume scales with docs-per-band-bucket, never n².
     """
+    if num_hashes % rows_per_band != 0:
+        # floor-dividing would silently discard the trailing hashes: the
+        # caller pays for num_hashes computations but gets fewer bands
+        # than the recall formula they sized for
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by rows_per_band "
+            f"({rows_per_band}); trailing hashes would be silently unused"
+        )
     sets_cached = tracked_cache(shingle_sets(df, n, text_col, id_col))
-    hsets = sets_cached.select(
-        "id", F.transform("sg", lambda s: F.xxhash64(s)).alias("hs")
-    )
-    sig = hsets.select("id", _signature_array(num_hashes).alias("sig"))
+    sig = _minhash_sig(sets_cached, num_hashes)
     n_bands = num_hashes // rows_per_band
     band_cols = [
         F.xxhash64(
@@ -326,7 +351,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return ths.select("id", sums.alias("sums")).select("id", sig.alias("simhash"))
+    # token-less docs (punctuation-only, empty strings) would all fold to
+    # signature 0 and surface as mutual hamming-0 "near-dups" — and at
+    # corpus scale E such docs share one band bucket, an E² candidate
+    # blowup. NULL instead: the row stays in the signature table (the
+    # caller contract is one row per input doc) but null band keys never
+    # equi-join, so no pairs are generated for them.
+    return ths.select(
+        "id", F.size("ths").alias("n_tokens"), sums.alias("sums")
+    ).select("id", F.when(F.col("n_tokens") > 0, sig).alias("simhash"))
 
 
 def simhash_pairs(
@@ -337,9 +370,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Banded search: split the 64-bit signature into 4×16-bit bands; any pair
-    within Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so the
-    candidate set is 4 equi-joins on 16-bit band keys — never all-pairs.
+    Banded search: split the 64-bit signature into max_hamming+1 bands
+    (4×16 bits at the default 3); any pair within the Hamming budget must
+    agree exactly on ≥1 band (pigeonhole: max_hamming differing bits
+    cannot touch all max_hamming+1 bands), so the candidate set is b
+    equi-joins on band keys — never all-pairs.
     """
     return simhash_pairs_from_sig(simhash(df, text_col, id_col), max_hamming)
 
@@ -349,18 +384,32 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Split out so the signature table can be materialized once (e.g. to
     parquet, where a SQL oracle can verify the pair logic all-pairs) and
-    the banding reused on the read-back."""
+    the banding reused on the read-back. The band count is derived from
+    ``max_hamming`` (pigeonhole needs max_hamming+1 bands — a fixed band
+    count would silently lose recall for any larger budget); at the
+    default 3 this is the canonical 4×16-bit split."""
+    if not 0 <= max_hamming <= 15:
+        # >15 would need >16 bands of <4 bits — bucket keys so small the
+        # banded join degenerates toward all-pairs; use minhash/jaccard
+        # for budgets that loose
+        raise ValueError(f"max_hamming must be in [0, 15], got {max_hamming}")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+
+    def band_key(b: int):
+        key = F.shiftrightunsigned("simhash", offsets[b])
+        if widths[b] < 64:  # a 64-bit mask literal would overflow int64
+            key = key.bitwiseAND(F.lit((1 << widths[b]) - 1))
+        return key
+
     bands = sig.select(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
+        F.posexplode(F.array(*[band_key(b) for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
     )
     x = bands.alias("x")
     y = bands.alias("y")

@@ -194,7 +194,9 @@ def lsh_bucket(vec, planes: list[list[float]]):
     tests/test_similarity.py).
     """
     if not planes:
-        return F.lit(0)
+        return F.lit(0).cast("long")
+    if len(planes) > 63:  # bucket is one signed 64-bit key
+        raise ValueError(f"at most 63 hyperplanes per table, got {len(planes)}")
     n = len(planes)
     dim = len(planes[0])
     mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
@@ -213,15 +215,18 @@ def lsh_bucket(vec, planes: list[list[float]]):
             lambda a, i: a + p["v"] * F.element_at(F.element_at(mat, i + 1), p["j"] + 1),
         ),
     )
+    # long fold (same as dedup.simhash's): a plain int literal would run
+    # the shiftleft in 32-bit arithmetic and wrap at plane 32 — distinct
+    # sign patterns silently colliding into one bucket
     return F.aggregate(
         F.zip_with(
             sums,
             idx,
             lambda s, i: F.when(
-                s > 0, F.call_function("shiftleft", F.lit(1), i)
-            ).otherwise(F.lit(0)),
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
         ),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
 
@@ -300,7 +305,13 @@ def lsh_bucket_topk(
             # plan-time one-row action (docstring warns): fetch only the
             # array SIZE, not a vector, and only when the caller supplied
             # neither dim nor precomputed signatures
-            dim = corpus.select(F.size(vec_col)).limit(1).collect()[0][0]
+            probe = corpus.select(F.size(vec_col)).limit(1).collect()
+            if not probe:
+                raise ValueError(
+                    "corpus is empty and dim was not given — pass dim= (or "
+                    "precomputed signatures) to build query-side hyperplanes"
+                )
+            dim = probe[0][0]
         if corpus_sig is None:
             corpus_sig = lsh_signatures(
                 corpus, dim, n_planes, seed, n_tables, id_col, vec_col
@@ -320,12 +331,15 @@ def lsh_bucket_topk(
         .where(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col)
     )
-    if n_tables > 1:
-        # dedupe candidate PAIRS before scoring: a pair colliding in all t
-        # tables would otherwise be scored t times and collapsed by a
-        # distinct over a recomputed double — deduping ids first makes the
-        # distinct a cheap 2-key dedup and scores once.
-        cand = cand.distinct()
+    # dedupe candidate PAIRS before scoring — UNCONDITIONALLY: a pair
+    # colliding in several tables would otherwise be scored once per
+    # collision and row_number would hand the same neighbor several of
+    # the k slots (silently crowding out real neighbors). Gating this on
+    # the n_tables PARAMETER was wrong exactly when precomputed
+    # multi-table signatures were passed in with n_tables left at its
+    # default; on the single-table path the pairs are already unique and
+    # the distinct is a cheap 2-key dedup.
+    cand = cand.distinct()
     scored = (
         cand.join(cu.select(id_col, "__cu"), id_col)
         .join(F.broadcast(qu.select(query_id_col, "__qu")), query_id_col)
@@ -378,20 +392,27 @@ def brute_force_topk_arrow(
             n = np.linalg.norm(m, axis=1)
             n[n == 0] = 1.0
             s = (m / n[:, None]) @ qm.T  # B×Q cosine matrix
-            out = {"query_id": [], "vec_id": [], "cos": []}
+            # frame columns are NAMED from the caller's id columns —
+            # mapInPandas assigns by name, so hardcoded labels would
+            # break any non-default id_col/query_id_col
+            out = {query_id_col: [], id_col: [], "cos": []}
             for j, qid in enumerate(qids):
                 col = s[:, j]
                 mask = ids != qid
                 order = np.lexsort((ids[mask], -col[mask]))[:k]
                 sel_ids = ids[mask][order]
                 sel_cos = col[mask][order]
-                out["query_id"].extend([qid] * len(sel_ids))
-                out["vec_id"].extend(sel_ids.tolist())
+                out[query_id_col].extend([qid] * len(sel_ids))
+                out[id_col].extend(sel_ids.tolist())
                 out["cos"].extend(sel_cos.tolist())
             yield pd.DataFrame(out)
 
+    # id types come from the actual input schemas (string ids are as
+    # legitimate as longs for this operator)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
     cand = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{query_id_col} long, {id_col} long, cos double"
+        score, schema=f"{query_id_col} {qid_t}, {id_col} {cid_t}, cos double"
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return cand.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)

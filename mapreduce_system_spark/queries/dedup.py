@@ -112,9 +112,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the
     shingle-share equi-join — never all-pairs, and with the stop-shingle
     cap applied (``max_shingle_df=100``) so candidate volume per shingle is
-    bounded by the cap², not corpus², under boilerplate skew. Recall is
-    altered only for pairs whose *every* shared shingle is a stop-shingle
-    (pure templates)."""
+    bounded by the cap², not corpus², under boilerplate skew. The capped
+    score is a LOWER BOUND of true Jaccard (sizes are pre-cap, the
+    intersection counts only non-stop shingles — see
+    ``operators/dedup.py::jaccard_pairs``): pairs whose shared shingles
+    are partly boilerplate score lower and can drop below the threshold;
+    a pair disappears entirely only when every shared shingle is a
+    stop-shingle. The oracle mirrors the identical algebra."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     out = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(

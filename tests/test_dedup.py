@@ -190,3 +190,45 @@ def test_containment_catches_subset_duplicate(spark):
     assert (1, 2) in c and c[(1, 2)] >= 0.99
     j = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
     assert (1, 2) not in j
+
+
+def test_simhash_tokenless_docs_get_null_signature_and_no_pairs(spark):
+    """Punctuation-only / empty docs must not all collapse to signature 0
+    and emit mutual hamming-0 'near-dup' pairs (at corpus scale E such
+    docs share one band bucket — an E² candidate blowup). They keep a
+    row in the signature table (NULL simhash — the one-row-per-doc
+    contract) and generate zero pairs."""
+    df = docs_df(spark, ["...", "!!!", "???", "real words here ok"])
+    sig = {r.id: r.simhash for r in DD.simhash(df).collect()}
+    assert len(sig) == 4
+    assert sig[0] is None and sig[1] is None and sig[2] is None
+    assert sig[3] is not None
+    assert DD.simhash_pairs(df).count() == 0
+
+
+def test_simhash_band_count_follows_max_hamming(spark):
+    """Pigeonhole needs max_hamming+1 bands: two signatures differing in
+    exactly 4 bits, one per 16-bit quarter, share NO 4-band key — a
+    hardcoded 4-band split silently misses the pair at max_hamming=4,
+    where the derived 5-band split must find it."""
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)  # one bit per quarter
+    sig = spark.createDataFrame([Row(id=0, simhash=a), Row(id=1, simhash=b)])
+    assert DD.simhash_pairs_from_sig(sig, max_hamming=3).count() == 0
+    got = DD.simhash_pairs_from_sig(sig, max_hamming=4).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(0, 1, 4)]
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        DD.simhash_pairs_from_sig(sig, max_hamming=16)
+
+
+def test_minhash_lsh_rejects_indivisible_band_width(spark):
+    """128 hashes over 3-row bands would silently discard the trailing
+    two hashes (floor division) — the caller pays for 128 and gets
+    42-band recall; must raise instead."""
+    import pytest
+
+    df = docs_df(spark, ["a b c d e f"])
+    with pytest.raises(ValueError, match="divisible"):
+        DD.minhash_lsh_pairs(df, num_hashes=128, rows_per_band=3)

@@ -203,3 +203,50 @@ def test_lsh_multi_table_recall_is_monotone(spark, sf_dir):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1, (r1, r3)
     assert r3 >= 0.3, f"3-table LSH recall {r3} collapsed"
+
+
+def test_lsh_topk_dedupes_precomputed_multitable_candidates(spark, sf_dir):
+    """Passing 3-table precomputed signatures while n_tables stays at its
+    default must NOT produce duplicate neighbors: a pair colliding in
+    all 3 tables used to be scored 3 times, and row_number handed one
+    neighbor several of the k slots. Top-k rows must be one per distinct
+    (query, neighbor)."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _queries(emb, 5)
+    csig = SIM.lsh_signatures(emb, 64, n_planes=2, n_tables=3, id_col="vec_id")
+    qsig = SIM.lsh_signatures(
+        q, 64, n_planes=2, n_tables=3, id_col="query_id", vec_col="query_vec"
+    )
+    got = SIM.lsh_bucket_topk(
+        emb, q, k=5, corpus_sig=csig, query_sig=qsig  # n_tables left at default
+    ).collect()
+    pairs = [(r.query_id, r.vec_id) for r in got]
+    assert len(pairs) == len(set(pairs)), pairs
+
+
+def test_brute_force_arrow_honors_custom_id_columns(spark):
+    """The Arrow top-k must name its output frame from id_col /
+    query_id_col and type the schema from the inputs — string ids with
+    non-default names used to fail (hardcoded 'query_id long,
+    vec_id long')."""
+    corpus = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.0, 1.0]), ("d3", [0.7, 0.7])],
+        "doc_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "qid string, query_vec array<double>"
+    )
+    got = SIM.brute_force_topk_arrow(
+        corpus, q, k=2, id_col="doc_id", query_id_col="qid"
+    ).collect()
+    assert [r.doc_id for r in got] == ["d1", "d3"]
+    assert got[0].qid == "q1" and got[0].rn == 1
+
+
+def test_lsh_bucket_topk_empty_corpus_without_dim_raises_cleanly(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        SIM.lsh_bucket_topk(empty, q, k=2)
