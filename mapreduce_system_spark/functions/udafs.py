@@ -22,11 +22,17 @@ from pyspark.sql import functions as F
 
 
 def weighted_mean():
-    """Σ(value·weight)/Σ(weight) GROUPED_AGG UDAF (call per session)."""
+    """Σ(value·weight)/Σ(weight) GROUPED_AGG UDAF (call per session).
+
+    A group whose weights sum to zero (all zero, all NULL, or canceling
+    ±w) yields NULL — the same answer the SQL identity
+    ``sum(v*w)/sum(w)`` gives under non-ANSI division. Returning 0.0
+    there would fabricate a mean indistinguishable from a true zero
+    average and diverge from the registered oracle."""
 
     @F.pandas_udf("double")
     def _weighted_mean(value: pd.Series, weight: pd.Series) -> float:
         w = weight.sum()
-        return float((value * weight).sum() / w) if w else 0.0
+        return float((value * weight).sum() / w) if w else None
 
     return _weighted_mean

@@ -38,6 +38,55 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_struct: F.Column,
+) -> DataFrame:
+    """The tag-union scaffolding shared by ``asof_join`` and
+    ``asof_join_nearest``: (__k, __t, __r, __left, __p) rows where right
+    rows carry ``payload_struct`` as ``__p`` (payload null on left rows)
+    and left rows carry their full row struct as ``__left``. One
+    definition so a NULL-semantics or schema fix applies to both
+    variants at once.
+
+    NULL semantics, matching DuckDB/kdb ASOF exactly: the join's
+    equality and <=/nearest predicates are never true for NULL, so a
+    right row with a NULL key or NULL time can match nothing — drop it
+    up front. (Without the filter, Window.partitionBy groups NULL keys
+    together and a NULL right_time sorts first, silently attaching
+    payloads that ASOF semantics would leave NULL.) Left rows with NULL
+    key/time are kept with NULL payload.
+
+    Payloads are propagated as ONE non-null struct, not per-column
+    last(ignorenulls): with per-column fill, a matched right row whose
+    payload field is legitimately NULL would be skipped and an *older*
+    row's non-null value would leak through — diverging from DuckDB/kdb
+    ASOF semantics, which take all fields from the single matched row.
+    """
+    right = right.where(F.col(on).isNotNull() & F.col(right_time).isNotNull())
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__r"),
+        F.struct(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema]
+        ).alias("__left"),
+        payload_struct.alias("__p"),
+    )
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__r"),
+        F.struct(*left.columns).alias("__left"),
+        F.lit(None).cast(rt.schema["__p"].dataType).alias("__p"),
+    )
+    return lt.unionByName(rt)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -52,43 +101,16 @@ def asof_join(
     ``right`` must be unique per (on, right_time) — pre-aggregate ties
     first (see ``latest_per_key_time``) to keep results deterministic.
     Returns all left columns + payload_cols (null when no prior right row).
+    NULL semantics: see ``_tagged_union``.
     """
-    # NULL semantics, matching DuckDB/kdb ASOF exactly: the join's
-    # equality and <= predicates are never true for NULL, so a right row
-    # with a NULL key or NULL time can match nothing — drop it up front.
-    # (Without the filter, Window.partitionBy groups NULL keys together
-    # and a NULL right_time sorts first, silently attaching payloads that
-    # ASOF semantics would leave NULL.) Left rows with NULL key/time are
-    # kept with NULL payload: their partition then contains no right rows
-    # / no preceding right row, so last(ignorenulls) yields NULL.
-    right = right.where(F.col(on).isNotNull() & F.col(right_time).isNotNull())
-    # Payloads are propagated as ONE non-null struct, not per-column
-    # last(ignorenulls): with per-column fill, a matched right row whose
-    # payload field is legitimately NULL would be skipped and an *older*
-    # row's non-null value would leak through — diverging from DuckDB/kdb
-    # ASOF semantics, which take all fields from the single matched row.
-    rt = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_time).alias("__t"),
-        F.lit(1).alias("__r"),
-        F.struct(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema]
-        ).alias("__left"),
-        F.struct(*payload_cols).alias("__p"),
-    )
-    lt = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_time).alias("__t"),
-        F.lit(0).alias("__r"),
-        F.struct(*left.columns).alias("__left"),
-        F.lit(None).cast(rt.schema["__p"].dataType).alias("__p"),
-    )
     w = (
         W.partitionBy("__k")
         .orderBy(F.col("__t"), F.col("__r").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = lt.unionByName(rt).select(
+    filled = _tagged_union(
+        left, right, on, left_time, right_time, F.struct(*payload_cols)
+    ).select(
         "__r",
         "__left",
         F.last("__p", ignorenulls=True).over(w).alias("__p"),
@@ -123,6 +145,13 @@ def asof_join_salted(
     rows meet NULL-key left rows); left NULL-key rows keep NULL payloads
     because their partitions contain no right rows.
     """
+    from mapreduce_system_spark.operators.skew import _require_absent
+
+    # refuse to shadow caller columns with the internal temp names — the
+    # withColumn + final drop would silently lose caller data (the same
+    # guard skew.py applies to its salted operators)
+    _require_absent(left, "__salt", "__sk")
+    _require_absent(right, "__salt", "__sk")
     spark = left.sparkSession
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
     right_ok = right.where(F.col(on).isNotNull() & F.col(right_time).isNotNull())
@@ -183,30 +212,21 @@ def asof_join_nearest(
     the tagged streams: the same keyed window partition evaluated under
     ascending and descending time order (one exchange, two sorts), then
     a per-row pick by exact integer gap. Same preconditions and NULL
-    semantics as ``asof_join``; scales identically (keyed window, no
-    self-join).
+    semantics as ``asof_join`` (shared ``_tagged_union``); scales
+    identically (keyed window, no self-join).
     """
-    right = right.where(F.col(on).isNotNull() & F.col(right_time).isNotNull())
     rt_type = dict(right.dtypes)[right_time]
     lt_type = dict(left.dtypes)[left_time]
-    rt = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_time).alias("__t"),
-        F.lit(1).alias("__r"),
-        F.struct(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema]
-        ).alias("__left"),
+    tagged = _tagged_union(
+        left,
+        right,
+        on,
+        left_time,
+        right_time,
         F.struct(
             _time_as_long(F.col(right_time), rt_type).alias("__rt_us"),
             *payload_cols,
-        ).alias("__p"),
-    )
-    lt = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_time).alias("__t"),
-        F.lit(0).alias("__r"),
-        F.struct(*left.columns).alias("__left"),
-        F.lit(None).cast(rt.schema["__p"].dataType).alias("__p"),
+        ),
     )
     # backward: ascending time, right-before-left at ties (<= semantics);
     # forward: descending time, right-before-left at ties (>= semantics)
@@ -220,7 +240,7 @@ def asof_join_nearest(
         .orderBy(F.col("__t").desc(), F.col("__r").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = lt.unionByName(rt).select(
+    filled = tagged.select(
         "__r",
         "__left",
         _time_as_long(F.col("__t"), lt_type).alias("__lt_us"),
@@ -232,7 +252,15 @@ def asof_join_nearest(
     pick_backward = F.col("__pb").isNotNull() & (
         F.col("__pf").isNull() | (gap_b <= gap_f)
     )
-    chosen = F.when(pick_backward, F.col("__pb")).otherwise(F.col("__pf"))
+    # NULL left_time ⇒ NULL payload (|r - NULL| is not a distance): the
+    # backward window (asc, nulls first) naturally sees no right rows,
+    # but the FORWARD window (desc) sorts NULLs last and would see every
+    # right row — unguarded, a NULL-time left row walked away with the
+    # earliest right payload, diverging from asof_join and the oracle
+    chosen = F.when(
+        F.col("__lt_us").isNotNull(),
+        F.when(pick_backward, F.col("__pb")).otherwise(F.col("__pf")),
+    )
     return (
         filled.where(F.col("__r") == 0)
         .select("__left", chosen.alias("__c"))

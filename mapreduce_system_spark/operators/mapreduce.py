@@ -154,7 +154,12 @@ def map_reduce(
     ``mr-out-*`` files (``worker.go:167``).
     """
     ensure_package_on_executors(spark)
-    pair_rdd = df.select(key_col, value_col).rdd.flatMap(lambda row: mapf(row[0], row[1]))
+    # same parallelism guard as the scalable twin and every other
+    # mapper-heavy operator: a single-split input (one fixture file)
+    # would otherwise run every Python mapf call on ONE core — and this
+    # RDD path exists precisely for heavy per-record user code
+    src = ensure_parallelism(df.select(key_col, value_col))
+    pair_rdd = src.rdd.flatMap(lambda row: mapf(row[0], row[1]))
     # The reference's KeyValue fields are non-nullable Go strings
     # (worker.go:26-29): a mapf emitting None has left the contract. Drop
     # such pairs identically in BOTH engines — without this, array_sort

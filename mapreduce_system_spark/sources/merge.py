@@ -34,8 +34,6 @@ tracks key cardinality, not changelog volume).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,10 +42,19 @@ from mapreduce_system_spark.caches import persistent_rdd_ids, unpersist_rdd_ids
 _BUCKET = "__bucket"
 
 
-def _sink_exists(sink_path: str) -> bool:
+def _sink_exists(spark: SparkSession, sink_path: str) -> bool:
     # dynamic-partition-overwrite commits do NOT leave a root _SUCCESS
-    # marker — presence of any committed bucket directory is the signal
-    return any(Path(sink_path).glob(f"{_BUCKET}=*"))
+    # marker — presence of any committed bucket directory is the signal.
+    # Probed through the Hadoop FileSystem API, NOT a local Path.glob: a
+    # URI-style sink (file:, hdfs://, s3a://) is invisible to the local
+    # filesystem, and a local glob that misses an EXISTING sink makes
+    # the merge silently drop every unmatched key in the touched buckets
+    # (the absent-sink branch overwrites them with batch-only rows).
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/{_BUCKET}=*")
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(glob)
+    return matches is not None and len(matches) > 0
 
 
 def read_latest(spark: SparkSession, sink_path: str) -> DataFrame:
@@ -73,8 +80,17 @@ def merge_upsert(
     """
     payload = [c for c in batch.columns if c not in key_cols]
     ordered = list(order_cols) + [c for c in payload if c not in order_cols]
-    b = batch.withColumn(_BUCKET, F.pmod(F.hash(*key_cols), F.lit(n_buckets)))
-    if _sink_exists(sink_path):
+    # one materialization of the caller's batch plan: the touched-bucket
+    # collect AND the union below both read these blocks, so an
+    # expensive (or nondeterministic) upstream is computed once — a
+    # second evaluation would double the batch cost and could even
+    # disagree with the collected bucket list
+    before0 = persistent_rdd_ids(spark)
+    b = batch.withColumn(
+        _BUCKET, F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+    ).localCheckpoint(eager=True)
+    batch_ids = persistent_rdd_ids(spark) - before0
+    if _sink_exists(spark, sink_path):
         # touched buckets: bounded driver list (≤ n_buckets ints)
         touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
         cur = (
@@ -108,3 +124,5 @@ def merge_upsert(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         if step_ids:
             unpersist_rdd_ids(spark, step_ids)
+        if batch_ids:
+            unpersist_rdd_ids(spark, batch_ids)

@@ -184,10 +184,17 @@ def load_table(
 
 
 def _parse_bytes(size: str) -> int:
-    """Parse a Spark size conf value ('134217728', '128MB', '64m', '1g')."""
+    """Parse a Spark size conf value ('134217728', '128MB', '64m', '1g');
+    covers every suffix Spark's own byte-conf parser accepts."""
     s = size.strip().lower().rstrip("b")
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+    for suffix, m in (
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("t", 1 << 40),
+        ("p", 1 << 50),
+    ):
         if s.endswith(suffix):
             s, mult = s[:-1], m
             break
@@ -237,7 +244,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             # so neither file count nor a per-file ceil sum is an upper
             # bound — take the min of the two formulations.
             total = sum(sizes) + open_cost * len(files)
-            split = min(max_pb, max(open_cost, total // max(target, 1)))
+            # floor at 1 byte: openCostInBytes=0 (a legal tuning value)
+            # with tiny inputs would otherwise make split 0 and the ceil
+            # divisions below crash
+            split = max(1, min(max_pb, max(open_cost, total // max(target, 1))))
             per_file = sum(max(1, -(-s // split)) for s in sizes)
             packed = max(1, -(-total // split))
             return df if min(per_file, packed) >= target else df.repartition(target)

@@ -172,3 +172,47 @@ def test_asof_nearest_single_exchange(spark):
         1 for line in tree.splitlines() if "Exchange" in line and "Broadcast" not in line
     )
     assert n_shuffles <= 2, plan  # union-side partitioning; no per-direction extra
+
+
+def test_asof_nearest_null_left_time_keeps_null_payload(spark):
+    """A left row with NULL time has no distance to any right row — it
+    must get a NULL payload, exactly like asof_join. The forward
+    (descending) window sorts NULLs last, so unguarded it saw every
+    right row and attached the EARLIEST payload to NULL-time rows."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("u1", t("2024-01-01T10:00:00")), ("u1", None)], "k string, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t("2024-01-01T09:00:00"), 4.0),
+            ("u1", t("2024-01-01T11:00:00"), 9.0),
+        ],
+        "k string, rt timestamp, price double",
+    )
+    out = {
+        (r.lt, r.price)
+        for r in ASOF.asof_join_nearest(
+            left, right, on="k", left_time="lt", right_time="rt", payload_cols=["price"]
+        ).collect()
+    }
+    assert out == {(t("2024-01-01T10:00:00"), 4.0), (None, None)}
+
+
+def test_asof_salted_rejects_internal_column_clash(spark):
+    """Caller columns named __salt/__sk must be rejected, not silently
+    overwritten and dropped (the skew.py _require_absent contract)."""
+    import datetime as dt
+
+    import pytest
+
+    now = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([(1, now, 7)], "k long, lt timestamp, __salt int")
+    right = spark.createDataFrame([(1, now, 1.0)], "k long, rt timestamp, p double")
+    with pytest.raises(ValueError, match="__salt"):
+        ASOF.asof_join_salted(
+            left, right, on="k", left_time="lt", right_time="rt",
+            payload_cols=["p"], salt_src_col="k",
+        )

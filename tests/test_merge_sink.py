@@ -110,3 +110,16 @@ def test_merge_upsert_single_batch_equals_compaction(spark, tmp_path):
     p = str(tmp_path / "sink")
     _apply(spark, p, _B1 + _B2)
     assert _state(spark, p) == _EXPECTED
+
+
+def test_merge_upsert_uri_scheme_sink_keeps_unmatched_keys(spark, tmp_path):
+    """A URI-style sink path (file:) must behave exactly like the plain
+    local path: the sink-exists probe goes through the Hadoop FileSystem
+    API, so the second merge sees the first batch's state. With the old
+    local-only Path.glob probe, 'file:/...' looked absent and the second
+    merge silently DELETED every key of the touched buckets that was not
+    in the new batch."""
+    sink = f"file:{tmp_path}/merge-uri"
+    merge_upsert(spark, sink, _changelog(spark, _B1), ["user_id"], ["ts"])
+    merge_upsert(spark, sink, _changelog(spark, _B2), ["user_id"], ["ts"])
+    assert _state(spark, sink) == _EXPECTED

@@ -125,3 +125,24 @@ def test_rank_selection_percentiles_equal_percentile_agg(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_weighted_mean_udaf_zero_weight_group_is_null(spark):
+    """A group whose weights sum to 0 must aggregate to NULL (the
+    sum(v*w)/sum(w) SQL identity under non-ANSI division), not a
+    fabricated 0.0 indistinguishable from a true zero mean."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_system_spark.functions.udafs import weighted_mean
+
+    df = spark.createDataFrame(
+        [("a", 5.0, 0.0), ("a", 7.0, 0.0), ("b", 5.0, 2.0)],
+        "g string, v double, w double",
+    )
+    wm = weighted_mean()
+    got = {
+        r.g: r.m
+        for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()
+    }
+    assert got["a"] is None
+    assert abs(got["b"] - 5.0) < 1e-12

@@ -169,3 +169,20 @@ def test_load_table_works_on_vanilla_session_confs(spark, sf_dir):
     assert ns.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     docs = load_table(ns, sf_dir, "documents", columns=["doc_id"])
     assert docs.count() > 0
+
+
+def test_ensure_parallelism_survives_zero_open_cost(spark, tmp_path):
+    """spark.sql.files.openCostInBytes=0 is a legal tuning value; with a
+    tiny input it used to drive the estimated split size to 0 and crash
+    the ceil division with ZeroDivisionError at the head of every
+    mapper-heavy operator."""
+    from mapreduce_system_spark.sources.tables import ensure_parallelism
+
+    p = str(tmp_path / "tiny")
+    spark.createDataFrame([(1,)], "x long").coalesce(1).write.parquet(p)
+    prev = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        assert ensure_parallelism(spark.read.parquet(p)).count() == 1
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", prev)
