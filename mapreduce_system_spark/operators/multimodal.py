@@ -361,6 +361,11 @@ def _jpeg_decode(blob: bytes, pixels: bool):
                         qt[tq] = list(raw)
                     i += n
             elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+                if seg[0] != 8:
+                    # 12-bit extended-sequential is legal under 0xC1; the
+                    # 8-bit level shift and 0-255 clamp would decode it to
+                    # garbage SILENTLY — out of scope, fall back per blob
+                    return None
                 height = int.from_bytes(seg[1:3], "big")
                 width = int.from_bytes(seg[3:5], "big")
                 nc = seg[5]
@@ -392,6 +397,13 @@ def _jpeg_decode(blob: bytes, pixels: bool):
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS
                 ns = seg[0]
+                if ns != len(comps):
+                    # non-interleaved stream (one SOS per component): the
+                    # interleaved MCU geometry below would decode it into
+                    # a spatially scrambled plane — and when dimensions
+                    # are MCU-aligned the block count coincides, so no
+                    # error would fire. Out of scope, fall back per blob.
+                    return None
                 by_id = {c[0]: idx for idx, c in enumerate(comps)}
                 for s in range(ns):
                     cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]

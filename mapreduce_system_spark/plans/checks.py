@@ -29,7 +29,8 @@ def has_pushed_filters(df: DataFrame) -> bool:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)  # one explain — each call replans the query
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

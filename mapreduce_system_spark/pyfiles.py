@@ -39,9 +39,20 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     # write-to-temp + os.replace makes concurrent/retried calls safe.
     fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
     os.close(fd)
-    with zipfile.ZipFile(tmp, "w") as z:
-        for p in sorted(pkg_dir.rglob("*.py")):
-            z.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
-    os.replace(tmp, zip_path)
+    try:
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+        os.replace(tmp, zip_path)
+    except BaseException:
+        # failed mid-archive (disk full, source unlinked mid-walk): the
+        # per-process flag is still unset so the next call retries — but
+        # without this cleanup every retry would strand another mkstemp
+        # file in the temp dir
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     sc.addPyFile(zip_path)
     setattr(sc, _FLAG, True)

@@ -401,6 +401,29 @@ def test_jpeg_dc_rejects_out_of_scope_streams():
     assert decode_image_jpeg_dc(b"not a jpeg") is None
     truncated = b"\xff\xd8" + _dqt(8) + _sof0(8, 8, [(1, 0x11)])
     assert decode_image_jpeg_dc(truncated) is None
+    # 12-bit extended-sequential (SOF1, precision byte 12): legal per
+    # T.81, but 8-bit level-shift/clamp math would decode it to garbage
+    # SILENTLY — must fall back, not return wrong features
+    sof12 = _sof0(8, 8, [(1, 0x11)])
+    sof12 = b"\xff\xc1" + sof12[2:4] + bytes([12]) + sof12[5:]
+    twelve_bit = b"\xff\xd8" + _dqt(8) + sof12 + _dht(0, 0, 0) + _sos([1]) + b"\xff\xd9"
+    assert decode_image_jpeg_dc(twelve_bit) is None
+    # non-interleaved stream (one SOS per component): the interleaved
+    # MCU geometry would scramble the plane, and on MCU-aligned sizes
+    # the block count coincides so no error would fire — must fall back
+    multi_sos = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(16, 16, [(1, 0x22), (2, 0x11), (3, 0x11)])
+        + _dht(0, 0, 0)
+        + _sos([1])
+        + b"\xff\xd9"
+    )
+    assert decode_image_jpeg_dc(multi_sos) is None
+    from mapreduce_system_spark.operators.multimodal import decode_image_jpeg_pixels
+
+    assert decode_image_jpeg_pixels(twelve_bit) is None
+    assert decode_image_jpeg_pixels(multi_sos) is None
 
 
 def test_default_chain_routes_png_jpeg_and_fake_per_blob(spark):
