@@ -44,6 +44,19 @@ fresh7, fresh7c, fresh7e, fresh7f, fresh6, sinks, relational2, dedup,
 textstats. NO catalog growth in r9 (VERDICT r8 #1: hold growth below
 the free slots until no query's freshest driver row is older than two
 rounds — after r10's rotation nothing will be older than two rounds).
+
+LATE-r9 NOTE: after this window was frozen, the round's self-review
+hardening touched operator modules whose queries sit partly OUTSIDE it
+(dedup, similarity, asof/salted, merge sink, weighted-mean UDAF,
+map_reduce, JPEG decode — see the three "review batch" commits). The
+mitigations: every touched registered query was re-verified against
+its DuckDB oracle at the final HEAD (bench_runs/verify_full_r9.json,
+155/155 PASS — the VERDICT r8 #6 artifact), the mr-core rows at
+positions 1-9 and asof_join_nearest/multimodal in-window cover the
+map_reduce/asof/JPEG changes with driver rows, and each fix carries a
+regression pytest. Rotate dedup + similarity + sinks early in r10
+alongside the planned r06-stale modules so the changed code regains
+driver evidence.
 """
 
 from __future__ import annotations
