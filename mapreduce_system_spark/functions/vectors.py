@@ -39,7 +39,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 when either vector has zero norm."""
+    """Cosine similarity; 0.0 when either vector has zero norm.
+
+    Cross-engine note: DuckDB's ``list_cosine_similarity`` returns -1.0
+    for a zero-norm input, so an un-thresholded oracle (top-k rankings,
+    crossmodal cosine output) would diverge from this 0.0 convention IF
+    the fixture ever contained a zero vector. No fixture embedding has
+    zero norm — pinned by
+    tests/test_similarity.py::test_fixture_embeddings_have_no_zero_norm
+    so a regenerated corpus that breaks the assumption fails loudly
+    instead of surfacing as an opaque hash mismatch."""
     d = dot(a, b)
     n = norm(a) * norm(b)
     return F.when(n > 0, d / n).otherwise(F.lit(0.0))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from mapreduce_system_spark.caches import tracked_cache
 from mapreduce_system_spark.functions import text as TXT
 from mapreduce_system_spark.queries._textshared import _STOPLIST, _TOKS, _marker_score_sql
 from mapreduce_system_spark.registry import register
@@ -267,7 +268,15 @@ def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf):
         v = pdf["l_extendedprice"]
         sd = v.std(ddof=1)
-        pdf = pdf.assign(z=(v - v.mean()) / sd)
+        # degenerate-group guard (ADVICE-r8 class): a single-row group
+        # has sd = NaN and a constant group sd = 0 — pandas would emit
+        # NaN z-scores while the SQL oracle's stddev_samp/NULL division
+        # yields NULL (aggregates then skip the rows). Emit None to pin
+        # both engines to the same NULL answer.
+        if sd != sd or sd == 0:
+            pdf = pdf.assign(z=None)
+        else:
+            pdf = pdf.assign(z=(v - v.mean()) / sd)
         return pdf[["l_returnflag", "z"]]
 
     z = li.groupBy("l_returnflag").applyInPandas(zscore, schema="l_returnflag string, z double")
@@ -341,8 +350,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias("is_bench"),
     )
-    grams = tagged.select(
-        "source", "doc_id", "is_bench", F.explode(TXT.shingles("text", _DECON_N)).alias("g")
+    # cache the exploded grams: bench_grams and the contaminated branch
+    # are independent plan subtrees, so without this the scan AND the
+    # expensive shingle expression evaluate twice per run (the same
+    # two-consumer shape operators/dedup.py caches shingle_sets for);
+    # released by the harness-level caches.release()
+    grams = tracked_cache(
+        tagged.select(
+            "source",
+            "doc_id",
+            "is_bench",
+            F.explode(TXT.shingles("text", _DECON_N)).alias("g"),
+        )
     )
     bench_grams = grams.where(F.col("is_bench")).select("g").distinct()
     contaminated = (

@@ -250,3 +250,18 @@ def test_lsh_bucket_topk_empty_corpus_without_dim_raises_cleanly(spark):
     q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
     with pytest.raises(ValueError, match="dim"):
         SIM.lsh_bucket_topk(empty, q, k=2)
+
+
+def test_fixture_embeddings_have_no_zero_norm(spark):
+    """Un-thresholded cosine oracles rely on every fixture embedding
+    having positive norm: Spark's cosine() maps a zero vector to 0.0
+    while DuckDB's list_cosine_similarity returns -1.0, so a zero-norm
+    row would rank differently per engine and fail the value hash. Pin
+    the assumption so a regenerated corpus fails HERE with a clear
+    message (see functions/vectors.py::cosine)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings", columns=["embedding"])
+        zero = emb.where(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) <= 0.0
+        ).count()
+        assert zero == 0, sf

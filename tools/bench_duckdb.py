@@ -16,17 +16,26 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry
+    from mapreduce_system_spark.registry import SF_BOUND_ORACLES
+    from mapreduce_system_spark.sources.tables import TABLES
 
-    oracles = entry.oracle_sql()
+    oracles = dict(entry.oracle_sql())
+    skipped = []
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
+        # sf-bound oracles read Spark-exported side tables under STATIC
+        # sf0.01 paths (the driver's gate scale). At any other sf their
+        # SQL would join this run's views against the wrong-scale export
+        # (if one is lying around from a verify run) — a meaningless
+        # cross-sf result silently summed into the headline, or a
+        # spurious failure if absent. Skip them, visibly, like
+        # tools/verify_local.py does.
+        skipped = sorted(SF_BOUND_ORACLES & set(oracles))
+        for name in skipped:
+            del oracles[name]
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
@@ -59,6 +68,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "failures": failures,
+        "skipped_sf_bound": skipped,
         "sf": sf_dir,
     }
     print(json.dumps(out))

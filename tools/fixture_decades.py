@@ -119,9 +119,9 @@ def main() -> int:
         for sf_dir in SF_DIRS:
             samples = []
             for _ in range(runs):
-                t0 = time.time()
+                t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
+                samples.append(time.perf_counter() - t0)
                 caches.release()
             per_sf[Path(sf_dir).name] = round(statistics.median(samples), 3)
         growth = (
