@@ -70,8 +70,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avoiding the Expand duplication a mixed exact+approx distinct
     # aggregation would plan (measured 3.9 s → expand-free).
     dist = li.select("l_partkey").distinct()
+    # count(l_partkey), not count(*): a NULL key survives the distinct as
+    # one row, but count(DISTINCT ...) in the oracle and the HLL sketch
+    # both ignore NULLs — count(*) would anchor the error band one high
     agg = dist.agg(
-        F.count("*").alias("exact_parts"),
+        F.count("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
     )
     return agg.select(

@@ -19,12 +19,18 @@ from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
 _JSON_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN CAST(json_extract(props, '$.k') AS INT) END AS k
+  FROM events
+)
 SELECT event_type,
        count(*) AS cnt,
-       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
-       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
-       round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
-FROM events
+       CAST(min(k) AS INT) AS min_k,
+       CAST(max(k) AS INT) AS max_k,
+       round(avg(k), 4) AS avg_k
+FROM x
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -33,7 +39,14 @@ ORDER BY event_type
 @register("fn_json_props", _JSON_SQL)
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the events.props JSON payload (from_json → typed struct) and
-    aggregate the extracted field — JSON parsing stays JVM-side."""
+    aggregate the extracted field — JSON parsing stays JVM-side.
+
+    The oracle mirrors from_json's STRICT typed semantics with a
+    json_type gate: an int field is NULL unless the JSON value is an
+    integer NUMBER — a string-encoded '"5"' or a 5.5 is NULL on both
+    engines (a bare CAST(json_extract ...) in DuckDB would parse '"5"'
+    to 5 and diverge — the latent quoted-number class found in the r9
+    review)."""
     ev = load_table(spark, sf_dir, "events", columns=["event_type", "props"])
     schema = T.StructType([T.StructField("k", T.IntegerType())])
     return (
@@ -120,8 +133,8 @@ def q_math_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_MAP_SQL = """
 SELECT event_type,
        count(*) AS cnt,
-       CAST(count(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS with_k,
-       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+       CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS with_k,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -139,11 +152,15 @@ def q_json_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     an int (so one heterogeneous key would blank every other key too,
     diverging from the oracle's per-path json_extract); the string map
     keeps unrelated keys intact and the cast nulls only the non-numeric
-    value itself."""
+    value itself. The per-value cast is try_cast — Spark 4 runs ANSI by
+    default, so a plain cast would ABORT the query on the first
+    non-numeric value instead of nulling it (the documented contract);
+    the oracle's TRY_CAST(json_extract_string ...) has the identical
+    per-value semantics, including parsing a string-encoded '"5"'."""
     ev = load_table(spark, sf_dir, "events", columns=["event_type", "props"])
     m = F.from_json("props", "map<string,string>")
     return (
-        ev.select("event_type", F.element_at(m, "k").cast("int").alias("k"))
+        ev.select("event_type", F.element_at(m, "k").try_cast("int").alias("k"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),

@@ -20,23 +20,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+STATE_SCHEMA = "n long, n_vals long, total double"
 
 
 def _update_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, n_vals, total = state.get if state.exists else (0, 0, 0.0)
     for pdf in pdfs:
         # deliberate SQL aggregate semantics, matching the batch twin
         # (stream_user_totals_batch oracle): n_events = count(*) counts
-        # every row including null values; total = sum(value) skips nulls
-        # (pandas .sum() ignores NaN exactly like SQL SUM ignores NULL).
+        # every row including null values; total = sum(value) skips
+        # nulls. Pandas .sum() skips NaN like SQL SUM — EXCEPT over an
+        # all-NaN series, where it returns 0.0 while SQL SUM returns
+        # NULL; the non-null value count in state pins the SQL answer
+        # (a user whose every value is NULL totals NULL, not a
+        # fabricated 0.0).
         n += len(pdf)
+        n_vals += int(pdf["value"].count())
         total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+    state.update((n, n_vals, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total if n_vals else None],
+        }
+    )
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:
@@ -74,24 +85,32 @@ def _make_session_updater(gap_s: int):
             closed.append((user_id, s, n, l - s))
             state.remove()
         else:
-            es_list: list[int] = []
+            # Interval-merge sweep: the restored open session is an
+            # INTERVAL, not a point, so it enters the sorted sweep as
+            # (start, last, n) alongside the batch's single-event
+            # intervals. A point-vs-state loop would mishandle an
+            # admitted late event that precedes the open session by MORE
+            # than the gap (legal when the watermark delay exceeds the
+            # gap): min(s, es) used to merge it, fabricating one session
+            # spanning a silent gap — the sweep instead closes it as its
+            # own earlier session. Exactly-gap-sized intervals still
+            # merge (the session_window contract), and in-order replay
+            # reduces to the plain append path.
+            items: list[tuple[int, int, int]] = []
             for pdf in pdfs:
-                es_list.extend(int(x) for x in pdf["es"])
-            es_list.sort()
-            s, l, n = state.get if state.exists else (None, None, 0)
-            for es in es_list:
+                items.extend((int(x), int(x), 1) for x in pdf["es"])
+            if state.exists:
+                items.append(tuple(state.get))
+            items.sort()
+            s, l, n = None, None, 0
+            for a, b, k in items:
                 if s is None:
-                    s, l, n = es, es, 1
-                elif es - l > gap_s:
+                    s, l, n = a, b, k
+                elif a - l > gap_s:
                     closed.append((user_id, s, n, l - s))
-                    s, l, n = es, es, 1
+                    s, l, n = a, b, k
                 else:
-                    # exactly-gap-sized intervals merge (matches the
-                    # session_window contract). Under in-order replay the
-                    # min/max are no-ops; under bounded disorder (an
-                    # earlier same-session event arriving late) they keep
-                    # the span correct instead of silently shrinking it.
-                    s, l, n = min(s, es), max(l, es), n + 1
+                    l, n = max(l, b), n + k
             state.update((s, l, n))
             # fire strictly after watermark passes last_es + gap: an event
             # at exactly last_es + gap still merges, so the timer sits at

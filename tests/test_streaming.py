@@ -471,3 +471,74 @@ def test_stateful_queries_identical_under_rocksdb_state_store(spark, sf_dir):
 
     assert got_totals == base_totals and len(got_totals) > 0
     assert got_sessions == base_sessions and len(got_sessions) > 0
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState to unit-test updater logic
+    directly (the real streams above cover the end-to-end wiring)."""
+
+    def __init__(self, tup=None):
+        self._t = tup
+        self.hasTimedOut = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = tuple(t)
+
+    def remove(self):
+        self._t = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def test_session_updater_closes_backward_gap_late_event():
+    """A late event admitted by a watermark delay LARGER than the gap,
+    landing more than one gap BEFORE the open session, is its own
+    earlier session. The old point-vs-state merge (min(s, es)) silently
+    fabricated one session spanning the silent gap."""
+    import pandas as pd
+
+    from mapreduce_system_spark.streaming.stateful import _make_session_updater
+
+    upd = _make_session_updater(600)
+    st = _FakeGroupState((36000, 36000, 1))  # open session at t=36000
+    out = list(upd((1,), iter([pd.DataFrame({"es": [32400]})]), st))  # 1 h earlier
+    closed = [
+        tuple(r) for o in out for r in o[["session_start", "n_events", "dur_s"]].values
+    ]
+    assert closed == [(32400, 1, 0)]  # the late event closed alone
+    assert st.get == (36000, 36000, 1)  # open session untouched
+    # sanity: a late event WITHIN the gap still merges
+    st2 = _FakeGroupState((36000, 36000, 1))
+    out2 = list(upd((1,), iter([pd.DataFrame({"es": [35500]})]), st2))
+    assert out2 == []
+    assert st2.get == (35500, 36000, 2)
+
+
+def test_totals_updater_all_null_values_total_is_null():
+    """SQL SUM over an all-NULL group is NULL; pandas .sum() over an
+    all-NaN series is 0.0 — the state's non-null count pins the SQL
+    answer so the batch-twin parity holds for such users."""
+    import pandas as pd
+
+    from mapreduce_system_spark.streaming.stateful import _update_totals
+
+    st = _FakeGroupState()
+    out = list(
+        _update_totals((5,), iter([pd.DataFrame({"value": [float("nan")] * 3})]), st)
+    )
+    row = out[0].iloc[0]
+    assert row["n_events"] == 3
+    assert row["total_value"] is None
+    # a later real value flips the total to a number
+    out2 = list(_update_totals((5,), iter([pd.DataFrame({"value": [2.5]})]), st))
+    assert out2[0].iloc[0]["total_value"] == 2.5
