@@ -88,3 +88,27 @@ def release() -> int:
         except Exception:  # session already stopped — nothing to release
             pass
     return n
+
+
+def reap_stale_stagings(pattern: str, keep: str, max_age_s: int = 48 * 3600) -> None:
+    """Remove sibling /tmp staging dirs abandoned by DEAD applications.
+
+    One definition of the deletion policy for every per-application
+    staging family (whole-text-files, sink round-trips, the stateful
+    stream scratch dirs) — two drifting copies of a deletion policy is
+    how a live session's staging gets reaped mid-read. The 48 h cutoff
+    is safe because a LIVE application re-overwrites (or has just
+    created) its own staging, so only abandoned dirs age past it;
+    ``keep`` (the current run's dir name) is never reaped regardless of
+    age.
+    """
+    import shutil
+    import time
+    from pathlib import Path
+
+    for d in Path("/tmp").glob(pattern):
+        try:
+            if d.name != keep and time.time() - d.stat().st_mtime > max_age_s:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass

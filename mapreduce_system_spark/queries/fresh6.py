@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_system_spark import caches
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -78,6 +79,12 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     app = spark.sparkContext.applicationId
     base = Path(f"/tmp/spark_graft_stateful_{Path(sf_dir).name}_{app}_{uuid.uuid4().hex[:8]}")
+    # the uuid suffix means a crashed run's staging (full events copy +
+    # checkpoint) is never overwritten by a later run — reap abandoned
+    # siblings on the shared 48 h policy (caches.reap_stale_stagings)
+    caches.reap_stale_stagings(
+        f"spark_graft_stateful_{Path(sf_dir).name}_*", base.name
+    )
     src, ck = str(base / "src"), str(base / "ck")
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "value"])
     # two files = two micro-batches: the minimum that proves cross-batch
@@ -199,6 +206,11 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     app = spark.sparkContext.applicationId
     base = Path(f"/tmp/spark_graft_sessions_{Path(sf_dir).name}_{app}_{uuid.uuid4().hex[:8]}")
+    # same abandoned-sibling reap as q_stateful_user_totals (uuid dirs
+    # are never overwritten by later runs)
+    caches.reap_stale_stagings(
+        f"spark_graft_sessions_{Path(sf_dir).name}_*", base.name
+    )
     src, ck = base / "src", str(base / "ck")
     src.mkdir(parents=True)
 
@@ -217,6 +229,13 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(tmp)
     parts = sorted(p for p in Path(tmp).iterdir() if p.name.endswith(".parquet"))
+    if len(parts) < 2:
+        # same silent-weakening guard as q_stateful_user_totals: range
+        # partitioning on sampled boundaries CAN put every row in one
+        # partition (empty partitions write no file) — one data chunk
+        # would stop sessions from ever spanning a batch boundary while
+        # the oracle still matched
+        raise RuntimeError(f"expected 2 time-range chunks, saw {len(parts)}")
     for i, part in enumerate(parts, start=1):
         dst = src / f"chunk-{i}.parquet"
         part.rename(dst)

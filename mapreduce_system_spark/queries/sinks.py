@@ -63,17 +63,13 @@ def _staging_path(kind: str, sf_dir: str, spark: SparkSession) -> str:
     mr_whole_text_files_wc (registry.py): a LIVE application re-
     overwrites its staging on every call, so only abandoned dirs can
     age past the cutoff."""
-    import shutil
-    import time
+    from mapreduce_system_spark.caches import reap_stale_stagings
 
     app = spark.sparkContext.applicationId
     path = f"/tmp/spark_graft_{kind}_{Path(sf_dir).name}_{app}"
-    for d in Path("/tmp").glob(f"spark_graft_{kind}_{Path(sf_dir).name}_*"):
-        try:
-            if d.name != Path(path).name and time.time() - d.stat().st_mtime > 48 * 3600:
-                shutil.rmtree(d, ignore_errors=True)
-        except OSError:
-            pass
+    reap_stale_stagings(
+        f"spark_graft_{kind}_{Path(sf_dir).name}_*", Path(path).name
+    )
     return path
 
 
@@ -127,13 +123,16 @@ def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned 50/50 by an even/odd key split. The aggregate equals the same
     profile computed straight from the parquet table, proving both text
     codecs round-trip values (longs, doubles, strings) exactly."""
+    from mapreduce_system_spark.caches import tracked_cache
     from mapreduce_system_spark.sources.sinks import write_csv
     from mapreduce_system_spark.sources.text import read_csv, read_json
-    from mapreduce_system_spark.sources.tables import SCHEMAS
 
-    cust = load_table(
-        spark, sf_dir, "customer",
-        columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    # cached: the even/odd staging writes are two consumers of one scan
+    cust = tracked_cache(
+        load_table(
+            spark, sf_dir, "customer",
+            columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        )
     )
     # per-application + dead-app reaping (see _staging_path)
     base = Path(_staging_path("scan", sf_dir, spark))

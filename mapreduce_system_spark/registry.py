@@ -253,20 +253,13 @@ def q_whole_text_files_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     staged = f"/tmp/spark_graft_wtf_{Path(sf_dir).name}_{app}"
     # reap stagings from long-dead applications so the per-app isolation
-    # doesn't accumulate corpus copies in /tmp. The cutoff (48 h) is far
-    # beyond any plausible run length — a LIVE application's staging is
-    # never older than its own last overwrite (each call re-writes before
-    # reading), so only abandoned dirs can age past it; a shorter cutoff
-    # could rmtree a long-lived session's staging mid-read.
-    import shutil
-    import time as _time
+    # doesn't accumulate corpus copies in /tmp (policy + rationale:
+    # caches.reap_stale_stagings)
+    from mapreduce_system_spark.caches import reap_stale_stagings
 
-    for d in Path("/tmp").glob(f"spark_graft_wtf_{Path(sf_dir).name}_*"):
-        try:
-            if d.name != Path(staged).name and _time.time() - d.stat().st_mtime > 48 * 3600:
-                shutil.rmtree(d, ignore_errors=True)
-        except OSError:
-            pass
+    reap_stale_stagings(
+        f"spark_graft_wtf_{Path(sf_dir).name}_*", Path(staged).name
+    )
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
     # text sink rejects nulls; an empty line contributes zero tokens on
     # both engines, so the oracle is unaffected.
