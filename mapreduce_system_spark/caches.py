@@ -90,7 +90,7 @@ def release() -> int:
     return n
 
 
-def reap_stale_stagings(pattern: str, keep: str, max_age_s: int = 48 * 3600) -> None:
+def reap_stale_stagings(prefix: str, keep: str, max_age_s: int = 48 * 3600) -> None:
     """Remove sibling /tmp staging dirs abandoned by DEAD applications.
 
     One definition of the deletion policy for every per-application
@@ -101,12 +101,18 @@ def reap_stale_stagings(pattern: str, keep: str, max_age_s: int = 48 * 3600) -> 
     created) its own staging, so only abandoned dirs age past it;
     ``keep`` (the current run's dir name) is never reaped regardless of
     age.
+
+    ``prefix`` is a LITERAL directory-name prefix (typically embedding
+    the sf-dir name) — it is glob-escaped here, so metacharacters in an
+    sf-dir name ('*', '[') can never widen the match beyond the
+    intended staging family before the rmtree.
     """
+    import glob as _glob
     import shutil
     import time
     from pathlib import Path
 
-    for d in Path("/tmp").glob(pattern):
+    for d in Path("/tmp").glob(_glob.escape(prefix) + "*"):
         try:
             if d.name != keep and time.time() - d.stat().st_mtime > max_age_s:
                 shutil.rmtree(d, ignore_errors=True)

@@ -4,7 +4,9 @@ Importing this package registers every domain query (relational, text/LLM
 pipeline, temporal, streaming-parity, multimodal) into
 ``mapreduce_system_spark.registry.QUERIES`` / ``ORACLE_SQL``. The
 MapReduce-core workloads (the reference's own surface) live in
-``registry.py`` itself.
+``registry.py`` itself and — as of r10 — register AFTER this package
+(they hold fresh r09 driver rows; see registry.py for the rationale and
+the r11/r12 rotate-back note).
 
 IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep covers the
 first 50 registered queries in registration order. Modules whose queries
@@ -12,70 +14,58 @@ are NEW this round, changed this round, or carry the catalog's oldest
 driver evidence are imported first; everything pushed past the window
 has a fresh driver-green row from a recent CORRECTNESS_r*.json.
 
-Round-9 window (9 registry-core queries precede these, positions 1-9),
-executing VERDICT.md r8 #1 — every fresh8f–fresh8m query debuts (these
-29 landed after the r8 window filled and have NEVER had a driver row),
-and the remaining 12 slots start on the r06-stale modules:
+Round-10 window (50 slots, mr-core moved past the window), executing
+VERDICT.md r9 #1 — the 31 r06-stale rows rotate in, plus the oldest-r07
+modules the late-r9 hardening touched (dedup, sinks, both stateful
+streaming queries), plus this round's new queries:
 
-- fresh8f (5; transitivity zero-guard CHANGED r9 per ADVICE, plus the
-  triangle probe-join SHJ hint) → 10-14;
-- fresh8g (4) → 15-18;
-- fresh8h (6; linreg + TWAP nullif-guards CHANGED r9) → 19-24;
-- fresh8i (4; centroid-cosine guard CHANGED r9) → 25-28;
-- fresh8j (3) → 29-31;
-- fresh8k (2) → 32-33;
-- fresh8l (2) → 34-35;
-- fresh8m (3; PCA norm guards CHANGED r9) → 36-38;
-- fresh8d (4; equi-width histogram range guard CHANGED r9 — changed
-  code re-enters the window even though its r08 rows are fresh) →
-  39-42;
-- multimodal (5, r06 rows; the resize pixel seam CHANGED r9, and
-  ``mm_blob_features`` is the r8 bench watch item) → 43-47;
-- temporal's first 3 (fn_json_props, fn_math_scalar_profile,
-  fn_json_map_props; r06 rows) → 48-50.
+- temporal (5 after the temporal2 split: the 4 r06-stale rows +
+  ``fn_json_props``, whose oracle gained TRY_CAST per r9 ADVICE —
+  changed code re-enters the window) → 1-5;
+- advanced (7, r06 rows) → 6-12;
+- similarity (8 r06 rows + NEW ``sim_topk_pq``) → 13-21;
+- relational (12, r06 rows) → 22-33;
+- dedup (8, r07 rows; API edges hardened late-r9) → 34-41;
+- sinks (5, r07 rows; URI-safe staging reap hardened late-r9, reap
+  prefix API changed r10) → 42-46;
+- fresh6 (2 r07 rows — both stateful streaming queries, session
+  edge-semantics fixed late-r9 — + NEW ``stream_stateful_sessions_tws``)
+  → 47-49;
+- multimodal2 (NEW ``mm_image_rgb_stats``, the JPEG-chroma surface)
+  → 50.
 
-Out of window this round (all driver-green r06-r08, judge-re-verified
-r8, and all 155 PASS in bench_runs/verify_full_r9.json): temporal's
-last 4, advanced (7), similarity (8), relational (12) — the remaining
-r06-stale rows, rotate these FIRST in r10 (31 of 41 slots) — then the
-r07/r08-green modules: pipeline, streaming, fresh, textstats2,
-fresh7b, fresh7d, fresh8a-fresh8c, fresh8e (r08 rows), fresh7b2,
-fresh7, fresh7c, fresh7e, fresh7f, fresh6, sinks, relational2, dedup,
-textstats. NO catalog growth in r9 (VERDICT r8 #1: hold growth below
-the free slots until no query's freshest driver row is older than two
-rounds — after r10's rotation nothing will be older than two rounds).
-
-LATE-r9 NOTE: after this window was frozen, the round's self-review
-hardening touched operator modules whose queries sit partly OUTSIDE it
-(dedup, similarity, asof/salted, merge sink, weighted-mean UDAF,
-map_reduce, JPEG decode — see the three "review batch" commits). The
-mitigations: every touched registered query was re-verified against
-its DuckDB oracle at the final HEAD (bench_runs/verify_full_r9.json,
-155/155 PASS — the VERDICT r8 #6 artifact), the mr-core rows at
-positions 1-9 and asof_join_nearest/multimodal in-window cover the
-map_reduce/asof/JPEG changes with driver rows, and each fix carries a
-regression pytest. Rotate dedup + similarity + sinks early in r10
-alongside the planned r06-stale modules so the changed code regains
-driver evidence.
+Out of window this round (all driver-green r07-r09 and re-verified at
+HEAD in bench_runs/verify_full_r10.json): temporal2 (r09 rows, split
+out unchanged), multimodal (r09 rows; the JPEG decoder gains chroma
+r10 — rotate r11 with a driver row for the whole module), then the
+remaining r07 cohort for r11 (relational2, textstats, fresh7b2,
+fresh7, fresh7c, fresh7e, fresh7f — ~22 rows), then the r08/r09-green
+modules and finally the mr-core 9 (r09 rows, registry.py tail — rotate
+by r12). Catalog growth this round is exactly the 3 new in-window
+queries (VERDICT r9 #2/#3/#4); multi-batch growth resumes r11+ per
+VERDICT r9 #8 once the evidence tail is trimmed.
 """
 
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    fresh8f,       # r9 debut (never driver-checked) + ADVICE guard change
-    fresh8g,       # r9 debut (never driver-checked)
-    fresh8h,       # r9 debut (never driver-checked) + guard changes
-    fresh8i,       # r9 debut (never driver-checked) + guard change
-    fresh8j,       # r9 debut (never driver-checked)
-    fresh8k,       # r9 debut (never driver-checked)
-    fresh8l,       # r9 debut (never driver-checked)
-    fresh8m,       # r9 debut (never driver-checked) + guard changes
-    fresh8d,       # histogram guard CHANGED r9 — changed code re-enters
-    multimodal,    # resize pixel seam CHANGED r9 + r06 rows
-    temporal,      # r06 rows — first 3 fill the window; rest r10
-    advanced,      # r06 rows — rotate FIRST in r10
-    similarity,    # r06 rows — rotate FIRST in r10
-    relational,    # r06 rows — rotate FIRST in r10
+    temporal,      # r06 rows + fn_json_props oracle TRY_CAST change (r10 window 1-5)
+    advanced,      # r06 rows (window 6-12)
+    similarity,    # r06 rows + NEW sim_topk_pq (window 13-21)
+    relational,    # r06 rows (window 22-33)
+    dedup,         # r07 rows, late-r9 API hardening (window 34-41)
+    sinks,         # r07 rows, reap-prefix API changed r10 (window 42-46)
+    fresh6,        # r07 rows, stateful pair + NEW tws twin (window 47-49)
+    # --- out of window from here ---
+    temporal2,     # r09 rows (split out of temporal, unchanged code)
+    multimodal,    # r09 rows; JPEG chroma lands r10 — rotate r11
+    relational2,   # r07 rows — rotate r11
+    textstats,     # r07 rows — rotate r11
+    fresh7b2,      # r07 rows — rotate r11
+    fresh7,        # r07 rows — rotate r11
+    fresh7c,       # r07 rows — rotate r11
+    fresh7e,       # r07 rows — rotate r11
+    fresh7f,       # r07 rows — rotate r11
     pipeline,      # driver-green r08
     streaming,     # driver-green r08
     fresh,         # driver-green r08
@@ -86,14 +76,13 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh8b,       # driver-green r08
     fresh8c,       # driver-green r08
     fresh8e,       # driver-green r08
-    fresh7b2,      # driver-green r07
-    fresh7,        # driver-green r07
-    fresh7c,       # driver-green r07
-    fresh7e,       # driver-green r07
-    fresh7f,       # driver-green r07
-    fresh6,        # driver-green r07
-    sinks,         # driver-green r07
-    relational2,   # driver-green r07
-    dedup,         # driver-green r07
-    textstats,     # driver-green r07
+    fresh8d,       # driver-green r09
+    fresh8f,       # driver-green r09
+    fresh8g,       # driver-green r09
+    fresh8h,       # driver-green r09
+    fresh8i,       # driver-green r09
+    fresh8j,       # driver-green r09
+    fresh8k,       # driver-green r09
+    fresh8l,       # driver-green r09
+    fresh8m,       # driver-green r09
 )

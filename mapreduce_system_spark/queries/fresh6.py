@@ -83,7 +83,7 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint) is never overwritten by a later run — reap abandoned
     # siblings on the shared 48 h policy (caches.reap_stale_stagings)
     caches.reap_stale_stagings(
-        f"spark_graft_stateful_{Path(sf_dir).name}_*", base.name
+        f"spark_graft_stateful_{Path(sf_dir).name}_", base.name
     )
     src, ck = str(base / "src"), str(base / "ck")
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "value"])
@@ -209,7 +209,7 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same abandoned-sibling reap as q_stateful_user_totals (uuid dirs
     # are never overwritten by later runs)
     caches.reap_stale_stagings(
-        f"spark_graft_sessions_{Path(sf_dir).name}_*", base.name
+        f"spark_graft_sessions_{Path(sf_dir).name}_", base.name
     )
     src, ck = base / "src", str(base / "ck")
     src.mkdir(parents=True)

@@ -68,7 +68,7 @@ def _staging_path(kind: str, sf_dir: str, spark: SparkSession) -> str:
     app = spark.sparkContext.applicationId
     path = f"/tmp/spark_graft_{kind}_{Path(sf_dir).name}_{app}"
     reap_stale_stagings(
-        f"spark_graft_{kind}_{Path(sf_dir).name}_*", Path(path).name
+        f"spark_graft_{kind}_{Path(sf_dir).name}_", Path(path).name
     )
     return path
 

@@ -55,6 +55,19 @@ def register(name: str, oracle: str | None = None, sf_bound: bool = False):
     return deco
 
 
+# Domain query modules (relational / LLM-pipeline / temporal / streaming /
+# multimodal) self-register on import. REGISTRATION ORDER IS LOAD-BEARING
+# (the driver's correctness sweep covers the first 50 registered queries):
+# importing the package HERE — before the MapReduce-core definitions below —
+# puts the rotation-priority domain modules (see queries/__init__.py) into
+# the window and the mr-core workloads at the tail. The mr-core queries all
+# have fresh r09 driver rows (CORRECTNESS_r09.json, 9/9 green), so r10's
+# window budget goes to the r06/r07-stale cohort per VERDICT r9 #1; rotate
+# mr-core back in by r11/r12 before those rows age past two rounds. The
+# partial-module import is safe: queries modules only need ``register``,
+# which is already bound above.
+from mapreduce_system_spark import queries as _queries  # noqa: E402,F401
+
 # ---------------------------------------------------------------------------
 # §2a MapReduce-core workloads (the reference's own surface)
 # ---------------------------------------------------------------------------
@@ -258,7 +271,7 @@ def q_whole_text_files_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_system_spark.caches import reap_stale_stagings
 
     reap_stale_stagings(
-        f"spark_graft_wtf_{Path(sf_dir).name}_*", Path(staged).name
+        f"spark_graft_wtf_{Path(sf_dir).name}_", Path(staged).name
     )
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
     # text sink rejects nulls; an empty line contributes zero tokens on
@@ -270,9 +283,3 @@ def q_whole_text_files_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = whole_text_files(spark, staged + "/part-*")
     return MR.word_count(files, "content")
-
-
-# Domain query modules (relational / LLM-pipeline / temporal / streaming /
-# multimodal) self-register on import — keep this at the bottom so
-# ``register`` and the core MR queries above already exist.
-from mapreduce_system_spark import queries as _queries  # noqa: E402,F401

@@ -90,39 +90,55 @@ def merge_upsert(
         _BUCKET, F.pmod(F.hash(*key_cols), F.lit(n_buckets))
     ).localCheckpoint(eager=True)
     batch_ids = persistent_rdd_ids(spark) - before0
-    if _sink_exists(spark, sink_path):
-        # touched buckets: bounded driver list (≤ n_buckets ints)
-        touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
-        cur = (
-            spark.read.parquet(sink_path)
-            .where(F.col(_BUCKET).isin(touched))
-            .select(*b.columns)
-        )
-        all_rows = cur.unionByName(b)
-    else:
-        all_rows = b
-    merged = (
-        all_rows.groupBy(*key_cols, _BUCKET)
-        .agg(F.max(F.struct(*ordered)).alias("__s"))
-        .select(
-            *key_cols,
-            *[F.col(f"__s.{c}").alias(c) for c in ordered],
-            _BUCKET,
-        )
-    )
-    # Sever the plan from the sink before overwriting it (Spark refuses a
-    # write whose source plan reads the target path). The checkpointed
-    # blocks are released right after the write commits.
-    before = persistent_rdd_ids(spark)
-    merged = merged.localCheckpoint(eager=True)
-    step_ids = persistent_rdd_ids(spark) - before
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    # everything after the batch checkpoint runs under this try so the
+    # checkpointed batch blocks are released even when _sink_exists, the
+    # touched-bucket collect, or the union planning raises — not only on
+    # the happy path through the write
     try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(sink_path)
+        if _sink_exists(spark, sink_path):
+            # touched buckets: bounded driver list (≤ n_buckets ints)
+            touched = [
+                r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()
+            ]
+            cur = (
+                spark.read.parquet(sink_path)
+                .where(F.col(_BUCKET).isin(touched))
+                .select(*b.columns)
+            )
+            all_rows = cur.unionByName(b)
+        else:
+            all_rows = b
+        merged = (
+            all_rows.groupBy(*key_cols, _BUCKET)
+            .agg(F.max(F.struct(*ordered)).alias("__s"))
+            .select(
+                *key_cols,
+                *[F.col(f"__s.{c}").alias(c) for c in ordered],
+                _BUCKET,
+            )
+        )
+        # Sever the plan from the sink before overwriting it (Spark
+        # refuses a write whose source plan reads the target path). The
+        # checkpointed blocks are released right after the write commits.
+        before = persistent_rdd_ids(spark)
+        merged = merged.localCheckpoint(eager=True)
+        step_ids = persistent_rdd_ids(spark) - before
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
+                sink_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+            if step_ids:
+                unpersist_rdd_ids(spark, step_ids)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        if step_ids:
-            unpersist_rdd_ids(spark, step_ids)
         if batch_ids:
             unpersist_rdd_ids(spark, batch_ids)

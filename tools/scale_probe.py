@@ -481,16 +481,29 @@ def graph_main(reps: int, src: str, organic_pct: int) -> int:
 
 def _table_fingerprint(spark, path: str) -> dict:
     """Row count + order-independent content checksum of one parquet
-    table: bit_xor of xxhash64 over every column — invariant to row
-    order and partitioning, so two independently-built corpora compare
-    with one integer."""
+    table: bit_xor AND modular sum of xxhash64 over every column —
+    invariant to row order and partitioning, so two independently-built
+    corpora compare with two integers. Both reductions are kept because
+    xor alone is self-canceling (a row duplicated an even number of
+    times xors to zero, so swapping one even-duplicated row for another
+    preserves the xor); the sum mod 2^64 breaks that pair-cancellation
+    while staying order-independent."""
     df = spark.read.parquet(path)
     row = (
         df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
-        .agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n"))
+        .agg(
+            F.expr("bit_xor(h)").alias("x"),
+            # decimal accumulator: a plain long sum would overflow
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
         .collect()[0]
     )
-    return {"rows": int(row["n"]), "xxhash64_bit_xor": int(row["x"] or 0)}
+    return {
+        "rows": int(row["n"]),
+        "xxhash64_bit_xor": int(row["x"] or 0),
+        "xxhash64_sum_mod64": int(row["s"] or 0) % (1 << 64),
+    }
 
 
 def manifest_main() -> int:
