@@ -181,16 +181,13 @@ ORDER BY user_id, session_start
 """
 
 
-@register("stream_stateful_sessions", _STATEFUL_SESSIONS_SQL)
-def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful SESSIONIZATION with event-time TIMEOUT EVICTION
-    (``streaming.stateful.user_sessions_stateful``) driven through a real
-    stream — the applyInPandasWithState capability the running-totals
-    query deliberately does not exercise: timers. Sessions are appended
-    exactly once, either when a later event breaks the 30-minute gap or
-    when ``GroupStateTimeout.EventTimeTimeout`` fires as the watermark
-    passes last_event + gap — so idle keys are EVICTED, the bound that
-    makes the state store viable on an unbounded feed.
+def _run_session_stream(
+    spark: SparkSession, sf_dir: str, family: str, sessionize
+) -> DataFrame:
+    """Shared harness for the two sessionization twins: stage the events
+    fixture as a replay-ordered file stream, run ``sessionize(stream)``
+    (a streaming DataFrame -> streaming DataFrame sessionizer) to a
+    parquet append sink, and return the closed-session set.
 
     Replay discipline: events are staged into two time-CONTIGUOUS
     parquet chunks (sorted split, file mtimes forcing arrival order) so
@@ -202,14 +199,12 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminates; the oracle match proves the flush is complete."""
     import os
 
-    from mapreduce_system_spark.streaming import stateful as ST
-
     app = spark.sparkContext.applicationId
-    base = Path(f"/tmp/spark_graft_sessions_{Path(sf_dir).name}_{app}_{uuid.uuid4().hex[:8]}")
+    base = Path(f"/tmp/spark_graft_{family}_{Path(sf_dir).name}_{app}_{uuid.uuid4().hex[:8]}")
     # same abandoned-sibling reap as q_stateful_user_totals (uuid dirs
     # are never overwritten by later runs)
     caches.reap_stale_stagings(
-        f"spark_graft_sessions_{Path(sf_dir).name}_", base.name
+        f"spark_graft_{family}_{Path(sf_dir).name}_", base.name
     )
     src, ck = base / "src", str(base / "ck")
     src.mkdir(parents=True)
@@ -276,7 +271,7 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _stream_shuffle(spark):
         q = (
-            ST.user_sessions_stateful(stream, gap_s=_GAP_S)
+            sessionize(stream)
             .writeStream.foreachBatch(persist_appends)
             .outputMode("append")
             .option("checkpointLocation", ck)
@@ -305,3 +300,67 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
     return out
+
+
+@register("stream_stateful_sessions", _STATEFUL_SESSIONS_SQL)
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful SESSIONIZATION with event-time TIMEOUT EVICTION
+    (``streaming.stateful.user_sessions_stateful``) driven through a real
+    stream — the applyInPandasWithState capability the running-totals
+    query deliberately does not exercise: timers. Sessions are appended
+    exactly once, either when a later event breaks the 30-minute gap or
+    when ``GroupStateTimeout.EventTimeTimeout`` fires as the watermark
+    passes last_event + gap — so idle keys are EVICTED, the bound that
+    makes the state store viable on an unbounded feed. Harness:
+    ``_run_session_stream``."""
+    from mapreduce_system_spark.streaming import stateful as ST
+
+    return _run_session_stream(
+        spark,
+        sf_dir,
+        "sessions",
+        lambda stream: ST.user_sessions_stateful(stream, gap_s=_GAP_S),
+    )
+
+
+@register("stream_stateful_sessions_tws", _STATEFUL_SESSIONS_SQL)
+def q_stateful_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessionization on ``transformWithStateInPandas`` — the
+    Spark 4.x typed-state API (explicit ValueState + event-time TIMERS
+    instead of GroupStateTimeout; ``streaming.stateful.user_sessions_tws``).
+    Same replay harness, same gaps-and-islands oracle, so the two APIs
+    are pinned row-identical by the driver gate itself (plus the
+    tests/test_streaming.py parity test).
+
+    TWS requires the RocksDB state-store provider; the conf binds to the
+    query's fresh checkpoint at start and the session value is restored
+    immediately after (the _stream_shuffle pattern). The protobuf
+    runtime TWS's state protocol needs is bound for the stream's
+    duration by ``pbshim.tws_protobuf_env`` (no-op where a real
+    google.protobuf is installed)."""
+    from mapreduce_system_spark.pbshim import tws_protobuf_env
+    from mapreduce_system_spark.streaming import stateful as ST
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, rocksdb)
+    try:
+        with tws_protobuf_env(spark):
+            return _run_session_stream(
+                spark,
+                sf_dir,
+                "sessions_tws",
+                lambda stream: ST.user_sessions_tws(stream, gap_s=_GAP_S),
+            )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -161,3 +161,134 @@ def user_sessions_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4.x StatefulProcessor API)
+# ---------------------------------------------------------------------------
+
+def _tws_session_processor(gap_s: int):
+    """Build the StatefulProcessor class lazily: importing
+    ``pyspark.sql.streaming.stateful_processor`` is cheap, but keeping
+    the subclass inside a factory mirrors the GST updater factory and
+    keeps the gap a constructor argument rather than module state."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        """Sessionization on the modern typed-state API — the semantics
+        of ``_make_session_updater`` re-expressed with explicit state
+        variables and TIMERS instead of GroupStateTimeout:
+
+        - one ValueState ("open") holds the open session interval
+          (start_es, last_es, n) per user;
+        - each input batch runs the same interval-merge sweep (the open
+          session enters the sorted sweep as an interval, so an admitted
+          late event earlier than the open session by more than the gap
+          closes as its own session instead of fabricating a span);
+        - the close timer is an EXPLICIT event-time timer at
+          (last_es + gap)s + 500ms — re-registering after each batch
+          requires deleting the previous timer first (TWS keeps every
+          registered timer until fired or deleted, unlike GST's single
+          implicit timeout), else a stale earlier timer would fire and
+          close a session that a later event had already extended;
+        - handleExpiredTimer emits the session exactly once and clears
+          the state — the eviction bound that keeps the store O(open
+          sessions) on an unbounded feed.
+        """
+
+        def __init__(self) -> None:
+            self._gap_s = gap_s
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState(
+                "open", "start_es long, last_es long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            items: list[tuple[int, int, int]] = []
+            for pdf in rows:
+                items.extend((int(x), int(x), 1) for x in pdf["es"])
+            if not items:  # defensive: no-data call leaves state alone
+                return
+            existing = self._open.get()
+            if existing is not None:
+                items.append(
+                    (int(existing[0]), int(existing[1]), int(existing[2]))
+                )
+            items.sort()
+            closed: list[tuple] = []
+            s = l = None
+            n = 0
+            for a, b, k in items:
+                if s is None:
+                    s, l, n = a, b, k
+                elif a - l > self._gap_s:
+                    closed.append((user_id, s, n, l - s))
+                    s, l, n = a, b, k
+                else:
+                    l, n = max(l, b), n + k
+            self._open.update((s, l, n))
+            # one live timer per key: drop the previous close timer
+            # before arming the new one (same +500ms placement as the
+            # GST twin: past every merge-eligible instant, before the
+            # next whole second)
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer((l + self._gap_s) * 1000 + 500)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [r[0] for r in closed],
+                        "session_start": [r[1] for r in closed],
+                        "n_events": [r[2] for r in closed],
+                        "dur_s": [r[3] for r in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            got = self._open.get()
+            if got is None:  # timer raced a just-closed key — nothing open
+                return
+            s, l, n = int(got[0]), int(got[1]), int(got[2])
+            self._open.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [s],
+                    "n_events": [n],
+                    "dur_s": [l - s],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def user_sessions_tws(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """``user_sessions_stateful`` on ``transformWithStateInPandas`` —
+    the API a new Spark 4.x engine standardizes on (typed state
+    variables, explicit timers, optional TTL), kept row-identical to
+    the GST original (tests/test_streaming.py parity).
+
+    Requires the RocksDB state-store provider (a TWS hard requirement —
+    also the honest production choice: the default HDFS-backed provider
+    holds every key's state on the JVM heap); the registered query binds
+    the provider conf around its stream start.
+    """
+    from mapreduce_system_spark.pyfiles import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_session_processor(gap_s),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

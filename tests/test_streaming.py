@@ -542,3 +542,116 @@ def test_totals_updater_all_null_values_total_is_null():
     # a later real value flips the total to a number
     out2 = list(_update_totals((5,), iter([pd.DataFrame({"value": [2.5]})]), st))
     assert out2[0].iloc[0]["total_value"] == 2.5
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (VERDICT r9 #2)
+# ---------------------------------------------------------------------------
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _tws_or_skip():
+    from mapreduce_system_spark import pbshim
+
+    if not pbshim.tws_available():
+        pytest.skip("no google.protobuf and no vendored runtime to shim")
+    return pbshim
+
+
+def _rocksdb_conf(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        spark.conf.set(key, _ROCKSDB)
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    return ctx()
+
+
+def test_tws_sessions_row_identical_to_gst(spark, sf_dir):
+    """The two sessionization APIs must be row-for-row identical on the
+    fixture replay — the applyInPandasWithState original and the
+    transformWithStateInPandas twin share one harness and one oracle, so
+    a semantic drift between GroupStateTimeout and explicit timers
+    cannot hide."""
+    _tws_or_skip()
+    from mapreduce_system_spark.queries.fresh6 import (
+        q_stateful_sessions,
+        q_stateful_sessions_tws,
+    )
+
+    gst = sorted(map(tuple, q_stateful_sessions(spark, sf_dir).collect()))
+    tws = sorted(map(tuple, q_stateful_sessions_tws(spark, sf_dir).collect()))
+    assert gst == tws
+    assert len(gst) > 0
+
+
+def test_tws_sessions_close_on_gap_and_timeout(spark, tmp_path):
+    """TWS mirror of test_stateful_sessions_close_on_gap_and_timeout:
+    cross-batch session extension, timer-driven close + evict, and the
+    timer re-arm discipline (the previous close timer must be DELETED
+    when a later event extends the session — TWS keeps every registered
+    timer until fired or deleted, so a stale timer would close early)."""
+    pbshim = _tws_or_skip()
+    src = str(tmp_path / "tws-sess-src")
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, es long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def ev(u, iso):
+        ts = t(iso)
+        return (u, ts, int(ts.replace(tzinfo=dt.timezone.utc).timestamp()))
+
+    write([ev(7, "2024-01-01T09:00:00"), ev(7, "2024-01-01T09:05:00"), ev(8, "2024-01-01T09:00:00")])
+    with _rocksdb_conf(spark), pbshim.tws_protobuf_env(spark):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, es long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            ST.user_sessions_tws(stream, gap_s=600)
+            .writeStream.format("memory")
+            .queryName("t_tws_sessions")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # watermark -> 09:05; nothing closes
+            assert spark.table("t_tws_sessions").count() == 0
+            # u7 extends across the batch boundary (07:12 gap <= 10 min) —
+            # its 09:15 timer must be re-armed to 09:22, not fire stale;
+            # u9 pushes the watermark to 10:00
+            write([ev(7, "2024-01-01T09:12:00"), ev(9, "2024-01-01T10:00:00")])
+            q.processAllAvailable()
+            write([ev(9, "2024-01-01T11:00:00")])
+            q.processAllAvailable()
+            got = {
+                r.user_id: (r.session_start, r.n_events, r.dur_s)
+                for r in spark.table("t_tws_sessions").collect()
+            }
+        finally:
+            q.stop()
+            shutil.rmtree(src, ignore_errors=True)
+    s7 = int(t("2024-01-01T09:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got[7] == (s7, 3, 720)  # one session spanning the batch boundary
+    assert got[8] == (s7, 1, 0)    # idle key closed by its timer and evicted
