@@ -325,7 +325,23 @@ def decode_image_jpeg_pixels(blob: bytes):
     return _jpeg_decode(blob, pixels=True)
 
 
-def _jpeg_decode(blob: bytes, pixels: bool):
+def decode_image_jpeg_rgb(blob: bytes):
+    """Full-color baseline-JPEG decode: ``bytes -> (width, height,
+    HxWx3 uint8 RGB ndarray, "jpeg-rgb") | None``.
+
+    The chroma half of VERDICT r9 #3: Cb/Cr coefficients ride the same
+    entropy/dequant/IDCT path as luma, replicate-upsample to full
+    resolution (the 4:2:0/4:2:2 case), and the inverse ITU-R BT.601
+    full-range transform (the JFIF YCbCr definition) combines the float
+    planes before one round+clamp. Grayscale JPEGs replicate Y into all
+    three channels; 4-component (Adobe CMYK) streams and every fallback
+    class of the gray decoder return None per blob. Pixel-exactness is
+    pinned against an independent numpy reconstruction of encoder
+    coefficients in tests/test_multimodal.py."""
+    return _jpeg_decode(blob, pixels=True, rgb=True)
+
+
+def _jpeg_decode(blob: bytes, pixels: bool, rgb: bool = False):
     try:
         if not blob.startswith(b"\xff\xd8"):
             return None
@@ -473,7 +489,11 @@ def _jpeg_decode(blob: bytes, pixels: bool):
         luma_idx = scan_comps[0][0]
         luma_dc_sum = 0
         luma_blocks = 0
-        luma_coef_blocks: list[tuple[int, int, list[int]]] = []
+        # per-component coefficient blocks: luma only for the gray seam,
+        # every component for the RGB seam (the chroma traversal happens
+        # regardless — the stream demands it — so keeping the chroma
+        # coefficients costs only their storage)
+        coef_blocks: dict[int, list[tuple[int, int, list[int]]]] = {}
         restart_seen = 0
         mcu_count = 0
         for _my in range(mcus_y):
@@ -487,7 +507,7 @@ def _jpeg_decode(blob: bytes, pixels: bool):
                 for ci, dc_t, ac_t in scan_comps:
                     _cid, ch, cv, _tq = comps[ci]
                     for _b in range(ch * cv):
-                        want = pixels and ci == luma_idx
+                        want = pixels and (rgb or ci == luma_idx)
                         coefs = [0] * 64 if want else None
                         t = decode_sym(huff[(0, dc_t)])
                         diff = extend(read_bits(t), t) if t else 0
@@ -495,8 +515,8 @@ def _jpeg_decode(blob: bytes, pixels: bool):
                         if ci == luma_idx:
                             luma_dc_sum += pred[ci]
                             luma_blocks += 1
-                            if want:
-                                coefs[0] = pred[ci]
+                        if want:
+                            coefs[0] = pred[ci]
                         k = 1
                         while k <= 63:
                             rs = decode_sym(huff[(1, ac_t)])
@@ -513,7 +533,7 @@ def _jpeg_decode(blob: bytes, pixels: bool):
                             k += 1
                         if want:
                             bv, bh2 = divmod(_b, ch)
-                            luma_coef_blocks.append(
+                            coef_blocks.setdefault(ci, []).append(
                                 (_my * cv + bv, _mx * ch + bh2, coefs)
                             )
                 mcu_count += 1
@@ -525,33 +545,64 @@ def _jpeg_decode(blob: bytes, pixels: bool):
             mean = (luma_dc_sum * q0) / (8.0 * luma_blocks) + 128.0
             return (width, height, min(255.0, max(0.0, mean)), "jpeg-dc")
 
-        # full reconstruction: dequant (zigzag-ordered tables), inverse
-        # zigzag, separable 8x8 IDCT, +128 level shift, assemble + crop,
-        # replicate-upsample if the luma component is subsampled
+        # full reconstruction per component: dequant (zigzag-ordered
+        # tables), inverse zigzag, separable 8x8 IDCT, +128 level shift,
+        # assemble + crop, replicate-upsample subsampled components
         import numpy as np
 
-        _cid, ch, cv, tq = comps[luma_idx]
-        if hmax % ch or vmax % cv:
-            return None  # non-integral upsampling factor: out of scope
-        qtab = np.asarray(qt[tq], dtype=np.float64)
         zz = np.asarray(_JPEG_ZIGZAG)
         m = _jpeg_idct_matrix()
-        plane = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
-        fr = np.zeros(64, dtype=np.float64)
-        for brow, bcol, coefs in luma_coef_blocks:
-            fr[zz] = np.asarray(coefs, dtype=np.float64) * qtab
-            px = m.T @ fr.reshape(8, 8) @ m + 128.0
-            plane[brow * 8 : brow * 8 + 8, bcol * 8 : bcol * 8 + 8] = px
-        comp_w = -(-width * ch // hmax)
-        comp_h = -(-height * cv // vmax)
-        plane = plane[:comp_h, :comp_w]
-        if ch != hmax or cv != vmax:
-            plane = np.repeat(
-                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+
+        def reconstruct(ci: int):
+            _cid2, ch, cv, tq = comps[ci]
+            if hmax % ch or vmax % cv:
+                return None  # non-integral upsampling factor: out of scope
+            qtab = np.asarray(qt[tq], dtype=np.float64)
+            plane = np.zeros(
+                (mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64
             )
-        plane = plane[:height, :width]
-        plane = np.clip(np.rint(plane), 0.0, 255.0).astype(np.uint8)
-        return (width, height, plane, "jpeg")
+            fr = np.zeros(64, dtype=np.float64)
+            for brow, bcol, coefs in coef_blocks.get(ci, ()):
+                fr[zz] = np.asarray(coefs, dtype=np.float64) * qtab
+                px = m.T @ fr.reshape(8, 8) @ m + 128.0
+                plane[brow * 8 : brow * 8 + 8, bcol * 8 : bcol * 8 + 8] = px
+            comp_w = -(-width * ch // hmax)
+            comp_h = -(-height * cv // vmax)
+            plane = plane[:comp_h, :comp_w]
+            if ch != hmax or cv != vmax:
+                plane = np.repeat(
+                    np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+                )
+            return plane[:height, :width]
+
+        y = reconstruct(luma_idx)
+        if y is None:
+            return None
+        if not rgb:
+            plane = np.clip(np.rint(y), 0.0, 255.0).astype(np.uint8)
+            return (width, height, plane, "jpeg")
+
+        if len(scan_comps) == 1:
+            # grayscale JPEG: replicate luma — the JFIF single-component
+            # convention (no chroma to reconstruct)
+            g = np.clip(np.rint(y), 0.0, 255.0).astype(np.uint8)
+            return (width, height, np.stack([g, g, g], axis=2), "jpeg-rgb")
+        if len(scan_comps) != 3:
+            return None  # CMYK/Adobe 4-component: out of scope
+        cb = reconstruct(scan_comps[1][0])
+        cr = reconstruct(scan_comps[2][0])
+        if cb is None or cr is None:
+            return None
+        # inverse ITU-R BT.601 full-range (the JFIF YCbCr definition):
+        # the float planes are combined BEFORE the single round+clamp, so
+        # chroma-upsample replication is the only spatial approximation
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb_px = np.clip(
+            np.rint(np.stack([r, g, b], axis=2)), 0.0, 255.0
+        ).astype(np.uint8)
+        return (width, height, rgb_px, "jpeg-rgb")
     except Exception:
         return None
 
@@ -841,3 +892,313 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG ENCODER (stdlib + numpy) — the fixture/sink half of the
+# JPEG seam. Tables are the ITU T.81 Annex K examples (the de-facto
+# standard tables every camera/libjpeg default uses).
+# ---------------------------------------------------------------------------
+
+_JPEG_STD_QT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_STD_QT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+)
+# (bits-per-length[1..16], symbols) — T.81 tables K.3-K.6
+_JPEG_STD_HUFF = {
+    (0, 0): (  # DC luma
+        (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+        tuple(range(12)),
+    ),
+    (0, 1): (  # DC chroma
+        (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+        tuple(range(12)),
+    ),
+    (1, 0): (  # AC luma
+        (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+        (
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+            0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+            0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+            0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+            0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+            0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+            0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+            0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+            0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+            0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+            0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ),
+    ),
+    (1, 1): (  # AC chroma
+        (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+        (
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+            0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+            0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+            0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+            0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+            0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+            0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+            0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+            0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+            0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ),
+    ),
+}
+
+
+def _huff_encode_table(spec):
+    """(bits, symbols) -> {symbol: (code, length)} via the same canonical
+    construction the decoder uses — the two sides share T.81 C.2."""
+    counts, syms = spec
+    table = {}
+    code, k = 0, 0
+    for bits in range(1, 17):
+        for _ in range(counts[bits - 1]):
+            table[syms[k]] = (code, bits)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def jpeg_quantized_blocks(plane, qtab):
+    """Forward path per component, exposed for the pixel-exactness test:
+    pad the plane to 8-multiples (edge replication), level-shift, 2-D
+    DCT each block against the shared basis, quantize by round(F/q).
+    Returns (blocks_y, blocks_x, int coefficient array of shape
+    (blocks_y, blocks_x, 8, 8))."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:h, w:] = plane[:, w - 1 : w]
+    padded[h:, w:] = plane[h - 1, w - 1]
+    m = _jpeg_idct_matrix()
+    # the table argument is in NATURAL (raster) order — the Annex K
+    # presentation; the encoder zigzag-reorders it for the DQT wire
+    q = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
+    by, bx = ph // 8, pw // 8
+    out = np.empty((by, bx, 8, 8), dtype=np.int64)
+    for r in range(by):
+        for c in range(bx):
+            blk = padded[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0
+            f = m @ blk @ m.T  # forward DCT (the IDCT basis transposed)
+            out[r, c] = np.rint(f / q).astype(np.int64)
+    return by, bx, out
+
+
+def encode_image_jpeg_baseline(rgb, subsampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a baseline JFIF JPEG.
+
+    Fixed, standard choices: Annex K quantization + Huffman tables, one
+    interleaved scan, no restart markers, chroma subsampled by box mean
+    at ``subsampling`` = Y's (h, v) factors ((2, 2) = 4:2:0, (1, 1) =
+    4:4:4). Exists for two consumers: deterministic fixture generation
+    for the decoder's pixel-exactness tests (the coefficient stream is
+    reproducible arithmetic, so the expected decode is independently
+    computable with numpy), and the encode half of the image sink seam.
+    """
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    hs, vs = subsampling
+    # forward BT.601 full-range (JFIF)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def box_down(p):
+        if hs == 1 and vs == 1:
+            return p
+        ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
+        padded = np.empty((ph, pw), dtype=np.float64)
+        padded[:h, :w] = p
+        padded[h:, :w] = p[h - 1 : h, :]
+        padded[:h, w:] = p[:, w - 1 : w]
+        padded[h:, w:] = p[h - 1, w - 1]
+        return padded.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+
+    planes = [(y, _JPEG_STD_QT_LUMA, hs, vs), (box_down(cb), _JPEG_STD_QT_CHROMA, 1, 1), (box_down(cr), _JPEG_STD_QT_CHROMA, 1, 1)]
+    mcus_x, mcus_y = -(-w // (8 * hs)), -(-h // (8 * vs))
+    comp_blocks = []
+    for plane, qtab, ch, cv in planes:
+        by, bx, blocks = jpeg_quantized_blocks(plane, qtab)
+        # pad the block grid to the MCU grid (edge-block replication)
+        import numpy as _np
+
+        gy, gx = mcus_y * cv, mcus_x * ch
+        if by < gy or bx < gx:
+            grid = _np.empty((gy, gx, 8, 8), dtype=_np.int64)
+            grid[:by, :bx] = blocks
+            grid[by:, :bx] = blocks[by - 1 : by, :]
+            grid[:by, bx:] = blocks[:, bx - 1 : bx]
+            grid[by:, bx:] = blocks[by - 1, bx - 1]
+            blocks = grid
+        comp_blocks.append(blocks)
+
+    bits: list[int] = []
+
+    def put(code: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def mag(v: int) -> tuple[int, int]:
+        # size category + raw bits (T.81 F.1.2.1): negatives as v-1
+        if v == 0:
+            return 0, 0
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return t, v if v > 0 else v + (1 << t) - 1
+
+    zz = [0] * 64
+    for idx, z in enumerate(_JPEG_ZIGZAG):
+        zz[z] = idx  # raster -> zigzag position
+    dc_tables = [_huff_encode_table(_JPEG_STD_HUFF[(0, 0)]), _huff_encode_table(_JPEG_STD_HUFF[(0, 1)])]
+    ac_tables = [_huff_encode_table(_JPEG_STD_HUFF[(1, 0)]), _huff_encode_table(_JPEG_STD_HUFF[(1, 1)])]
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, blocks in enumerate(comp_blocks):
+                ch, cv = (hs, vs) if ci == 0 else (1, 1)
+                dct, act = dc_tables[min(ci, 1)], ac_tables[min(ci, 1)]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        blk = blocks[my * cv + bv, mx * ch + bh]
+                        seq = [0] * 64
+                        for rr in range(8):
+                            for cc in range(8):
+                                seq[zz[rr * 8 + cc]] = int(blk[rr, cc])
+                        t, raw = mag(seq[0] - pred[ci])
+                        pred[ci] = seq[0]
+                        code, n = dct[t]
+                        put(code, n)
+                        if t:
+                            put(raw, t)
+                        run = 0
+                        for k in range(1, 64):
+                            if seq[k] == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, n = act[0xF0]
+                                put(code, n)
+                                run -= 16
+                            t, raw = mag(seq[k])
+                            code, n = act[(run << 4) | t]
+                            put(code, n)
+                            put(raw, t)
+                            run = 0
+                        if run:
+                            code, n = act[0x00]
+                            put(code, n)
+    # byte-pack with 1-padding and 0xFF stuffing
+    while len(bits) % 8:
+        bits.append(1)
+    entropy = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for bit in bits[i : i + 8]:
+            v = (v << 1) | bit
+        entropy.append(v)
+        if v == 0xFF:
+            entropy.append(0x00)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    # DQT payloads are ZIGZAG-ordered on the wire (T.81 B.2.4.1); the
+    # module constants are the natural-order Annex K presentation
+    seg(0xDB, bytes([0x00]) + bytes(_JPEG_STD_QT_LUMA[z] for z in _JPEG_ZIGZAG))
+    seg(0xDB, bytes([0x01]) + bytes(_JPEG_STD_QT_CHROMA[z] for z in _JPEG_ZIGZAG))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, (hs << 4) | vs, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    seg(0xC0, bytes(sof))
+    for (tc, th), (counts, syms) in _JPEG_STD_HUFF.items():
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out.extend(entropy)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+RGB_PLANES_SCHEMA = (
+    "id long, width int, height int, "
+    "r array<int>, g array<int>, b array<int>"
+)
+
+
+def decode_image_rgb_planes(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    decoder=None,
+) -> DataFrame:
+    """Arrow-batched full-COLOR decode: blob → (id, width, height, three
+    row-major channel planes as int arrays). The color counterpart of
+    ``extract_image_features``'s gray seam: the decode chain is
+    ``decode_image_jpeg_rgb`` (stdlib baseline JPEG, chroma
+    reconstructed + inverse BT.601) with the same per-blob fallback
+    contract — undecodable blobs are dropped (the triage path for a
+    mixed corpus keeps gray features for them instead).
+
+    Decode once, THEN derive statistics relationally: consumers compute
+    channel stats from these planes with JVM array folds (and the
+    registered query exports them so its oracle recomputes the same
+    stats in SQL) — the decode is the only Python step. Pixel
+    correctness of the decode itself is pinned by the encoder-fixture
+    tests in tests/test_multimodal.py."""
+    ensure_package_on_executors(df.sparkSession)
+    dec = decoder or decode_image_jpeg_rgb
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "r": [], "g": [], "b": []}
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                got = dec(bytes(blob))
+                if got is None:
+                    continue
+                w, h, px, _name = got
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r"].append(px[:, :, 0].reshape(-1).astype("int32"))
+                out["g"].append(px[:, :, 1].reshape(-1).astype("int32"))
+                out["b"].append(px[:, :, 2].reshape(-1).astype("int32"))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        extract, schema=RGB_PLANES_SCHEMA
+    )

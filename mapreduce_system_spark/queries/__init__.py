@@ -56,6 +56,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     dedup,         # r07 rows, late-r9 API hardening (window 34-41)
     sinks,         # r07 rows, reap-prefix API changed r10 (window 42-46)
     fresh6,        # r07 rows, stateful pair + NEW tws twin (window 47-49)
+    multimodal2,   # NEW mm_image_rgb_stats (window 50)
     # --- out of window from here ---
     temporal2,     # r09 rows (split out of temporal, unchanged code)
     multimodal,    # r09 rows; JPEG chroma lands r10 — rotate r11

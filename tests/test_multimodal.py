@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import Row
@@ -747,3 +749,153 @@ def test_jpeg_pixels_subsampled_luma_upsamples_by_replication():
     assert plane.shape == (16, 16)
     assert (plane == 136).all()
     assert MM.decode_image_jpeg_dc(blob)[:3] == (16, 16, 136.0)
+
+
+# ---------------------------------------------------------------------------
+# Full-color JPEG: encoder-built fixtures, pixel-exact expected decode
+# (VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+
+
+def _expected_jpeg_rgb(rgb, subsampling):
+    """Independent numpy reconstruction of what decoding an
+    ``encode_image_jpeg_baseline`` stream must yield: forward transform +
+    quantization via the exposed ``jpeg_quantized_blocks`` (shared
+    arithmetic), then dequant/IDCT/assembly/upsample/inverse-601 computed
+    HERE with plain numpy — so the decoder's entropy decode, zigzag,
+    DPCM, byte unstuffing and MCU geometry are verified bit-for-bit by
+    the pixel comparison."""
+    import numpy as np
+
+    from mapreduce_system_spark.operators import multimodal as MM
+
+    rgbf = np.asarray(rgb, dtype=np.float64)
+    h, w = rgbf.shape[:2]
+    hs, vs = subsampling
+    r, g, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def box_down(p):
+        if hs == 1 and vs == 1:
+            return p
+        ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
+        padded = np.empty((ph, pw))
+        padded[:h, :w] = p
+        padded[h:, :w] = p[h - 1 : h, :]
+        padded[:h, w:] = p[:, w - 1 : w]
+        padded[h:, w:] = p[h - 1, w - 1]
+        return padded.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+
+    m = MM._jpeg_idct_matrix()
+    zzr = np.asarray(MM._JPEG_ZIGZAG)
+    mcus_x, mcus_y = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def decode_plane(plane, qtab, ch, cv):
+        by, bx, blocks = MM.jpeg_quantized_blocks(plane, qtab)
+        gy, gx = mcus_y * cv, mcus_x * ch
+        if by < gy or bx < gx:
+            grid = np.empty((gy, gx, 8, 8), dtype=np.int64)
+            grid[:by, :bx] = blocks
+            grid[by:, :bx] = blocks[by - 1 : by, :]
+            grid[:by, bx:] = blocks[:, bx - 1 : bx]
+            grid[by:, bx:] = blocks[by - 1, bx - 1]
+            blocks = grid
+            by, bx = gy, gx
+        q = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
+        out = np.zeros((by * 8, bx * 8))
+        for rr in range(by):
+            for cc in range(bx):
+                f = blocks[rr, cc] * q
+                out[rr * 8 : rr * 8 + 8, cc * 8 : cc * 8 + 8] = m.T @ f @ m + 128.0
+        comp_w, comp_h = -(-w * ch // hs), -(-h * cv // vs)
+        out = out[:comp_h, :comp_w]
+        if ch != hs or cv != vs:
+            out = np.repeat(np.repeat(out, vs // cv, axis=0), hs // ch, axis=1)
+        return out[:h, :w]
+
+    yd = decode_plane(y, MM._JPEG_STD_QT_LUMA, hs, vs)
+    cbd = decode_plane(box_down(cb), MM._JPEG_STD_QT_CHROMA, 1, 1)
+    crd = decode_plane(box_down(cr), MM._JPEG_STD_QT_CHROMA, 1, 1)
+    rd = yd + 1.402 * (crd - 128.0)
+    gd = yd - 0.344136 * (cbd - 128.0) - 0.714136 * (crd - 128.0)
+    bd = yd + 1.772 * (cbd - 128.0)
+    return (
+        np.clip(np.rint(np.stack([rd, gd, bd], axis=2)), 0, 255).astype(np.uint8),
+        np.clip(np.rint(yd), 0, 255).astype(np.uint8),
+    )
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (yy * 7 + xx * 3) % 256
+    g = (yy * 2 + xx * 11 + 40) % 256
+    b = (255 - (yy * 5 + xx * 5)) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "h,w,sub",
+    [
+        (21, 13, (2, 2)),  # 4:2:0, nothing MCU-aligned: pad/upsample/crop
+        (16, 16, (1, 1)),  # 4:4:4, aligned
+        (16, 24, (2, 1)),  # 4:2:2-style horizontal-only subsampling
+        (8, 8, (2, 2)),    # single MCU, chroma below one block
+    ],
+)
+def test_jpeg_rgb_decode_pixel_exact(h, w, sub):
+    from mapreduce_system_spark.operators.multimodal import (
+        decode_image_jpeg_pixels,
+        decode_image_jpeg_rgb,
+        encode_image_jpeg_baseline,
+    )
+
+    rgb = _gradient_rgb(h, w)
+    blob = encode_image_jpeg_baseline(rgb, subsampling=sub)
+    want_rgb, want_y = _expected_jpeg_rgb(rgb, sub)
+    got = decode_image_jpeg_rgb(blob)
+    assert got is not None and got[3] == "jpeg-rgb"
+    assert (got[0], got[1]) == (w, h)
+    assert (got[2] == want_rgb).all()
+    # the luma-only seam must be unchanged by the chroma work and agree
+    # with the same reconstruction's Y plane
+    gray = decode_image_jpeg_pixels(blob)
+    assert gray is not None and (gray[2] == want_y).all()
+
+
+def test_jpeg_rgb_grayscale_stream_replicates_luma():
+    """A single-component JPEG has no chroma: the RGB seam replicates Y
+    (the JFIF grayscale convention) instead of failing the blob."""
+    import numpy as np
+
+    from mapreduce_system_spark.operators.multimodal import (
+        decode_image_jpeg_pixels,
+        decode_image_jpeg_rgb,
+    )
+
+    blob = (
+        b"\xff\xd8"
+        + _dqt(8)
+        + _sof0(8, 8, [(1, 0x11)])
+        + _dht(0, 0, 0x04)
+        + _dht(1, 0, 0x00)
+        + _sos([1])
+        + bytes([0b01000011])
+        + b"\xff\xd9"
+    )
+    got = decode_image_jpeg_rgb(blob)
+    gray = decode_image_jpeg_pixels(blob)
+    assert got is not None and got[3] == "jpeg-rgb"
+    assert got[2].shape == (8, 8, 3)
+    assert (got[2] == np.stack([gray[2]] * 3, axis=2)).all()
+
+
+def test_jpeg_rgb_rejects_same_streams_as_gray():
+    from mapreduce_system_spark.operators.multimodal import decode_image_jpeg_rgb
+
+    progressive = b"\xff\xd8" + b"\xff\xc2" + (10).to_bytes(2, "big") + bytes(8)
+    assert decode_image_jpeg_rgb(progressive) is None
+    assert decode_image_jpeg_rgb(b"not a jpeg") is None
