@@ -67,6 +67,16 @@ def pagerank(
     ``clustering.kmeans_fit``); ``iterations`` is then the cap. With
     ``tol=None`` the loop runs exactly ``iterations`` rounds so the
     unrolled oracles stay exact. Returns (node, rank).
+
+    Rejected levers (do not retry without new evidence): per-round
+    repartition+SHJ on the iteration join (r9 A/B: adverse — AQE already
+    sizes the checkpointed vectors); bucketed co-partitioned iteration
+    (r10 A/B, VERDICT r9 #7: ce bucketed on u + per-round rank tables
+    bucketed on node for a zero-exchange join — row-identical, but 6.81s
+    vs 4.69s median-of-3 full-query at sf0.1: AQE broadcasts the rank
+    vector anyway, so bucketing trades a free broadcast for per-round
+    table writes. The crossover needs rank vectors too big to broadcast
+    — the documented 100 TB switch, not the fixture regime).
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -581,9 +581,14 @@ def main() -> int:
     graph_mode = "--graph" in args
     if graph_mode:
         args.remove("--graph")
+    sim_mode = "--sim" in args
+    if sim_mode:
+        args.remove("--sim")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    organic_pct = int(args[2]) if len(args) > 2 else (10 if graph_mode else 0)
+    organic_pct = int(args[2]) if len(args) > 2 else (10 if (graph_mode or sim_mode) else 0)
+    if sim_mode:
+        return sim_main(reps, src, organic_pct)
     if graph_mode:
         return graph_main(reps, src, organic_pct)
     dst = "/tmp/spark_graft_scale/sf1"
@@ -648,6 +653,170 @@ def main() -> int:
     name = "scale_probe_r8_organic.json" if organic_pct else "scale_probe_r7.json"
     out = REPO / "bench_runs" / name
     out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0
+
+
+
+
+# ---------------------------------------------------------------------------
+# --sim (VERDICT r9 #6): ANN recall + wall at 1x vs 10x ORGANIC corpus
+# ---------------------------------------------------------------------------
+
+def _sim_query_set(emb):
+    return emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def sim_recall_profile(spark, sf_dir: str, runs: int = 3) -> dict:
+    """Recall@5 vs exact brute force AND wall time for each ANN family
+    (IVF nprobe=3, LSH 2×16, PQ m=16/ks=16 shortlist-50 + exact re-rank)
+    at one scale. Build phases (LSH signatures, PQ fit+encode) are timed
+    separately from the per-run search wall — at 100 TB they are the
+    amortized index build, not the query path. Recall is the one ANN
+    property the disjoint-shard probes could NOT measure under organic
+    duplication: near-clone cliques compete for top-k slots, so a method
+    whose candidate generation keys collapse under duplication shows up
+    here as recall drift rather than a wall blowup."""
+    import statistics
+
+    from mapreduce_system_spark.operators import pq as PQ
+    from mapreduce_system_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q = _sim_query_set(emb)
+    out: dict = {"corpus_rows": emb.count()}
+
+    t0 = time.time()
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, q, k=5).select("query_id", "vec_id").collect()
+    }
+    out["brute"] = {"wall_s": round(time.time() - t0, 3), "recall": 1.0}
+    caches.release()
+
+    def timed(fn):
+        walls, got = [], None
+        for _ in range(runs):
+            t0 = time.time()
+            got = fn()
+            walls.append(time.time() - t0)
+            caches.release()
+        return got, round(statistics.median(walls), 3)
+
+    def recall(top):
+        return round(len(truth & top) / len(truth), 3)
+
+    # IVF: label partitions, 3 probes
+    got, wall = timed(
+        lambda: {
+            (r.query_id, r.vec_id)
+            for r in SIM.ivf_topk(emb, q, k=5, nprobe=3)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+    )
+    out["ivf_nprobe3"] = {"wall_s": wall, "recall": recall(got)}
+
+    # LSH: the registered 2-table/16-bucket configuration
+    t0 = time.time()
+    csig = SIM.lsh_signatures(emb, 64, n_planes=4, n_tables=2, id_col="vec_id")
+    qsig = SIM.lsh_signatures(q, 64, n_planes=4, n_tables=2, id_col="query_id", vec_col="query_vec")
+    csig = csig.localCheckpoint(eager=True)
+    qsig = qsig.localCheckpoint(eager=True)
+    build_lsh = round(time.time() - t0, 3)
+    got, wall = timed(
+        lambda: {
+            (r.query_id, r.vec_id)
+            for r in SIM.lsh_bucket_topk(
+                emb, q, k=5, n_tables=2, corpus_sig=csig, query_sig=qsig
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        }
+    )
+    out["lsh_2x16"] = {"wall_s": wall, "build_s": build_lsh, "recall": recall(got)}
+
+    # PQ: the registered m=16/ks=16 shortlist-50 + exact re-rank config
+    t0 = time.time()
+    books = PQ.pq_fit(emb, m=16, ks=16, max_iter=5)
+    codes = PQ.pq_encode(emb, books).localCheckpoint(eager=True)
+    cb = spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(16) for c in range(len(books[j]))],
+        "subspace int, code int, centroid array<double>",
+    ).localCheckpoint(eager=True)
+    build_pq = round(time.time() - t0, 3)
+
+    def pq_search():
+        from pyspark.sql import Window as W
+
+        shortlist = PQ.pq_topk_adc(codes, q, cb, k=50, score_round=6).select(
+            "query_id", "vec_id"
+        )
+        rescored = (
+            emb.join(F.broadcast(shortlist), "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "vec_id",
+                cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+        from pyspark.sql import functions as FF
+
+        return {
+            (r.query_id, r.vec_id)
+            for r in rescored.withColumn("rn", FF.row_number().over(w))
+            .where(FF.col("rn") <= 5)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+
+    got, wall = timed(pq_search)
+    out["pq_m16_sl50"] = {"wall_s": wall, "build_s": build_pq, "recall": recall(got)}
+    # duplication profile: how deep do the organic near-clone cliques go
+    lab = emb.groupBy("label").count().agg(
+        F.max("count").alias("mx"), F.expr("percentile(count, 0.5)").alias("med")
+    ).collect()[0]
+    out["label_partition_max"] = int(lab.mx)
+    out["label_partition_median"] = float(lab.med)
+    return out
+
+
+def sim_main(reps: int, src: str, organic_pct: int) -> int:
+    dst = "/tmp/spark_graft_scale/sim_sf1"
+    spark = get_spark("scale_probe_sim")
+    print(
+        f"# building {reps}x organic corpus at {dst} from {src} (organic {organic_pct}%)",
+        file=sys.stderr,
+    )
+    build_scaled(spark, src, dst, reps, organic_pct=organic_pct)
+    record: dict = {
+        "mode": "sim",
+        "reps": reps,
+        "src": src,
+        "organic_pct": organic_pct,
+        "scales": {},
+    }
+    # untimed warm-up (JVM/codegen/python pool), same as the other modes
+    print("# warm-up sweep", file=sys.stderr)
+    sim_recall_profile(spark, src, runs=1)
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        print(f"# profiling {label}", file=sys.stderr)
+        record["scales"][label] = sim_recall_profile(spark, d)
+        caches.release()
+    print("| method | recall 1x | recall 10x | wall 1x | wall 10x |")
+    print("|---|---|---|---|---|")
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    for meth in ("brute", "ivf_nprobe3", "lsh_2x16", "pq_m16_sl50"):
+        print(
+            f"| {meth} | {a[meth]['recall']} | {b[meth]['recall']} "
+            f"| {a[meth]['wall_s']} | {b[meth]['wall_s']} |"
+        )
+    out = REPO / "bench_runs" / "scale_probe_r10_sim.json"
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
