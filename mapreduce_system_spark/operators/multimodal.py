@@ -1052,11 +1052,9 @@ def encode_image_jpeg_baseline(rgb, subsampling: tuple[int, int] = (2, 2)) -> by
     for plane, qtab, ch, cv in planes:
         by, bx, blocks = jpeg_quantized_blocks(plane, qtab)
         # pad the block grid to the MCU grid (edge-block replication)
-        import numpy as _np
-
         gy, gx = mcus_y * cv, mcus_x * ch
         if by < gy or bx < gx:
-            grid = _np.empty((gy, gx, 8, 8), dtype=_np.int64)
+            grid = np.empty((gy, gx, 8, 8), dtype=np.int64)
             grid[:by, :bx] = blocks
             grid[by:, :bx] = blocks[by - 1 : by, :]
             grid[:by, bx:] = blocks[:, bx - 1 : bx]

@@ -281,3 +281,42 @@ def pq_topk_adc(
         .where(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos", "rn")
     )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The registered two-stage PQ serving shape, in one place so the
+    query (queries/similarity.py) and the scale probe measure the SAME
+    algorithm: ADC shortlist ranked on the rounded score, then exact
+    cosine re-rank of the fetched candidates (Q·shortlist ids broadcast
+    against the corpus — only shortlisted vectors are ever scored
+    exactly). ``corpus``: (vec_id, embedding); output (query_id, vec_id,
+    cos, rn)."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_system_spark.functions.vectors import cosine
+
+    sl = pq_topk_adc(
+        codes, queries, codebooks, k=shortlist, score_round=6
+    ).select("query_id", "vec_id")
+    rescored = (
+        corpus.join(F.broadcast(sl), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos", "rn")
+    )

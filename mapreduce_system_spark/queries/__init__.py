@@ -86,4 +86,5 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh8k,       # driver-green r09
     fresh8l,       # driver-green r09
     fresh8m,       # driver-green r09
+    mrcore,        # §2a mr-core — r09 rows; LAST this round, rotate by r12
 )

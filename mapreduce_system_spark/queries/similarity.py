@@ -475,25 +475,8 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_back = spark.read.parquet(_pq_path(sf_name, "codebooks"))
     codes_back = spark.read.parquet(_pq_path(sf_name, "codes"))
 
-    shortlist = PQ.pq_topk_adc(
-        codes_back, q, cb_back, k=_PQ_SHORTLIST, score_round=6
-    ).select("query_id", "vec_id")
-    # exact re-rank: Q×50 candidate ids broadcast against the corpus —
-    # only shortlisted vectors are ever fetched/scored exactly
-    rescored = (
-        emb.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
-        )
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
     return _ranked(
-        rescored.withColumn("rn", F.row_number().over(w).cast("long")).where(
-            F.col("rn") <= _TOPK
+        PQ.pq_topk_rerank(
+            emb, codes_back, q, cb_back, k=_TOPK, shortlist=_PQ_SHORTLIST
         )
     )

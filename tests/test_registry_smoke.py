@@ -36,3 +36,30 @@ def test_every_oracle_has_a_query():
 
     dangling = set(ORACLE_SQL) - set(QUERIES)
     assert not dangling, f"oracle entries without a registered query: {dangling}"
+
+
+def test_r10_driver_window_composition():
+    """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
+    correctness gate covers the FIRST 50 registered queries. Pin the r10
+    window so an accidental import reorder (or a module gaining a query)
+    can't silently rotate evidence-stale or brand-new queries out of the
+    gate. Update this pin deliberately with each round's rotation plan."""
+    names = list(QUERIES)
+    window = names[:50]
+    # this round's new queries MUST have driver rows
+    for new in ("sim_topk_pq", "stream_stateful_sessions_tws", "mm_image_rgb_stats"):
+        assert new in window, f"{new} fell out of the r10 window"
+    # the rotation cohort fills the window: temporal(5) advanced(7)
+    # similarity(9) relational(12) dedup(8) sinks(5) fresh6(3) mm2(1)
+    prefixes = {
+        "fn_", "asof_", "rel_", "skew_", "agg_", "sim_", "cluster_",
+        "emb_", "dedup_", "sink_", "scan_", "stream_stateful_", "mm_image_rgb",
+    }
+    for n in window:
+        assert any(n.startswith(p) for p in prefixes), (
+            f"unexpected query {n!r} inside the first-50 window"
+        )
+    # mr-core intentionally sits past the window this round (fresh r09
+    # rows; rotate back by r12 — registry.py)
+    assert all(not n.startswith("mr_") for n in window)
+    assert sum(n.startswith("mr_") for n in names[50:]) == 9

@@ -684,7 +684,6 @@ def sim_recall_profile(spark, sf_dir: str, runs: int = 3) -> dict:
     import statistics
 
     from mapreduce_system_spark.operators import pq as PQ
-    from mapreduce_system_spark.functions.vectors import cosine
 
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     q = _sim_query_set(emb)
@@ -721,10 +720,17 @@ def sim_recall_profile(spark, sf_dir: str, runs: int = 3) -> dict:
     )
     out["ivf_nprobe3"] = {"wall_s": wall, "recall": recall(got)}
 
-    # LSH: the registered 2-table/16-bucket configuration
+    # LSH: the registered 2-table/16-bucket configuration. Checkpoint
+    # blocks are REGISTERED with the cache tracker so the caches.release()
+    # between scales actually reaps them (localCheckpoint storage is
+    # invisible to DataFrame.unpersist — caches.py) — otherwise the 10x
+    # signature/code tables would stay persisted under the timed runs.
+    from mapreduce_system_spark.caches import persistent_rdd_ids, track_rdd_ids
+
     t0 = time.time()
     csig = SIM.lsh_signatures(emb, 64, n_planes=4, n_tables=2, id_col="vec_id")
     qsig = SIM.lsh_signatures(q, 64, n_planes=4, n_tables=2, id_col="query_id", vec_col="query_vec")
+    before = persistent_rdd_ids(spark)
     csig = csig.localCheckpoint(eager=True)
     qsig = qsig.localCheckpoint(eager=True)
     build_lsh = round(time.time() - t0, 3)
@@ -740,7 +746,9 @@ def sim_recall_profile(spark, sf_dir: str, runs: int = 3) -> dict:
     )
     out["lsh_2x16"] = {"wall_s": wall, "build_s": build_lsh, "recall": recall(got)}
 
-    # PQ: the registered m=16/ks=16 shortlist-50 + exact re-rank config
+    # PQ: the registered m=16/ks=16 shortlist-50 + exact re-rank config —
+    # scored through the SAME pq_topk_rerank the registered query uses,
+    # so the probe cannot drift from the shipped algorithm
     t0 = time.time()
     books = PQ.pq_fit(emb, m=16, ks=16, max_iter=5)
     codes = PQ.pq_encode(emb, books).localCheckpoint(eager=True)
@@ -750,33 +758,19 @@ def sim_recall_profile(spark, sf_dir: str, runs: int = 3) -> dict:
     ).localCheckpoint(eager=True)
     build_pq = round(time.time() - t0, 3)
 
-    def pq_search():
-        from pyspark.sql import Window as W
-
-        shortlist = PQ.pq_topk_adc(codes, q, cb, k=50, score_round=6).select(
-            "query_id", "vec_id"
-        )
-        rescored = (
-            emb.join(F.broadcast(shortlist), "vec_id")
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id", "vec_id",
-                cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
-            )
-        )
-        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
-        from pyspark.sql import functions as FF
-
-        return {
+    got, wall = timed(
+        lambda: {
             (r.query_id, r.vec_id)
-            for r in rescored.withColumn("rn", FF.row_number().over(w))
-            .where(FF.col("rn") <= 5)
+            for r in PQ.pq_topk_rerank(emb, codes, q, cb, k=5, shortlist=50)
             .select("query_id", "vec_id")
             .collect()
         }
-
-    got, wall = timed(pq_search)
+    )
     out["pq_m16_sl50"] = {"wall_s": wall, "build_s": build_pq, "recall": recall(got)}
+    # now that no timed run needs them, hand every checkpoint block this
+    # profile created to the tracker — the caller's caches.release()
+    # between scales reaps them
+    track_rdd_ids(spark, persistent_rdd_ids(spark) - before)
     # duplication profile: how deep do the organic near-clone cliques go
     lab = emb.groupBy("label").count().agg(
         F.max("count").alias("mx"), F.expr("percentile(count, 0.5)").alias("med")
