@@ -236,8 +236,9 @@ def _tws_session_processor(gap_s: int):
             # one live timer per key: drop the previous close timer
             # before arming the new one (same +500ms placement as the
             # GST twin: past every merge-eligible instant, before the
-            # next whole second)
-            for t in self._handle.listTimers():
+            # next whole second). listTimers pages from the state
+            # server — materialize before mutating what it iterates.
+            for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
             self._handle.registerTimer((l + self._gap_s) * 1000 + 500)
             if closed:
