@@ -4,9 +4,10 @@ Importing this package registers every domain query (relational, text/LLM
 pipeline, temporal, streaming-parity, multimodal) into
 ``mapreduce_system_spark.registry.QUERIES`` / ``ORACLE_SQL``. The
 MapReduce-core workloads (the reference's own surface) live in
-``registry.py`` itself and — as of r10 — register AFTER this package
-(they hold fresh r09 driver rows; see registry.py for the rationale and
-the r11/r12 rotate-back note).
+``mrcore.py`` and import LAST this round (fresh r09 driver rows; rotate
+back into the window by r12). Since the r10 self-review, registration
+order is a pure function of THIS import list from every entry point —
+see registry.py's bottom-import comment for the mechanism.
 
 IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep covers the
 first 50 registered queries in registration order. Modules whose queries
@@ -40,8 +41,8 @@ out unchanged), multimodal (r09 rows; the JPEG decoder gains chroma
 r10 — rotate r11 with a driver row for the whole module), then the
 remaining r07 cohort for r11 (relational2, textstats, fresh7b2,
 fresh7, fresh7c, fresh7e, fresh7f — ~22 rows), then the r08/r09-green
-modules and finally the mr-core 9 (r09 rows, registry.py tail — rotate
-by r12). Catalog growth this round is exactly the 3 new in-window
+modules and finally the mr-core 9 (r09 rows, mrcore.py — rotate by
+r12). Catalog growth this round is exactly the 3 new in-window
 queries (VERDICT r9 #2/#3/#4); multi-batch growth resumes r11+ per
 VERDICT r9 #8 once the evidence tail is trimmed.
 """
