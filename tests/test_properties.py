@@ -114,3 +114,100 @@ def test_png_decode_roundtrip_any_image_any_filters(w, h, color_type, data):
     gw, gh, mean, name = got
     assert (gw, gh, name) == (w, h, "png")
     assert mean == _luma_mean(rows, channels)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    sub=st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_rgb_roundtrip_pixel_exact_any_shape(w, h, sub, data):
+    """For ANY image size and subsampling mode, decoding an
+    encode_image_jpeg_baseline stream must reproduce the independently
+    computed numpy reconstruction pixel-for-pixel (the hand-picked
+    shapes of tests/test_multimodal.py, generalized: padding, MCU
+    alignment, edge replication and upsample/crop all vary here)."""
+    import numpy as np
+
+    from mapreduce_system_spark.operators.multimodal import (
+        decode_image_jpeg_rgb,
+        encode_image_jpeg_baseline,
+    )
+    from tests.test_multimodal import _expected_jpeg_rgb
+
+    flat = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+    )
+    rgb = np.asarray(flat, dtype=np.uint8).reshape(h, w, 3)
+    got = decode_image_jpeg_rgb(encode_image_jpeg_baseline(rgb, subsampling=sub))
+    want_rgb, _want_y = _expected_jpeg_rgb(rgb, sub)
+    assert got is not None and (got[0], got[1]) == (w, h)
+    assert (got[2] == want_rgb).all()
+
+
+@given(
+    m=st.sampled_from([2, 4, 8]),
+    n_extra=st.integers(min_value=0, max_value=6),
+    data=st.data(),
+)
+@settings(max_examples=10, deadline=None)
+def test_pq_adc_exact_when_corpus_is_codebook_pure(spark, m, n_extra, data):
+    """ADC invariant: when every corpus vector is EXACTLY a combination
+    of sub-codebook centroids (reconstruction error zero), the ADC score
+    equals true cosine, so PQ top-k == brute-force top-k. Build ks=2
+    centroids per subspace from two base vectors, generate corpus rows
+    as arbitrary per-subspace selections, and compare against the exact
+    ranking."""
+    import numpy as np
+
+    from mapreduce_system_spark.operators import pq as PQ
+    from mapreduce_system_spark.operators import similarity as SIM
+
+    d = 8
+    sub = d // m
+    rng_a = np.arange(1, d + 1, dtype=np.float64)
+    rng_b = rng_a[::-1] * 1.5
+    books = [
+        [rng_a[j * sub : (j + 1) * sub].tolist(), rng_b[j * sub : (j + 1) * sub].tolist()]
+        for j in range(m)
+    ]
+    picks = [
+        data.draw(st.lists(st.integers(0, 1), min_size=m, max_size=m))
+        for _ in range(4 + n_extra)
+    ]
+    vecs = [
+        [x for j, p in enumerate(pick) for x in books[j][p]] for pick in picks
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    codes = PQ.pq_encode(emb, books)
+    cb = spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(m) for c in range(2)],
+        "subspace int, code int, centroid array<double>",
+    )
+    k = min(3, len(vecs) - 1)
+    adc = [
+        (r.query_id, r.vec_id)
+        for r in PQ.pq_topk_adc(codes, q, cb, k=k, score_round=6)
+        .orderBy("rn")
+        .collect()
+    ]
+    exact = [
+        (r.query_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, q, k=k).orderBy("rn").collect()
+    ]
+    # scores can tie (duplicate vectors are legal draws); compare the
+    # score MULTISETS via re-derived exact cosine of each picked id
+    def cos(i):
+        a = np.asarray(vecs[0])
+        b = np.asarray(vecs[i])
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    assert [cos(i) for _, i in adc] == [cos(i) for _, i in exact]
