@@ -101,6 +101,12 @@ def kmeans_fit(
 
     from mapreduce_system_spark.pyfiles import ensure_package_on_executors
 
+    if k < 1:
+        raise ValueError(f"kmeans_fit: k must be >= 1, got {k}")
+    if init not in ("first", "plusplus", "farthest"):
+        # a typo ('kmeans++', 'plus_plus') must not silently fall back to
+        # the adversarial-layout-vulnerable first-k init (r10 review)
+        raise ValueError(f"kmeans_fit: unknown init {init!r}")
     ensure_package_on_executors(df.sparkSession)
     # One cached projection feeds the init passes and every iteration —
     # without it each pass re-reads the source. At cluster scale this is
@@ -155,19 +161,33 @@ def kmeans_fit(
             def partial_stats(batches):
                 import pandas as pd
 
+                # accumulate across the WHOLE partition's Arrow batches and
+                # emit once — per-batch emission would scale the collected
+                # rows with corpus size (batches ∝ rows/maxRecordsPerBatch),
+                # breaking the partitions×k wire invariant (r10 review)
+                sums = np.zeros((k, d))
+                counts = np.zeros(k, dtype=np.int64)
+                seen = False
                 for pdf in batches:
                     if not len(pdf):
                         continue
+                    seen = True
                     m = np.asarray([list(v) for v in pdf["__v"]], dtype=np.float64)
                     # argmin_j |x-c_j|^2 == argmin_j (|c_j|^2 - 2 x·c_j)
                     assign = (c_sqn - 2.0 * (m @ cm.T)).argmin(axis=1)
-                    out = {"cluster": [], "cnt": [], "vsum": []}
                     for j in np.unique(assign):
                         sel = m[assign == j]
-                        out["cluster"].append(int(j))
-                        out["cnt"].append(int(len(sel)))
-                        out["vsum"].append(sel.sum(axis=0).tolist())
-                    yield pd.DataFrame(out)
+                        counts[j] += len(sel)
+                        sums[j] += sel.sum(axis=0)
+                if seen:
+                    nz = np.nonzero(counts)[0]
+                    yield pd.DataFrame(
+                        {
+                            "cluster": [int(j) for j in nz],
+                            "cnt": [int(counts[j]) for j in nz],
+                            "vsum": [sums[j].tolist() for j in nz],
+                        }
+                    )
 
             # partial per-batch stats (the map-side combine): rows crossing
             # the wire = partitions × k, each k·d doubles — never the corpus.

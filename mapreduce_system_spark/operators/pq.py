@@ -107,13 +107,20 @@ def pq_fit(
             def partial_stats(batches):
                 import pandas as pd
 
+                # accumulate across the WHOLE partition's Arrow batches and
+                # emit once, like clustering.kmeans_fit: per-batch emission
+                # would scale collected rows with corpus size instead of
+                # partitions × m × ks (r10 review)
+                sums = np.zeros((m, ks, sub))
+                counts = np.zeros((m, ks), dtype=np.int64)
+                seen = False
                 for pdf in batches:
                     if not len(pdf):
                         continue
+                    seen = True
                     x = np.asarray(
                         [list(v) for v in pdf["__v"]], dtype=np.float64
                     )
-                    out = {"subspace": [], "cluster": [], "cnt": [], "vsum": []}
                     for j in range(m):
                         xs = x[:, j * sub : (j + 1) * sub]
                         cj = bk[j]
@@ -123,10 +130,15 @@ def pq_fit(
                         ).argmin(axis=1)
                         for c in np.unique(assign):
                             sel = xs[assign == c]
-                            out["subspace"].append(j)
-                            out["cluster"].append(int(c))
-                            out["cnt"].append(int(len(sel)))
-                            out["vsum"].append(sel.sum(axis=0).tolist())
+                            counts[j, c] += len(sel)
+                            sums[j, c] += sel.sum(axis=0)
+                if seen:
+                    out = {"subspace": [], "cluster": [], "cnt": [], "vsum": []}
+                    for j, c in zip(*np.nonzero(counts)):
+                        out["subspace"].append(int(j))
+                        out["cluster"].append(int(c))
+                        out["cnt"].append(int(counts[j, c]))
+                        out["vsum"].append(sums[j, c].tolist())
                     yield pd.DataFrame(out)
 
             parts = (

@@ -44,6 +44,10 @@ def salted_agg_sum_count(
     Phase 1 shuffles on (key, salt) — a key with R rows sends ≤ R/n_salts
     rows to any single reducer; phase 2 shuffles n_salts rows per key.
     """
+    if n_salts < 1:
+        # pmod(x, 0) is NULL and an empty replication array drops rows —
+        # a dynamic n_salts of 0 must fail loudly, not lose data silently
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     _require_absent(df, "__salt", "__s", "__c")
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts)))
     partial = salted.groupBy(key_col, "__salt").agg(
@@ -68,6 +72,11 @@ def salted_join(
     n_salts×. Use when one side is hot-keyed but too large to broadcast
     (otherwise prefer ``broadcast`` or AQE's runtime skew split).
     """
+    if n_salts < 1:
+        # same loud-failure contract as salted_agg_sum_count: n_salts=0
+        # would return an EMPTY join (NULL salts match nothing) — silent
+        # loss of every matching row
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     _require_absent(big, "__salt")
     _require_absent(small, "__salt")
     big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts)))

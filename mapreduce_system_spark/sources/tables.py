@@ -152,10 +152,9 @@ def load_table(
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; the conf is runtime-settable, so set it here too — the
-        # driver calls queries() with its own vanilla SparkSession.
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # default; shared with the streaming reader (stream_events) so
+        # the two paths bind identical confs.
+        ensure_events_read_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
     # LongType nanoseconds — floor to microseconds (identical to DuckDB's
@@ -201,6 +200,35 @@ def _parse_bytes(size: str) -> int:
     return int(float(s) * mult)
 
 
+def ensure_events_read_confs(spark: SparkSession) -> None:
+    """The two runtime confs every events-fixture reader needs, batch OR
+    streaming, in one place so the paths cannot drift (the r10 review
+    found stream_events missing the UTC pin that load_table had): the
+    NTZ→LTZ normalization is only value-preserving under a UTC session
+    timezone, and TIMESTAMP(NANOS) parquet is rejected without
+    nanosAsLong. Both are runtime-settable; the driver calls queries()
+    with its own vanilla SparkSession, so these must bind here, not in
+    the session bootstrap."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _opt_int_conf(spark, key: str):
+    """Optional integer conf: None when unset (a None default skips the
+    type validation that a sentinel string default can trip on some
+    confs — see load_table's conf-read note)."""
+    try:
+        v = spark.conf.get(key, None)
+    except Exception:
+        return None
+    try:
+        return int(v) if v is not None else None
+    except (TypeError, ValueError):
+        return None
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to defaultParallelism when the scan has fewer input
     partitions than cores (single-file fixture parquet ⇒ 1 split).
@@ -244,10 +272,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             # so neither file count nor a per-file ceil sum is an upper
             # bound — take the min of the two formulations.
             total = sum(sizes) + open_cost * len(files)
+            # Spark's denominator is minPartitionNum when set, else
+            # leafNodeDefaultParallelism, else defaultParallelism — using
+            # target alone diverges from the actual FilePartition sizing
+            # when either conf is set and skips a needed repartition.
+            denom = (
+                _opt_int_conf(spark, "spark.sql.files.minPartitionNum")
+                or _opt_int_conf(spark, "spark.sql.leafNodeDefaultParallelism")
+                or target
+            )
             # floor at 1 byte: openCostInBytes=0 (a legal tuning value)
             # with tiny inputs would otherwise make split 0 and the ceil
             # divisions below crash
-            split = max(1, min(max_pb, max(open_cost, total // max(target, 1))))
+            split = max(1, min(max_pb, max(open_cost, total // max(denom, 1))))
             per_file = sum(max(1, -(-s // split)) for s in sizes)
             packed = max(1, -(-total // split))
             return df if min(per_file, packed) >= target else df.repartition(target)

@@ -32,7 +32,12 @@ def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: i
     micro-batches); to stream the single-file fixture, place a symlink to
     ``events.parquet`` in a scratch directory (see tests/test_streaming.py).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from mapreduce_system_spark.sources.tables import ensure_events_read_confs
+
+    # UTC pin + nanosAsLong, shared with the batch loader: the NTZ→LTZ
+    # cast below is only value-preserving under a UTC session timezone
+    # (the r10 review found this path missing the pin load_table had)
+    ensure_events_read_confs(spark)
     # Probe the footer with a batch read (plan-time only, no job) so the
     # stream sees ts exactly as the batch loader does: TIMESTAMP(NANOS)
     # fixtures arrive as bigint under nanosAsLong and need the exact-long-
@@ -125,7 +130,15 @@ def tumbling_distinct_users(
     function through a file stream and asserts parity.
     """
     w = F.window(ts_col, duration)
-    dedup = df.select(w.alias("w"), F.col(user_col)).dropDuplicates(["w", user_col])
+    dedup = (
+        # NULL users are excluded BEFORE the dedup: COUNT(DISTINCT user)
+        # ignores NULLs, and dropDuplicates would keep one NULL-user row
+        # per window — off-by-one vs the oracle on any fixture with a
+        # NULL user (r10 review)
+        df.select(w.alias("w"), F.col(user_col))
+        .where(F.col(user_col).isNotNull())
+        .dropDuplicates(["w", user_col])
+    )
     return dedup.groupBy("w").agg(F.count("*").alias("n_users"))
 
 

@@ -96,3 +96,44 @@ def test_kmeans_converges_early_on_tolerance(spark):
     got = sorted(CL.kmeans_fit(df, k=2, max_iter=50, init="plusplus"))
     assert math.isclose(got[0][0], 0.05) and math.isclose(got[1][0], 10.05)
     assert got[0][1] == got[1][1] == 0.0
+
+
+def test_kmeans_fit_rejects_bad_init_and_k(spark):
+    import pytest as _pytest
+
+    from mapreduce_system_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="unknown init"):
+        kmeans_fit(df, k=2, init="kmeans++")  # typo must not fall back to first-k
+    with _pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(df, k=0)
+
+
+def test_fit_partials_are_per_partition_not_per_batch(spark):
+    """The map-side combine must emit once per partition regardless of
+    Arrow batch size: with maxRecordsPerBatch forced tiny, kmeans and PQ
+    fits must produce bit-identical codebooks to the default batching
+    (same per-partition accumulation order), and the collected partial
+    count must stay bounded by partitions x k."""
+    from mapreduce_system_spark.operators.clustering import kmeans_fit
+    from mapreduce_system_spark.operators.pq import pq_fit
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    ).repartition(2)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    want_k = kmeans_fit(df, k=3, max_iter=2)
+    want_pq = pq_fit(df, m=4, ks=3, max_iter=2)
+    spark.conf.set(key, "8")  # 120 rows / 2 partitions -> ~8 batches each
+    try:
+        got_k = kmeans_fit(df, k=3, max_iter=2)
+        got_pq = pq_fit(df, m=4, ks=3, max_iter=2)
+    finally:
+        spark.conf.set(key, old)
+    assert got_k == want_k
+    assert got_pq == want_pq

@@ -50,3 +50,16 @@ def test_salted_join_equals_plain(spark):
         for r in SK.salted_join(big, small, key="k", salt_src_col="rid", n_salts=8).collect()
     )
     assert salted == plain and len(plain) == 1000
+
+
+def test_salting_rejects_nonpositive_n_salts(spark):
+    import pytest as _pytest
+
+    from mapreduce_system_spark.operators.skew import salted_agg_sum_count, salted_join
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, value double")
+    sm = spark.createDataFrame([(1, "x")], "k long, name string")
+    with _pytest.raises(ValueError, match="n_salts"):
+        salted_join(df, sm, "k", "k", n_salts=0)
+    with _pytest.raises(ValueError, match="n_salts"):
+        salted_agg_sum_count(df, "k", "value", "k", n_salts=0)

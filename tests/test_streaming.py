@@ -655,3 +655,25 @@ def test_tws_sessions_close_on_gap_and_timeout(spark, tmp_path):
     s7 = int(t("2024-01-01T09:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
     assert got[7] == (s7, 3, 720)  # one session spanning the batch boundary
     assert got[8] == (s7, 1, 0)    # idle key closed by its timer and evicted
+
+
+def test_tumbling_distinct_users_excludes_null_users(spark):
+    """COUNT(DISTINCT user) ignores NULLs; the streaming-safe two-phase
+    rewrite must too (a NULL-user row used to survive the dedup and
+    count as one extra user per window — r10 review)."""
+    import datetime as _dt
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 9, 5)),
+        (1, _dt.datetime(2024, 1, 1, 9, 10)),
+        (2, _dt.datetime(2024, 1, 1, 9, 20)),
+        (None, _dt.datetime(2024, 1, 1, 9, 30)),
+        (None, _dt.datetime(2024, 1, 1, 10, 30)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.w.start.hour, r.n_users)
+        for r in SW.tumbling_distinct_users(df, duration="60 minutes").collect()
+    }
+    # hour 9 has users {1, 2}; hour 10 has ONLY a null user -> no row
+    assert got == {(9, 2)}
