@@ -28,11 +28,28 @@ def weighted_mean():
     ±w) yields NULL — the same answer the SQL identity
     ``sum(v*w)/sum(w)`` gives under non-ANSI division. Returning 0.0
     there would fabricate a mean indistinguishable from a true zero
-    average and diverge from the registered oracle."""
+    average and diverge from the registered oracle.
+
+    Both sums use ``math.fsum`` (correctly rounded, therefore ROW-ORDER
+    INDEPENDENT): a float-truthiness gate over a naive sum made the
+    canceling-±w contract depend on shuffle order (e.g. weights
+    {1e16, −1e16, 1, −1} absorb differently per order and could return a
+    fabricated huge mean instead of NULL — r10 review). With fsum the
+    exact-cancellation gate is deterministic on this side; an engine
+    summing sequentially (DuckDB) can still miss cancellation in
+    adversarial magnitude/order combinations, which is a property of
+    float SQL itself, not of this operator. NULL semantics match SQL:
+    the numerator skips rows where either input is NULL, the
+    denominator skips only NULL weights."""
 
     @F.pandas_udf("double")
     def _weighted_mean(value: pd.Series, weight: pd.Series) -> float:
-        w = weight.sum()
-        return float((value * weight).sum() / w) if w else None
+        import math
+
+        den = math.fsum(weight.dropna())
+        if den == 0.0:
+            return None
+        num = math.fsum((value * weight).dropna())
+        return num / den
 
     return _weighted_mean

@@ -51,7 +51,15 @@ def cosine(a: Column, b: Column) -> Column:
     instead of surfacing as an opaque hash mismatch."""
     d = dot(a, b)
     n = norm(a) * norm(b)
-    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+    # NULL input stays NULL (matching DuckDB's list_cosine_similarity):
+    # the old single when() sent a NULL norm into the otherwise branch,
+    # silently scoring a NULL vector 0.0 — rankable, and divergent from
+    # any oracle (r10 review)
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when(n > 0, d / n)
+        .otherwise(F.lit(0.0))
+    )
 
 
 def dot_double(a: Column, b: Column) -> Column:

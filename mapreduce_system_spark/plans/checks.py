@@ -34,5 +34,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Count WholeStageCodegen spans — wider/fewer is better."""
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Count DISTINCT whole-stage-codegen spans — wider/fewer is better.
+
+    Reads the EXECUTED plan's ``*(N)`` codegen-id markers: formatted
+    explain output never contains the literal string 'WholeStageCodegen'
+    (the r10 review found the old substring count was identically 0),
+    and under AQE the final plan only materializes after execution — so
+    run an action on ``df`` first; an unexecuted adaptive plan reports 0
+    spans rather than lying."""
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", s)))

@@ -32,9 +32,9 @@ from pyspark.sql import Window as W
 
 from mapreduce_system_spark.caches import tracked_cache
 from mapreduce_system_spark.functions import text as TXT
-from mapreduce_system_spark.queries._textshared import _STOPLIST, _TOKS, _marker_score_sql
+from mapreduce_system_spark.queries._textshared import _STOPLIST, _TOKS, _docs, _marker_score_sql
 from mapreduce_system_spark.registry import register
-from mapreduce_system_spark.sources.tables import ensure_parallelism, load_table
+from mapreduce_system_spark.sources.tables import load_table
 
 # Sequence token budget. Small enough that the fixture corpus yields
 # several sequences per source; the algebra is budget-independent.
@@ -70,7 +70,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     source), one bounded aggregation. At 100 TB the window key must be
     finer than ``source`` to avoid one-task-per-source skew — partition by
     (source, shard) with per-shard budgets, same algebra."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    docs = _docs(spark, sf_dir, columns=["source", "doc_id", "text"])
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         docs.select("source", "doc_id", TXT.token_count("text").alias("n"))
@@ -198,7 +198,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns — at 100 TB, push the cheap gates ahead of the window when
     survivorship should consider only clean docs (different policy, one
     line moved)."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    docs = _docs(spark, sf_dir, columns=["source", "doc_id", "text"])
     w = W.partitionBy("fp")
     return (
         docs.select(
@@ -343,25 +343,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated-id set (distinct) and the per-source counts — both tiny.
     Division is one exact-integer divide per group, so the DuckDB oracle
     hash-matches bit-for-bit."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    docs = _docs(spark, sf_dir, columns=["source", "doc_id", "text"])
     tagged = docs.select(
         "source",
         "doc_id",
         "text",
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias("is_bench"),
     )
-    # cache the exploded grams: bench_grams and the contaminated branch
-    # are independent plan subtrees, so without this the scan AND the
-    # expensive shingle expression evaluate twice per run (the same
-    # two-consumer shape operators/dedup.py caches shingle_sets for);
-    # released by the harness-level caches.release()
-    grams = tracked_cache(
+    # cache the PRE-explode shingle arrays: bench_grams and the
+    # contaminated branch are independent plan subtrees, so without a
+    # cache the scan AND the expensive shingle expression evaluate twice
+    # per run (the same two-consumer shape operators/dedup.py caches
+    # shingle_sets for — and, like there, the cache holds the compact
+    # (keys, gram-array) rows: caching post-explode would multiply the
+    # cached footprint by grams/doc with the key columns repeated per
+    # gram, r10 review; explode itself is trivially cheap). Released by
+    # the harness-level caches.release()
+    gram_arrays = tracked_cache(
         tagged.select(
             "source",
             "doc_id",
             "is_bench",
-            F.explode(TXT.shingles("text", _DECON_N)).alias("g"),
+            TXT.shingles("text", _DECON_N).alias("gs"),
         )
+    )
+    grams = gram_arrays.select(
+        "source", "doc_id", "is_bench", F.explode("gs").alias("g")
     )
     bench_grams = grams.where(F.col("is_bench")).select("g").distinct()
     contaminated = (
@@ -432,7 +439,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode multiplies row count by ~n/stride but each row is 4 longs
     — the cheapest possible fan-out; materializing actual chunk text would
     instead slice the token array in the same pass."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    docs = _docs(spark, sf_dir, columns=["source", "doc_id", "text"])
     n = F.col("n")
     chunks = (
         docs.select("source", "doc_id", TXT.token_count("text").alias("n"))
@@ -509,7 +516,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, whose summation order would differ between engines). The
     flag threshold is pure integer arithmetic. Map-side combine keeps
     shuffled bytes at one row per (partition, source)."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "text"]))
+    docs = _docs(spark, sf_dir, columns=["source", "text"])
 
     def with_toks(toks):
         nt = F.size(toks)
@@ -594,7 +601,7 @@ def q_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source funnel. The fixture-scale query registers the exact-rank
     formulation because its quota semantics (exactly N, not ~N) are the
     contract being verified."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents", columns=["source", "doc_id", "text"]))
+    docs = _docs(spark, sf_dir, columns=["source", "doc_id", "text"])
     w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     r = (
         docs.select("source", "doc_id", TXT.token_count("text").alias("n"))

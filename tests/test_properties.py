@@ -211,3 +211,18 @@ def test_pq_adc_exact_when_corpus_is_codebook_pure(spark, m, n_extra, data):
         return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
 
     assert [cos(i) for _, i in adc] == [cos(i) for _, i in exact]
+
+
+@given(perm=st.permutations([1e16, -1e16, 1.0, -1.0]))
+@settings(max_examples=8, deadline=None)
+def test_weighted_mean_cancellation_is_order_independent(spark, perm):
+    """fsum makes the zero-weight NULL gate independent of row order:
+    every permutation of exactly-canceling weights must yield NULL, not
+    an absorption-artifact mean (r10 review)."""
+    from mapreduce_system_spark.functions.udafs import weighted_mean
+
+    rows = [(1, float(i), float(w)) for i, w in enumerate(perm)]
+    df = spark.createDataFrame(rows, "g long, v double, w double")
+    wm = weighted_mean()
+    out = df.groupBy("g").agg(wm("v", "w").alias("m")).collect()
+    assert out[0]["m"] is None

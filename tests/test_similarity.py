@@ -319,3 +319,17 @@ def test_pq_shortlist_rerank_recall_vs_brute_force(spark, sf_dir):
     }
     recall_direct = len(exact & direct) / len(exact)
     assert recall_direct >= 0.2, f"PQ direct-ADC recall {recall_direct} collapsed"
+
+
+def test_cosine_null_vector_scores_null_not_zero(spark):
+    """cosine(NULL, x) must be NULL (DuckDB's list_cosine_similarity
+    convention) — the old 0.0 made a NULL embedding rankable (r10
+    review). The zero-NORM convention stays 0.0."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, None, [1.0, 0.0]), (3, [0.0, 0.0], [1.0, 0.0])],
+        "id long, a array<float>, b array<float>",
+    )
+    got = {r.id: r.c for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[1] == 1.0
+    assert got[2] is None
+    assert got[3] == 0.0
