@@ -374,6 +374,12 @@ def brute_force_topk_arrow(
 
     ensure_package_on_executors(corpus.sparkSession)
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    # NULL vectors rank out, matching cosine()'s NULL convention — an
+    # unguarded list(None) would crash the whole stage on one bad row
+    # (r10 review)
+    q_rows = [r for r in q_rows if r[1] is not None]
+    if not q_rows:
+        raise ValueError("brute_force_topk_arrow: no non-NULL query vectors")
     qids = [r[0] for r in q_rows]
     qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
@@ -387,6 +393,11 @@ def brute_force_topk_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
+            keep = pdf[vec_col].notna()
+            if not keep.all():
+                pdf = pdf[keep]  # NULL corpus embeddings rank out
+                if not len(pdf):
+                    continue
             ids = pdf[id_col].to_numpy()
             m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
             n = np.linalg.norm(m, axis=1)

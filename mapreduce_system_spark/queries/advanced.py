@@ -95,12 +95,22 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = "l_returnflag"
     px = F.col("l_extendedprice")
     li = load_table(spark, sf_dir, "lineitem", columns=[g, "l_extendedprice"])
-    cnts = li.groupBy(g).agg(F.count("*").alias("cnt"))
-    ranked = li.select(
-        g,
-        px.alias("v"),
-        F.row_number().over(W.partitionBy(g).orderBy(px)).alias("rn"),
-    ).join(F.broadcast(cnts), g)
+    # rank math runs over NON-NULL values only (quantile_cont ignores
+    # NULLs; ranking them — Spark sorts NULLs first ascending — would
+    # shift every selected rank, r10 review). The reported cnt stays
+    # count(*) to match the oracle's output column.
+    cnts = li.groupBy(g).agg(
+        F.count("*").alias("cnt_all"), F.count(px).alias("cnt")
+    )
+    ranked = (
+        li.where(px.isNotNull())
+        .select(
+            g,
+            px.alias("v"),
+            F.row_number().over(W.partitionBy(g).orderBy(px)).alias("rn"),
+        )
+        .join(F.broadcast(cnts), g)
+    )
 
     def rank_lo(p: float):  # 1-indexed lower rank of the interpolation pair
         return F.floor(F.lit(p) * (F.col("cnt") - 1)).cast("long") + 1
@@ -121,6 +131,7 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(g)
         .agg(
             F.first("cnt").alias("cnt"),
+            F.first("cnt_all").alias("cnt_all"),
             pick(rank_lo(0.5)).alias("v50lo"),
             pick(rank_hi(0.5)).alias("v50hi"),
             pick(rank_lo(0.9)).alias("v90lo"),
@@ -137,7 +148,7 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         g,
         interp(0.5, "v50lo", "v50hi").alias("p50"),
         interp(0.9, "v90lo", "v90hi").alias("p90"),
-        "cnt",
+        F.col("cnt_all").alias("cnt"),
     ).orderBy(g)
 
 
@@ -268,8 +279,14 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pcts = F.array(F.lit(0.5), F.lit(0.9))
     px = F.col("l_extendedprice")
+    # band denominator = count(value): approx_percentile and the
+    # conditional rank counts both skip NULLs, so dividing by count(*)
+    # would deflate the rank fractions by the NULL share and fail the
+    # band on correct output (r10 review). The reported cnt column stays
+    # count(*) to match the oracle.
     appx = li.groupBy("l_returnflag").agg(
         F.count("*").alias("cnt"),
+        F.count(px).alias("cnt_vals"),
         F.approx_percentile("l_extendedprice", pcts, F.lit(10000)).alias("p"),
     )
     ranks = (
@@ -277,13 +294,14 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.first("cnt").alias("cnt"),
+            F.first("cnt_vals").alias("cnt_vals"),
             F.sum((px < F.col("p")[0]).cast("long")).alias("lt50"),
             F.sum((px <= F.col("p")[0]).cast("long")).alias("le50"),
             F.sum((px < F.col("p")[1]).cast("long")).alias("lt90"),
             F.sum((px <= F.col("p")[1]).cast("long")).alias("le90"),
         )
     )
-    n = F.col("cnt").cast("double")
+    n = F.col("cnt_vals").cast("double")
     return ranks.select(
         "l_returnflag",
         "cnt",

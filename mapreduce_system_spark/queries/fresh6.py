@@ -14,9 +14,9 @@ both halves of the applyInPandasWithState surface.
   the stateful API (state is EVICTED as the watermark passes; closed
   sessions append exactly once). Oracle: batch gaps-and-islands.
 
-Registered FIRST among the domain modules so both land inside the
-driver's 50-query correctness window on their debut (see
-queries/__init__.py).
+Window position is governed by queries/__init__.py's import list (the
+module debuted first in r6; the r10 rotation places it at slots 47-49
+with the new TWS twin).
 """
 
 from __future__ import annotations
@@ -33,6 +33,26 @@ from pyspark.sql import functions as F
 from mapreduce_system_spark import caches
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
+
+
+@contextmanager
+def _pinned_conf(spark: SparkSession, key: str, value: str):
+    """Pin one session conf around a stream START and restore it exactly
+    (unset stays unset) — the shared shape behind the shuffle-partition
+    and state-store-provider pins, so the restore semantics cannot
+    drift between copies."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 @contextmanager
@@ -341,26 +361,16 @@ def q_stateful_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_system_spark.pbshim import tws_protobuf_env
     from mapreduce_system_spark.streaming import stateful as ST
 
-    key = "spark.sql.streaming.stateStore.providerClass"
     rocksdb = (
         "org.apache.spark.sql.execution.streaming."
         "state.RocksDBStateStoreProvider"
     )
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, rocksdb)
-    try:
-        with tws_protobuf_env(spark):
-            return _run_session_stream(
-                spark,
-                sf_dir,
-                "sessions_tws",
-                lambda stream: ST.user_sessions_tws(stream, gap_s=_GAP_S),
-            )
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    with _pinned_conf(
+        spark, "spark.sql.streaming.stateStore.providerClass", rocksdb
+    ), tws_protobuf_env(spark):
+        return _run_session_stream(
+            spark,
+            sf_dir,
+            "sessions_tws",
+            lambda stream: ST.user_sessions_tws(stream, gap_s=_GAP_S),
+        )

@@ -86,9 +86,12 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp+rename is the reference's atomic commit. Read side: the IN filter
     on the partition column becomes a PartitionFilters entry — only 2 of 5
     directories are listed/scanned, no row-level filtering at all."""
+    # only the columns the aggregate reads are staged — shipping an
+    # unused key column through a write+rescan contradicts the repo's
+    # own prune-at-the-scan contract (r10 review)
     orders = load_table(
         spark, sf_dir, "orders",
-        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+        columns=["o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
     path = partitioned_sink_path(sf_dir, spark)
     write_parquet(orders, path, partition_by=["o_orderpriority"])
@@ -240,7 +243,7 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the aggregate straight from the source table — exactly the
     round-trip-corruption check the csv/json query uses."""
     cust = load_table(
-        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+        spark, sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]
     )
     path = _staging_path("orc", sf_dir, spark)
     cust.write.mode("overwrite").orc(path)

@@ -21,7 +21,7 @@ from mapreduce_system_spark.sources.tables import load_table
 _JSON_SQL = """
 WITH x AS (
   SELECT event_type,
-         CASE WHEN json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+         CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('BIGINT', 'UBIGINT')
               THEN TRY_CAST(json_extract(props, '$.k') AS INT) END AS k
   FROM events
 )

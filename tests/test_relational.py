@@ -146,3 +146,28 @@ def test_weighted_mean_udaf_zero_weight_group_is_null(spark):
     }
     assert got["a"] is None
     assert abs(got["b"] - 5.0) < 1e-12
+
+
+def test_quantile_queries_ignore_null_values(spark, tmp_path):
+    """quantile_cont ignores NULLs; the rank-based exact path and the
+    approx band check must too (Spark ranks NULLs FIRST ascending, so an
+    unguarded ranking selects shifted positions — r10 review). Synthetic
+    lineitem: group A = values 1..9 plus two NULL rows; p50 must be 5,
+    p90 must be 8.2, cnt stays count(*) = 11."""
+    from mapreduce_system_spark.queries.advanced import (
+        q_approx_quantiles,
+        q_quantiles,
+    )
+
+    rows = [("A", float(v)) for v in range(1, 10)] + [("A", None), ("A", None)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = q_quantiles(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.l_returnflag, r.p50, r.p90, r.cnt) == ("A", 5.0, 8.2, 11)
+    ap = q_approx_quantiles(spark, str(tmp_path)).collect()[0]
+    # with ~18% NULLs a count(*) denominator would deflate the rank
+    # fractions below the band; the value-count denominator keeps TRUE
+    assert (ap.l_returnflag, ap.cnt, ap.p50_ok, ap.p90_ok) == ("A", 11, True, True)
