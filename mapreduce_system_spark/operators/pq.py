@@ -314,8 +314,10 @@ def pq_topk_rerank(
 
     from mapreduce_system_spark.functions.vectors import cosine
 
+    from mapreduce_system_spark.operators.similarity import SCORE_DIGITS
+
     sl = pq_topk_adc(
-        codes, queries, codebooks, k=shortlist, score_round=6
+        codes, queries, codebooks, k=shortlist, score_round=SCORE_DIGITS
     ).select("query_id", "vec_id")
     rescored = (
         corpus.join(F.broadcast(sl), "vec_id")
@@ -326,7 +328,11 @@ def pq_topk_rerank(
             cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    # exact re-rank also orders on the rounded score (SCORE_DIGITS): the
+    # oracle recomputes these cosines with a different summation order
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cos", SCORE_DIGITS).desc(), "vec_id"
+    )
     return (
         rescored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)

@@ -34,6 +34,32 @@ from pyspark.sql import Window as W
 
 from mapreduce_system_spark.functions.vectors import cosine, dot_double, with_unit_vector
 
+# Rank keys and threshold membership compare the cosine ROUNDED to this many
+# decimals (the same 6-decimal convention every registered query displays).
+# The raw score's last ulps depend on summation order — Spark's sequential
+# fold, numpy's pairwise BLAS sum, and DuckDB's list_cosine_similarity all
+# disagree there — so an unrounded comparison lets the engine decide boundary
+# membership and adjacent-rank order. Rounding collapses that drift into
+# exact ties, which the id tie-break then orders identically everywhere
+# (the discipline operators/pq.py's ADC shortlist established).
+SCORE_DIGITS = 6
+
+
+def _rank_key(col: str = "cos"):
+    return F.round(F.col(col), SCORE_DIGITS)
+
+
+def centroids_df(spark, centroids: list[list[float]], partition_col: str = "cluster") -> DataFrame:
+    """Lift a fit result (list of centroid vectors, index = partition id)
+    to a (partition_col int, centroid array<double>) DataFrame — the one
+    canonical lift shared by ``ivf_topk`` and the registered queries'
+    centroid exports, so coercion/schema tweaks can't diverge between the
+    in-plan centroids and the oracle's exported copy."""
+    return spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        f"{partition_col} int, centroid array<double>",
+    )
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -61,7 +87,7 @@ def brute_force_topk(
             dot_double(F.col("__qu"), F.col("__cu")).alias("cos"),
         )
     )
-    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    w = W.partitionBy(query_id_col).orderBy(_rank_key().desc(), F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
@@ -153,10 +179,7 @@ def ivf_topk(
     spark = corpus.sparkSession
     if probes is None:
         if centroids_list is not None:
-            centroids = spark.createDataFrame(
-                [(j, [float(x) for x in c]) for j, c in enumerate(centroids_list)],
-                f"{partition_col} int, centroid array<double>",
-            )
+            centroids = centroids_df(spark, centroids_list, partition_col)
         else:
             centroids = label_centroids(corpus, partition_col, vec_col)
         probes = ivf_probes(
@@ -171,7 +194,7 @@ def ivf_topk(
         .where(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
     )
-    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    w = W.partitionBy(query_id_col).orderBy(_rank_key().desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 
 
@@ -345,7 +368,7 @@ def lsh_bucket_topk(
         .join(F.broadcast(qu.select(query_id_col, "__qu")), query_id_col)
         .select(query_id_col, id_col, dot_double(F.col("__qu"), F.col("__cu")).alias("cos"))
     )
-    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    w = W.partitionBy(query_id_col).orderBy(_rank_key().desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 
 
@@ -410,7 +433,10 @@ def brute_force_topk_arrow(
             for j, qid in enumerate(qids):
                 col = s[:, j]
                 mask = ids != qid
-                order = np.lexsort((ids[mask], -col[mask]))[:k]
+                # per-batch prune orders on (rounded score, id) like the
+                # final window — a raw-score prune could drop a candidate
+                # that ties on the rounded key but wins the id tie-break
+                order = np.lexsort((ids[mask], -np.round(col[mask], SCORE_DIGITS)))[:k]
                 sel_ids = ids[mask][order]
                 sel_cos = col[mask][order]
                 out[query_id_col].extend([qid] * len(sel_ids))
@@ -425,7 +451,7 @@ def brute_force_topk_arrow(
     cand = corpus.select(id_col, vec_col).mapInPandas(
         score, schema=f"{query_id_col} {qid_t}, {id_col} {cid_t}, cos double"
     )
-    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    w = W.partitionBy(query_id_col).orderBy(_rank_key().desc(), F.col(id_col))
     return cand.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 
 
@@ -453,7 +479,7 @@ def cosine_dup_pairs(
         a.join(b, "blk")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dot_double(F.col("ua"), F.col("ub")).alias("cos"))
-        .where(F.col("cos") >= threshold)
+        .where(_rank_key() >= threshold)
     )
 
 
@@ -488,7 +514,10 @@ def cosine_dup_pairs_arrow(
         n[n == 0] = 1.0
         u = m / n[:, None]
         s = u @ u.T
-        ia, ib = np.where(np.triu(s >= threshold, k=1))
+        # membership on the rounded score, in lockstep with the JVM twin's
+        # _rank_key threshold (SCORE_DIGITS) — raw BLAS vs fold ulps must
+        # not decide boundary pairs
+        ia, ib = np.where(np.triu(np.round(s, SCORE_DIGITS) >= threshold, k=1))
         lo = np.minimum(ids[ia], ids[ib])
         hi = np.maximum(ids[ia], ids[ib])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": s[ia, ib]})

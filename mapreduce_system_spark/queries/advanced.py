@@ -219,7 +219,7 @@ WITH q AS (
   WHERE vec_id <> query_id
 ), r AS (
   SELECT query_id, vec_id, c,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(c, 6) DESC, vec_id) AS BIGINT) AS rn
   FROM s
 )
 SELECT query_id, vec_id, round(c, 6) AS cos, rn

@@ -271,8 +271,8 @@ WITH {_JACCARD_CAPPED_CTES}
 SELECT p.id_a, p.id_b, round(p.j, 6) AS jaccard,
        round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS emb_cosine
 FROM pairs p
-JOIN embeddings ea ON ea.vec_id = p.id_a
-JOIN embeddings eb ON eb.vec_id = p.id_b
+LEFT JOIN embeddings ea ON ea.vec_id = p.id_a
+LEFT JOIN embeddings eb ON eb.vec_id = p.id_b
 WHERE p.j >= 0.5
 ORDER BY p.id_a, p.id_b
 """
@@ -281,8 +281,14 @@ ORDER BY p.id_a, p.id_b
 @register("dedup_crossmodal_agreement", _CROSSMODAL_SQL)
 def q_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text near-dup pairs (capped 3-gram Jaccard ≥ 0.5) annotated with
-    their embedding cosine — the cross-modal dedup-validation join
-    (embeddings align 1:1 with documents: vec_id = doc_id).
+    their embedding cosine — the cross-modal dedup-validation join.
+    Embedding lookups are LEFT joins: a text near-dup pair whose doc has
+    no embedding row is the strongest drift signal this QA query exists
+    to surface (stale/misaligned embedding pipeline), so it must appear
+    — with NULL ``emb_cosine`` — rather than silently vanish. (The
+    fixtures align vec_id = doc_id at sf0.01 but not at every scale:
+    sf0.1 has 5000 docs and 2000 embeddings, where an inner join used to
+    drop 7 of the 8 exact-duplicate pairs.)
 
     Plan shape: the near-dup pair set is tiny relative to the corpus
     (that's what makes dedup useful), so both embedding lookups are
@@ -290,17 +296,29 @@ def q_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     side against the embeddings scan. Cosine is the deterministic
     sequential double fold from ``functions.vectors`` — agrees with
     DuckDB's ``list_cosine_similarity`` past the 6-decimal rounding
-    (established by sim_dup_pairs_cosine)."""
+    (established by sim_dup_pairs_cosine), and is NULL when either side
+    is missing on both engines."""
     from mapreduce_system_spark.functions.vectors import cosine
 
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    # An outer join can never broadcast its preserved side (the build side
+    # must be the nullable side — here the corpus-sized embeddings table),
+    # so a naive pairs-LEFT-JOIN-embeddings would shuffle the whole corpus.
+    # Instead: broadcast-SEMI-filter embeddings down to the pair ids (one
+    # corpus scan per side, zero shuffle), then left-outer the pairs
+    # against that pair-sized remnant — which IS broadcastable as the
+    # nullable build side.
+    pair_ids = pairs.select(F.col("id_a").alias("vec_id")).union(
+        pairs.select(F.col("id_b").alias("vec_id"))
+    )
+    emb_hit = emb.join(F.broadcast(pair_ids), "vec_id", "left_semi")
+    ea = emb_hit.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    eb = emb_hit.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
     return (
-        pairs.join(ea, "id_a")
-        .join(eb, "id_b")
+        pairs.join(F.broadcast(ea), "id_a", "left")
+        .join(F.broadcast(eb), "id_b", "left")
         .select(
             "id_a",
             "id_b",
@@ -320,7 +338,7 @@ WITH {_JACCARD_CAPPED_CTES}, emb_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
 ), text_pairs AS (
   SELECT id_a, id_b FROM pairs WHERE j >= 0.5
 )

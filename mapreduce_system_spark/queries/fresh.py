@@ -118,7 +118,7 @@ WITH q AS (
            list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+             ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
                       e.vec_id) AS rn
     FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
   ) WHERE rn <= {_TOPK}
@@ -132,7 +132,7 @@ WITH q AS (
            list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c,
            row_number() OVER (
              PARTITION BY pr.query_id
-             ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+             ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
                       e.vec_id) AS rn
     FROM pr JOIN q USING (query_id) JOIN embeddings e ON e.label = pr.label
     WHERE e.vec_id <> pr.query_id

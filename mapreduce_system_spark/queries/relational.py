@@ -278,14 +278,19 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-dimensional aggregation: cube / rollup / grouping sets / distinct
 # ---------------------------------------------------------------------------
 
+# Subtotal sentinels come from GROUPING(), not coalesce: a real NULL data
+# group must stay NULL (distinct from the 'ALL' subtotal row), or subtotal
+# and data rows collide on identical display keys and the ordering loses
+# its unique tie-break. NULLS LAST pins the two engines' (and any NULL
+# group's) sort agreement explicitly.
 _CUBE_SQL = """
-SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-       coalesce(l_linestatus, 'ALL') AS lstatus,
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
        round(sum(l_quantity), 2) AS sum_qty,
        count(*) AS cnt
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY rflag, lstatus
+ORDER BY rflag NULLS LAST, lstatus NULLS LAST
 """
 
 
@@ -297,25 +302,32 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("cnt"),
+            # grouping() is only legal inside the agg — carried out, then
+            # folded into the sentinel (see _CUBE_SQL note)
+            F.grouping("l_returnflag").alias("__gr"),
+            F.grouping("l_linestatus").alias("__gl"),
+        )
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            F.when(F.col("__gr") == 1, F.lit("ALL")).otherwise(F.col("l_returnflag")).alias("rflag"),
+            F.when(F.col("__gl") == 1, F.lit("ALL")).otherwise(F.col("l_linestatus")).alias("lstatus"),
             "sum_qty",
             "cnt",
         )
-        .orderBy("rflag", "lstatus")
+        .orderBy(F.col("rflag").asc_nulls_last(), F.col("lstatus").asc_nulls_last())
     )
 
 
 _ROLLUP_SQL = """
-SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-       coalesce(o_orderstatus, 'ALL') AS status,
+SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
        count(*) AS cnt,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-ORDER BY priority, status
+ORDER BY priority NULLS LAST, status NULLS LAST
 """
 
 
@@ -325,24 +337,29 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderpriority").alias("__gp"),
+            F.grouping("o_orderstatus").alias("__gs"),
+        )
         .select(
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.when(F.col("__gp") == 1, F.lit("ALL")).otherwise(F.col("o_orderpriority")).alias("priority"),
+            F.when(F.col("__gs") == 1, F.lit("ALL")).otherwise(F.col("o_orderstatus")).alias("status"),
             "cnt",
             "total",
         )
-        .orderBy("priority", "status")
+        .orderBy(F.col("priority").asc_nulls_last(), F.col("status").asc_nulls_last())
     )
 
 
 _GSETS_SQL = """
-SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-       coalesce(l_linestatus, 'ALL') AS lstatus,
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
        round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-ORDER BY rflag, lstatus
+ORDER BY rflag NULLS LAST, lstatus NULLS LAST
 """
 
 
@@ -353,12 +370,16 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
     return (
         li.groupingSets([["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping("l_returnflag").alias("__gr"),
+            F.grouping("l_linestatus").alias("__gl"),
+        )
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            F.when(F.col("__gr") == 1, F.lit("ALL")).otherwise(F.col("l_returnflag")).alias("rflag"),
+            F.when(F.col("__gl") == 1, F.lit("ALL")).otherwise(F.col("l_linestatus")).alias("lstatus"),
             "sum_price",
         )
-        .orderBy("rflag", "lstatus")
+        .orderBy(F.col("rflag").asc_nulls_last(), F.col("lstatus").asc_nulls_last())
     )
 

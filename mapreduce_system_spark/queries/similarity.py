@@ -49,7 +49,7 @@ WITH q AS (
   WHERE vec_id <> query_id
 ), r AS (
   SELECT query_id, vec_id, c,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(c, 6) DESC, vec_id) AS BIGINT) AS rn
   FROM s
 )
 SELECT query_id, vec_id, round(c, 6) AS cos, rn
@@ -90,7 +90,7 @@ WITH pr AS (
   WHERE e.vec_id <> pr.query_id
 ), r AS (
   SELECT query_id, vec_id, c,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(c, 6) DESC, vec_id) AS BIGINT) AS rn
   FROM s
 )
 SELECT query_id, vec_id, round(c, 6) AS cos, rn
@@ -151,7 +151,7 @@ WITH cs AS (
   FROM cand c JOIN q USING (query_id) JOIN embeddings e ON e.vec_id = c.vec_id
 ), r AS (
   SELECT query_id, vec_id, cval,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cval DESC, vec_id) AS BIGINT) AS rn
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cval, 6) DESC, vec_id) AS BIGINT) AS rn
   FROM s
 )
 SELECT query_id, vec_id, round(cval, 6) AS cos, rn
@@ -233,9 +233,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's independent argmin over the exported centroids: every vector
     must land on its nearest centroid with the same tie-break."""
     centroids = _fit_kmeans(spark, sf_dir)
-    cent_df = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(centroids)], "cluster int, centroid array<double>"
-    )
+    cent_df = SIM.centroids_df(spark, centroids, partition_col="cluster")
     cent_df.write.mode("overwrite").parquet(_kmeans_path(Path(sf_dir).name, "centroids"))
     from mapreduce_system_spark.operators import clustering as CL
 
@@ -264,7 +262,7 @@ WITH asg AS (
   WHERE a.vec_id <> pr.query_id
 ), r AS (
   SELECT query_id, vec_id, c,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(c, 6) DESC, vec_id) AS BIGINT) AS rn
   FROM s
 )
 SELECT query_id, vec_id, round(c, 6) AS cos, rn
@@ -290,9 +288,7 @@ def q_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign = CL.kmeans_assign(emb, centroids, out_col="cluster").select("vec_id", "cluster")
     assign.write.mode("overwrite").parquet(_kmeans_path(sf_name, "assign"))
-    cent_df = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(centroids)], "cluster int, centroid array<double>"
-    )
+    cent_df = SIM.centroids_df(spark, centroids, partition_col="cluster")
     probes = SIM.ivf_probes(q, cent_df, nprobe=3, partition_col="cluster")
     probes.write.mode("overwrite").parquet(_kmeans_path(sf_name, "probes"))
 
@@ -309,7 +305,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
 ORDER BY id_a, id_b
 """
 
@@ -431,7 +427,7 @@ WITH cb AS (
   WHERE sl.srn <= {_PQ_SHORTLIST}
 ), r AS (
   SELECT query_id, vec_id, c,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rn
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(c, 6) DESC, vec_id) AS BIGINT) AS rn
   FROM re
 )
 SELECT query_id, vec_id, round(c, 6) AS cos, rn

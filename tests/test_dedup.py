@@ -232,3 +232,27 @@ def test_minhash_lsh_rejects_indivisible_band_width(spark):
     df = docs_df(spark, ["a b c d e f"])
     with pytest.raises(ValueError, match="divisible"):
         DD.minhash_lsh_pairs(df, num_hashes=128, rows_per_band=3)
+
+
+def test_crossmodal_agreement_surfaces_missing_embeddings(spark, tmp_path):
+    """A text near-dup pair whose doc has no embedding row is the drift
+    signal dedup_crossmodal_agreement exists to surface — it must appear
+    with NULL emb_cosine, not vanish through an inner join (r10 review:
+    at sf0.1 the inner form dropped 7 of the 8 exact-dup pairs)."""
+    from mapreduce_system_spark.queries.dedup import q_crossmodal_agreement
+
+    ta = "alpha beta gamma delta epsilon zeta"
+    tb = "one two three four five six seven"
+    spark.createDataFrame(
+        [(0, ta), (1, ta), (2, tb), (3, tb)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # ids 2,3 embedded (identical vectors); id 1 has NO embedding row
+    spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    rows = {(r.id_a, r.id_b): r for r in q_crossmodal_agreement(spark, str(tmp_path)).collect()}
+    assert set(rows) == {(0, 1), (2, 3)}  # every text pair preserved
+    assert rows[(0, 1)].emb_cosine is None  # missing side → NULL, not dropped
+    assert rows[(2, 3)].emb_cosine == 1.0

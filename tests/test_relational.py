@@ -171,3 +171,41 @@ def test_quantile_queries_ignore_null_values(spark, tmp_path):
     # with ~18% NULLs a count(*) denominator would deflate the rank
     # fractions below the band; the value-count denominator keeps TRUE
     assert (ap.l_returnflag, ap.cnt, ap.p50_ok, ap.p90_ok) == ("A", 11, True, True)
+
+
+def test_cube_rollup_gsets_distinguish_null_group_from_subtotal(spark, tmp_path):
+    """Subtotal sentinels come from GROUPING(), not coalesce: a real NULL
+    data group must stay NULL — distinct from the 'ALL' subtotal — or the
+    two collapse onto identical display keys with different counts (r10
+    review). NULL groups sort last, matching the oracle's NULLS LAST."""
+    from mapreduce_system_spark.queries.relational import (
+        q_cube,
+        q_grouping_sets,
+        q_rollup,
+    )
+
+    spark.createDataFrame(
+        [("A", "O", 1.0, 10.0), (None, "O", 2.0, 20.0)],
+        "l_returnflag string, l_linestatus string, l_quantity double, l_extendedprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [("1-URGENT", None, 5.0), (None, "F", 7.0)],
+        "o_orderpriority string, o_orderstatus string, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    cube = {(r.rflag, r.lstatus): r.sum_qty for r in q_cube(spark, str(tmp_path)).collect()}
+    assert cube[(None, "O")] == 2.0        # NULL data group stays NULL
+    assert cube[("ALL", "O")] == 3.0       # subtotal row is the sentinel
+    assert cube[("A", "O")] == 1.0
+    assert cube[("ALL", "ALL")] == 3.0
+
+    roll = {(r.priority, r.status): r.total for r in q_rollup(spark, str(tmp_path)).collect()}
+    assert roll[("1-URGENT", None)] == 5.0  # NULL data value, not a subtotal
+    assert roll[("1-URGENT", "ALL")] == 5.0  # the subtotal for the same prefix
+    assert roll[(None, "F")] == 7.0
+    assert roll[("ALL", "ALL")] == 12.0
+
+    gs = {(r.rflag, r.lstatus): r.sum_price for r in q_grouping_sets(spark, str(tmp_path)).collect()}
+    assert gs[(None, "ALL")] == 20.0       # NULL returnflag group
+    assert gs[("A", "ALL")] == 10.0
+    assert gs[("ALL", "O")] == 30.0

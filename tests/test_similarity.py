@@ -333,3 +333,49 @@ def test_cosine_null_vector_scores_null_not_zero(spark):
     assert got[1] == 1.0
     assert got[2] is None
     assert got[3] == 0.0
+
+
+def test_cosine_dup_pairs_threshold_on_rounded_score(spark):
+    """Pair membership thresholds compare round(cos, 6): a raw score of
+    0.3999999 rounds across the 0.4 boundary and must be KEPT by both the
+    JVM fold and the Arrow twin, while 0.39999 stays out — engine-side
+    last-ulp summation drift can no longer decide boundary pairs."""
+    import math
+
+    near = 0.3999999   # rounds to 0.4 → in
+    below = 0.39999    # rounds to 0.39999 → out
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [near, math.sqrt(1 - near * near)], "x"),
+        (2, [-1.0, 0.0], "y"),
+        (3, [below, -math.sqrt(1 - below * below)], "y"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    for fn in (SIM.cosine_dup_pairs, SIM.cosine_dup_pairs_arrow):
+        got = {(r.id_a, r.id_b) for r in fn(emb, threshold=0.4).collect()}
+        assert got == {(0, 1)}, fn.__name__
+
+
+def test_topk_ranks_on_rounded_score_with_id_tiebreak(spark):
+    """Rank keys are round(cos, 6): two candidates whose raw cosines
+    differ only past the 6th decimal are an exact tie, ordered by vec_id
+    — so rank order can't depend on which engine's summation produced
+    the last ulp."""
+    import math
+
+    hi, lo = 0.5000004, 0.5000001  # both round to 0.5
+    corpus = spark.createDataFrame(
+        [
+            (3, [lo, math.sqrt(1 - lo * lo)]),   # lower raw cos, lower id
+            (5, [hi, math.sqrt(1 - hi * hi)]),   # higher raw cos, higher id
+            (9, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    got = [r.vec_id for r in SIM.brute_force_topk(corpus, q, k=2).orderBy("rn").collect()]
+    assert got == [3, 5]  # id tie-break wins over the sub-1e-6 raw edge
+    got_arrow = [
+        r.vec_id for r in SIM.brute_force_topk_arrow(corpus, q, k=2).orderBy("rn").collect()
+    ]
+    assert got_arrow == [3, 5]
