@@ -429,6 +429,14 @@ def _jpeg_decode(blob: bytes, pixels: bool, rgb: bool = False):
             pos += 2 + ln
         if width is None or not comps or not scan_comps:
             return None
+        # Components are matched by ID, not scan position: T.81 fixes no
+        # id assignment and no declaration order — only JFIF's convention
+        # (1=Y, 2=Cb, 3=Cr) makes the color mapping knowable. A 3-channel
+        # stream with any other ids would decode to silently swapped hues
+        # under a positional assumption → reject per blob (scramble rule).
+        idx_of = {c[0]: i for i, c in enumerate(comps)}
+        if len(comps) == 3 and sorted(idx_of) != [1, 2, 3]:
+            return None
 
         data = blob[pos:]
         hmax = max(c[1] for c in comps)
@@ -486,7 +494,7 @@ def _jpeg_decode(blob: bytes, pixels: bool, rgb: bool = False):
             return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
         pred = [0] * len(comps)
-        luma_idx = scan_comps[0][0]
+        luma_idx = idx_of[1] if len(comps) == 3 else scan_comps[0][0]
         luma_dc_sum = 0
         luma_blocks = 0
         # per-component coefficient blocks: luma only for the gray seam,
@@ -589,8 +597,8 @@ def _jpeg_decode(blob: bytes, pixels: bool, rgb: bool = False):
             return (width, height, np.stack([g, g, g], axis=2), "jpeg-rgb")
         if len(scan_comps) != 3:
             return None  # CMYK/Adobe 4-component: out of scope
-        cb = reconstruct(scan_comps[1][0])
-        cr = reconstruct(scan_comps[2][0])
+        cb = reconstruct(idx_of[2])
+        cr = reconstruct(idx_of[3])
         if cb is None or cr is None:
             return None
         # inverse ITU-R BT.601 full-range (the JFIF YCbCr definition):
@@ -984,6 +992,48 @@ def _huff_encode_table(spec):
     return table
 
 
+_JPEG_ENC_TABLES = None  # (raster->zigzag map, DC tables, AC tables), lazy
+
+
+def _jpeg_encode_tables():
+    """Pure functions of the module constants, built once (the encoder
+    runs per document on the fixture path — rebuilding ~340 Huffman
+    symbols per call is waste; same lazy-singleton shape as
+    ``_jpeg_idct_matrix``)."""
+    global _JPEG_ENC_TABLES
+    if _JPEG_ENC_TABLES is None:
+        zz = [0] * 64
+        for idx, z in enumerate(_JPEG_ZIGZAG):
+            zz[z] = idx  # raster -> zigzag position
+        _JPEG_ENC_TABLES = (
+            tuple(zz),
+            (
+                _huff_encode_table(_JPEG_STD_HUFF[(0, 0)]),
+                _huff_encode_table(_JPEG_STD_HUFF[(0, 1)]),
+            ),
+            (
+                _huff_encode_table(_JPEG_STD_HUFF[(1, 0)]),
+                _huff_encode_table(_JPEG_STD_HUFF[(1, 1)]),
+            ),
+        )
+    return _JPEG_ENC_TABLES
+
+
+def _pad_edge(arr, ph: int, pw: int):
+    """Edge/corner-replicate pad a (h, w, ...) array to (ph, pw, ...) —
+    the one padding rule the whole encode path uses (plane→8-multiple,
+    chroma box-down, MCU block grid)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    padded = np.empty((ph, pw) + arr.shape[2:], dtype=arr.dtype)
+    padded[:h, :w] = arr
+    padded[h:, :w] = arr[h - 1 : h, :]
+    padded[:h, w:] = arr[:, w - 1 : w]
+    padded[h:, w:] = arr[h - 1, w - 1]
+    return padded
+
+
 def jpeg_quantized_blocks(plane, qtab):
     """Forward path per component, exposed for the pixel-exactness test:
     pad the plane to 8-multiples (edge replication), level-shift, 2-D
@@ -994,11 +1044,7 @@ def jpeg_quantized_blocks(plane, qtab):
 
     h, w = plane.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = plane
-    padded[h:, :w] = plane[h - 1 : h, :]
-    padded[:h, w:] = plane[:, w - 1 : w]
-    padded[h:, w:] = plane[h - 1, w - 1]
+    padded = _pad_edge(np.asarray(plane, dtype=np.float64), ph, pw)
     m = _jpeg_idct_matrix()
     # the table argument is in NATURAL (raster) order — the Annex K
     # presentation; the encoder zigzag-reorders it for the DQT wire
@@ -1013,7 +1059,11 @@ def jpeg_quantized_blocks(plane, qtab):
     return by, bx, out
 
 
-def encode_image_jpeg_baseline(rgb, subsampling: tuple[int, int] = (2, 2)) -> bytes:
+def encode_image_jpeg_baseline(
+    rgb,
+    subsampling: tuple[int, int] = (2, 2),
+    _comp_order: tuple[int, int, int] = (1, 2, 3),
+) -> bytes:
     """Encode an HxWx3 uint8 RGB array as a baseline JFIF JPEG.
 
     Fixed, standard choices: Annex K quantization + Huffman tables, one
@@ -1023,11 +1073,26 @@ def encode_image_jpeg_baseline(rgb, subsampling: tuple[int, int] = (2, 2)) -> by
     for the decoder's pixel-exactness tests (the coefficient stream is
     reproducible arithmetic, so the expected decode is independently
     computable with numpy), and the encode half of the image sink seam.
+
+    ``_comp_order``: a permutation of (1, 2, 3) giving the component
+    DECLARATION order in SOF/SOS (and hence the scan interleave). T.81
+    allows any order; JFIF files use (1, 2, 3). Exists so the decoder's
+    match-components-by-ID behavior is testable against a spec-legal
+    permuted stream.
     """
     import numpy as np
 
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        # the SOF dimension fields are 16-bit — fail before any DCT work
+        # instead of an opaque OverflowError at segment-write time
+        raise ValueError(
+            f"encode_image_jpeg_baseline: dimensions {w}x{h} outside "
+            "JPEG's 1..65535 limit"
+        )
+    if sorted(_comp_order) != [1, 2, 3]:
+        raise ValueError("_comp_order must be a permutation of (1, 2, 3)")
     hs, vs = subsampling
     # forward BT.601 full-range (JFIF)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -1038,28 +1103,27 @@ def encode_image_jpeg_baseline(rgb, subsampling: tuple[int, int] = (2, 2)) -> by
     def box_down(p):
         if hs == 1 and vs == 1:
             return p
-        ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
-        padded = np.empty((ph, pw), dtype=np.float64)
-        padded[:h, :w] = p
-        padded[h:, :w] = p[h - 1 : h, :]
-        padded[:h, w:] = p[:, w - 1 : w]
-        padded[h:, w:] = p[h - 1, w - 1]
+        padded = _pad_edge(p, -(-h // vs) * vs, -(-w // hs) * hs)
+        ph, pw = padded.shape
         return padded.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
 
-    planes = [(y, _JPEG_STD_QT_LUMA, hs, vs), (box_down(cb), _JPEG_STD_QT_CHROMA, 1, 1), (box_down(cr), _JPEG_STD_QT_CHROMA, 1, 1)]
+    # component id -> (plane, quant table, quant-table id / Huffman class,
+    # sampling factors); JFIF semantics are fixed per ID, declaration
+    # order comes from _comp_order
+    comp_specs = {
+        1: (y, _JPEG_STD_QT_LUMA, 0, hs, vs),
+        2: (box_down(cb), _JPEG_STD_QT_CHROMA, 1, 1, 1),
+        3: (box_down(cr), _JPEG_STD_QT_CHROMA, 1, 1, 1),
+    }
     mcus_x, mcus_y = -(-w // (8 * hs)), -(-h // (8 * vs))
     comp_blocks = []
-    for plane, qtab, ch, cv in planes:
+    for cid in _comp_order:
+        plane, qtab, _tix, ch, cv = comp_specs[cid]
         by, bx, blocks = jpeg_quantized_blocks(plane, qtab)
         # pad the block grid to the MCU grid (edge-block replication)
         gy, gx = mcus_y * cv, mcus_x * ch
         if by < gy or bx < gx:
-            grid = np.empty((gy, gx, 8, 8), dtype=np.int64)
-            grid[:by, :bx] = blocks
-            grid[by:, :bx] = blocks[by - 1 : by, :]
-            grid[:by, bx:] = blocks[:, bx - 1 : bx]
-            grid[by:, bx:] = blocks[by - 1, bx - 1]
-            blocks = grid
+            blocks = _pad_edge(blocks, gy, gx)
         comp_blocks.append(blocks)
 
     bits: list[int] = []
@@ -1075,17 +1139,14 @@ def encode_image_jpeg_baseline(rgb, subsampling: tuple[int, int] = (2, 2)) -> by
         t = int(v).bit_length() if v > 0 else int(-v).bit_length()
         return t, v if v > 0 else v + (1 << t) - 1
 
-    zz = [0] * 64
-    for idx, z in enumerate(_JPEG_ZIGZAG):
-        zz[z] = idx  # raster -> zigzag position
-    dc_tables = [_huff_encode_table(_JPEG_STD_HUFF[(0, 0)]), _huff_encode_table(_JPEG_STD_HUFF[(0, 1)])]
-    ac_tables = [_huff_encode_table(_JPEG_STD_HUFF[(1, 0)]), _huff_encode_table(_JPEG_STD_HUFF[(1, 1)])]
+    zz, dc_tables, ac_tables = _jpeg_encode_tables()
     pred = [0, 0, 0]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci, blocks in enumerate(comp_blocks):
-                ch, cv = (hs, vs) if ci == 0 else (1, 1)
-                dct, act = dc_tables[min(ci, 1)], ac_tables[min(ci, 1)]
+                cid = _comp_order[ci]
+                _pl, _qt, tix, ch, cv = comp_specs[cid]
+                dct, act = dc_tables[tix], ac_tables[tix]
                 for bv in range(cv):
                     for bh in range(ch):
                         blk = blocks[my * cv + bv, mx * ch + bh]
@@ -1140,13 +1201,18 @@ def encode_image_jpeg_baseline(rgb, subsampling: tuple[int, int] = (2, 2)) -> by
     seg(0xDB, bytes([0x00]) + bytes(_JPEG_STD_QT_LUMA[z] for z in _JPEG_ZIGZAG))
     seg(0xDB, bytes([0x01]) + bytes(_JPEG_STD_QT_CHROMA[z] for z in _JPEG_ZIGZAG))
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
-    sof += bytes([1, (hs << 4) | vs, 0])
-    sof += bytes([2, 0x11, 1])
-    sof += bytes([3, 0x11, 1])
+    for cid in _comp_order:
+        _pl, _qt, tix, ch, cv = comp_specs[cid]
+        sof += bytes([cid, (ch << 4) | cv, tix])
     seg(0xC0, bytes(sof))
     for (tc, th), (counts, syms) in _JPEG_STD_HUFF.items():
         seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
-    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    sos = bytearray([3])
+    for cid in _comp_order:
+        tix = comp_specs[cid][2]
+        sos += bytes([cid, (tix << 4) | tix])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
     out.extend(entropy)
     out.extend(b"\xff\xd9")
     return bytes(out)

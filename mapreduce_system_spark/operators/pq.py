@@ -256,17 +256,10 @@ def pq_topk_adc(
     """
     from pyspark.sql import Window as W
 
+    from mapreduce_system_spark.functions.vectors import norm
+
     lut = pq_lut(queries, codebooks)
-    qnorm = queries.select(
-        "query_id",
-        F.sqrt(
-            F.aggregate(
-                F.col("query_vec"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        ).alias("qnorm"),
-    )
+    qnorm = queries.select("query_id", norm(F.col("query_vec")).alias("qnorm"))
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("subspace", "code")
     )

@@ -899,3 +899,73 @@ def test_jpeg_rgb_rejects_same_streams_as_gray():
     progressive = b"\xff\xd8" + b"\xff\xc2" + (10).to_bytes(2, "big") + bytes(8)
     assert decode_image_jpeg_rgb(progressive) is None
     assert decode_image_jpeg_rgb(b"not a jpeg") is None
+
+
+def test_jpeg_decoder_matches_components_by_id_not_scan_position():
+    """T.81 fixes no component declaration order — only JFIF's id
+    assignment (1=Y, 2=Cb, 3=Cr) defines the color mapping. A stream
+    declaring Y,Cr,Cb (or chroma-first) must decode to the identical
+    image, not swapped hues (r10 review: positional scan_comps[1]/[2]
+    silently exchanged Cb/Cr)."""
+    import numpy as np
+
+    from mapreduce_system_spark.operators.multimodal import (
+        decode_image_jpeg_rgb,
+        encode_image_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    for sub in ((1, 1), (2, 2)):
+        base = decode_image_jpeg_rgb(encode_image_jpeg_baseline(img, subsampling=sub))
+        assert base is not None
+        for order in ((1, 3, 2), (3, 2, 1), (2, 1, 3)):
+            blob = encode_image_jpeg_baseline(img, subsampling=sub, _comp_order=order)
+            got = decode_image_jpeg_rgb(blob)
+            assert got is not None, (sub, order)
+            assert got[0:2] == base[0:2]
+            assert np.array_equal(got[2], base[2]), (sub, order)
+
+
+def test_jpeg_decoder_rejects_non_jfif_component_ids():
+    """3-component streams whose ids aren't {1,2,3} have an unknowable
+    Y/Cb/Cr mapping — per-blob None, never a silently mis-colored
+    decode."""
+    import numpy as np
+
+    from mapreduce_system_spark.operators.multimodal import (
+        decode_image_jpeg_dc,
+        decode_image_jpeg_rgb,
+        encode_image_jpeg_baseline,
+    )
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    blob = bytearray(encode_image_jpeg_baseline(img, subsampling=(1, 1)))
+    # relabel component ids 1,2,3 -> 4,5,6 in SOF and SOS
+    sof = blob.find(b"\xff\xc0")
+    for k in range(3):
+        assert blob[sof + 10 + 3 * k] == k + 1
+        blob[sof + 10 + 3 * k] = k + 4
+    sos = blob.find(b"\xff\xda")
+    for k in range(3):
+        assert blob[sos + 5 + 2 * k] == k + 1
+        blob[sos + 5 + 2 * k] = k + 4
+    assert decode_image_jpeg_rgb(bytes(blob)) is None
+    assert decode_image_jpeg_dc(bytes(blob)) is None
+
+
+def test_jpeg_encoder_rejects_out_of_range_dimensions():
+    """The SOF height/width fields are 16-bit: reject 0 or >65535 at
+    entry with a clear ValueError instead of an OverflowError after the
+    full DCT/entropy pipeline has run."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_system_spark.operators.multimodal import (
+        encode_image_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="65535"):
+        encode_image_jpeg_baseline(np.zeros((0, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="65535"):
+        encode_image_jpeg_baseline(np.zeros((8, 70000, 3), dtype=np.uint8))
