@@ -147,15 +147,22 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
-def fingerprint(text: Column | str) -> Column:
-    """Deterministic document fingerprint: md5 of normalized token stream.
-
-    Normalization = lowercase, collapse non-word runs to single spaces, trim.
-    md5 exists in both Spark and DuckDB, so the oracle checks it exactly.
-    """
+def normalized_text(text: Column | str) -> Column:
+    """Lowercase, collapse non-word runs to single spaces, trim — THE one
+    normalization the content-dedup family shares (``fingerprint``,
+    ``operators.dedup.editdistance_pairs`` and their oracles). A single
+    definition so blocking and fingerprinting can never silently
+    desynchronize."""
     col = F.col(text) if isinstance(text, str) else text
-    normalized = F.trim(F.regexp_replace(F.lower(col), r"\W+", " "))
-    return F.md5(normalized)
+    return F.trim(F.regexp_replace(F.lower(col), r"\W+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized token stream
+    (``normalized_text``). md5 exists in both Spark and DuckDB, so the
+    oracle checks it exactly.
+    """
+    return F.md5(normalized_text(text))
 
 
 # Winnowing parameters (Schleimer, Wilkerson, Aiken, SIGMOD'03): char

@@ -38,6 +38,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _require_payload_names_free(
+    left: DataFrame, payload_cols: list[str], extra: tuple[str, ...] = ()
+) -> None:
+    """Refuse payload/output names that already exist on the left side:
+    the final ``select('__left.*', payload…)`` would silently emit
+    duplicate column names, failing only at the first downstream
+    reference or write, far from the cause (the same posture
+    ``asof_join_salted``'s ``_require_absent`` takes for its internal
+    names). Alias the colliding columns on one side first."""
+    dup = [c for c in [*payload_cols, *extra] if c in left.columns]
+    if dup:
+        raise ValueError(
+            f"asof join: payload/output column(s) {dup} already exist on "
+            "the left side — alias them before joining"
+        )
+
+
 def _tagged_union(
     left: DataFrame,
     right: DataFrame,
@@ -103,6 +120,7 @@ def asof_join(
     Returns all left columns + payload_cols (null when no prior right row).
     NULL semantics: see ``_tagged_union``.
     """
+    _require_payload_names_free(left, payload_cols)
     w = (
         W.partitionBy("__k")
         .orderBy(F.col("__t"), F.col("__r").desc())
@@ -187,11 +205,19 @@ def range_join(
 
 def _time_as_long(col: F.Column, dtype: str) -> F.Column:
     """Exact integer image of a time column for gap comparison: epoch
-    micros for timestamps, the raw value for integral types. Gaps are
-    compared as longs, never doubles — a double epoch loses µs precision
-    at 2024-scale magnitudes and would flip near-tie decisions."""
-    if dtype.startswith("timestamp"):
-        return F.unix_micros(col)
+    micros for every temporal type, the raw value for integral types.
+    Gaps are compared as longs, never doubles — a double epoch loses µs
+    precision at 2024-scale magnitudes and would flip near-tie decisions.
+
+    date and timestamp_ntz go through a cast to timestamp first:
+    ``unix_micros`` accepts neither directly (date→bigint casts are
+    forbidden outright), and routing all three temporal types to one
+    epoch-micros image keeps a date left side comparable with a
+    timestamp right side. Under the engine's pinned UTC session the
+    cast is the identity interpretation.
+    """
+    if dtype == "date" or dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp"))
     return col.cast("long")
 
 
@@ -215,6 +241,7 @@ def asof_join_nearest(
     semantics as ``asof_join`` (shared ``_tagged_union``); scales
     identically (keyed window, no self-join).
     """
+    _require_payload_names_free(left, payload_cols, extra=("__matched_time_long",))
     rt_type = dict(right.dtypes)[right_time]
     lt_type = dict(left.dtypes)[left_time]
     tagged = _tagged_union(

@@ -31,8 +31,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_system_spark.caches import tracked_cache
-from mapreduce_system_spark.functions.text import fingerprint, shingles, tokens
+from mapreduce_system_spark.caches import (
+    persistent_rdd_ids,
+    track_rdd_ids,
+    tracked_cache,
+    unpersist_rdd_ids,
+)
+from mapreduce_system_spark.functions.text import (
+    fingerprint,
+    normalized_text,
+    shingles,
+    tokens,
+)
 from mapreduce_system_spark.sources.tables import ensure_parallelism
 
 
@@ -40,9 +50,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Exact dedup: group by normalized-content fingerprint, keep min-id.
 
     Returns one row per distinct content: (fp, survivor_id, n_copies).
+    NULL-text documents are excluded — groupBy collapses SQL NULLs into
+    one group, which would declare documents with *unknown* content
+    duplicates of each other (the same rule simhash applies to token-less
+    docs). The per-row md5/regexp normalization is the CPU hot spot —
+    ``ensure_parallelism`` spreads a single-split input across cores.
     """
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .where(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_copies"))
     )
@@ -427,8 +444,12 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
                 "hamming"
             ),
         )
-        .distinct()
+        # filter BEFORE the distinct: over-budget candidates (the majority
+        # for near-random signatures colliding on one band) must not flow
+        # through the dedup exchange they're about to be dropped from —
+        # filter commutes with distinct, so the result is identical
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -453,16 +474,26 @@ def editdistance_pairs(
     O(threshold·len) instead of O(len²) per pair — at corpus scale the
     bound is what keeps verification affordable.
 
-    Normalization (lower, collapse non-word runs, trim) is shared with
-    ``exact_dedup``'s fingerprint, so both engines tokenize identically.
+    Normalization is ``functions.text.normalized_text`` — the SAME
+    expression ``exact_dedup``'s fingerprint hashes, by construction.
+    Documents whose normalized text is empty (punctuation/whitespace-only)
+    or NULL are excluded: they would all share block '' and be reported
+    as mutual distance-0 "near-dups" while degenerating that one block
+    toward all-pairs — the E² class ``simhash`` guards against the same
+    way.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\W+", " "))
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(F.array(norm), lambda t: F.struct(
-            t.alias("t"), F.substring(t, 1, prefix_len).alias("blk")
-        ))[0].alias("nb"),
-    ).select("id", F.col("nb.t").alias("t"), F.col("nb.blk").alias("blk"))
+    norm = normalized_text(F.col(text_col))
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(F.array(norm), lambda t: F.struct(
+                t.alias("t"), F.substring(t, 1, prefix_len).alias("blk")
+            ))[0].alias("nb"),
+        )
+        .select("id", F.col("nb.t").alias("t"), F.col("nb.blk").alias("blk"))
+        .where(F.col("t").isNotNull() & (F.col("t") != ""))
+    )
     a = base.select("blk", F.col("id").alias("id_a"), F.col("t").alias("ta"))
     b = base.select("blk", F.col("id").alias("id_b"), F.col("t").alias("tb"))
     dist = F.levenshtein("ta", "tb", threshold)  # -1 when > threshold
@@ -517,12 +548,6 @@ def connected_components(
             ).alias("e")
         ).select("e.src", "e.dst")
     )
-    from mapreduce_system_spark.caches import (
-        persistent_rdd_ids,
-        track_rdd_ids,
-        unpersist_rdd_ids,
-    )
-
     spark = pairs.sparkSession
     comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     prev_ids: set[int] = set()

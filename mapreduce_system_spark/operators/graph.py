@@ -213,7 +213,12 @@ def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         pr.hint("shuffle_hash"), (F.col("u") == F.col("a")) & (F.col("v") == F.col("b"))
     ).agg(F.count("*").alias("n_triangles"))
     wed = deg.agg(
-        (F.sum(F.col("d") * (F.col("d") - 1) / 2)).cast("long").alias("n_wedges")
+        # coalesce: the sum over an EMPTY degree table is NULL, which
+        # would slip past the n_wedges == 0 pin below and make the
+        # empty graph's transitivity NULL instead of the pinned 0.0
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("n_wedges")
     )
     nodes = deg.agg(F.count("*").alias("n_nodes"))
     edges = pr.agg(F.count("*").alias("n_edges"))
@@ -265,11 +270,21 @@ def bfs_hops(
     distribution; ``max_hops`` bounds the round count the way the
     small-world diameter bounds real graphs.
     """
+    if len(seeds.columns) != 1:
+        # a silent seeds.columns[0] pick would run BFS from whatever
+        # column happens to be first in a multi-column frame
+        raise ValueError(
+            f"bfs_hops: seeds must be a single-column node-id frame, "
+            f"got columns {seeds.columns}"
+        )
     spark = edges.sparkSession
     e = tracked_cache(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     before0 = persistent_rdd_ids(spark)
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
+        # a NULL seed is not a node: it matches no edge (NULL equi-join)
+        # and would only emit a spurious (NULL, 0) row
+        .where(F.col("node").isNotNull())
         .distinct()
         .withColumn("hop", F.lit(0))
         .localCheckpoint(eager=True)

@@ -22,6 +22,7 @@ SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS fp,
        min(doc_id) AS survivor_id,
        count(*) AS n_copies
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY fp
 ORDER BY fp
 """
@@ -237,6 +238,7 @@ WITH n AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS t FROM documents
 ), b AS (
   SELECT doc_id, t, substring(t, 1, 40) AS blk FROM n
+  WHERE t IS NOT NULL AND t <> ''
 )
 SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        CAST(levenshtein(a.t, c.t) AS INT) AS dist

@@ -216,3 +216,31 @@ def test_asof_salted_rejects_internal_column_clash(spark):
             left, right, on="k", left_time="lt", right_time="rt",
             payload_cols=["p"], salt_src_col="k",
         )
+
+
+def test_asof_nearest_supports_date_time_columns(spark):
+    """asof_join_nearest on DATE columns (the type queries/temporal.py
+    feeds plain asof_join) — the long image must go through a timestamp
+    cast, not a forbidden date→bigint cast (r10 review)."""
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10))], "k int, d date"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 10.0), (1, dt.date(2024, 1, 12), 99.0)],
+        "k int, rd date, price double",
+    )
+    got = ASOF.asof_join_nearest(left, right, "k", "d", "rd", ["price"]).collect()
+    assert len(got) == 1 and got[0].price == 99.0  # 2 days forward beats 9 back
+
+
+def test_asof_join_rejects_colliding_payload_names(spark):
+    """A payload column that already exists on the left would emit
+    duplicate output columns that fail far downstream (r10 review)."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, price double")
+    right = spark.createDataFrame([(1, 3, 2.0)], "k int, rt int, price double")
+    with pytest.raises(ValueError, match="price"):
+        ASOF.asof_join(left, right, "k", "t", "rt", ["price"])
+    with pytest.raises(ValueError, match="price"):
+        ASOF.asof_join_nearest(left, right, "k", "t", "rt", ["price"])

@@ -256,3 +256,23 @@ def test_crossmodal_agreement_surfaces_missing_embeddings(spark, tmp_path):
     assert set(rows) == {(0, 1), (2, 3)}  # every text pair preserved
     assert rows[(0, 1)].emb_cosine is None  # missing side → NULL, not dropped
     assert rows[(2, 3)].emb_cosine == 1.0
+
+
+def test_exact_dedup_excludes_null_text(spark):
+    """NULL-text docs have unknown content — groupBy would collapse
+    them into one fp=NULL 'duplicate' cluster (r10 review)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c"), Row(doc_id=1, text=None), Row(doc_id=2, text=None)]
+    )
+    got = {r.survivor_id: r.n_copies for r in DD.exact_dedup(df).collect()}
+    assert got == {0: 1}
+
+
+def test_editdistance_pairs_exclude_empty_normalized_text(spark):
+    """Punctuation/whitespace-only docs all normalize to '' — they are
+    not distance-0 near-dups of each other, and the shared '' block is
+    the E² hot-block class simhash already guards (r10 review)."""
+    shared = "a long shared prefix that fills the whole blocking window "
+    df = docs_df(spark, ["!!!", "???", "...", "   ", shared + "one", shared + "two"])
+    got = {(r.id_a, r.id_b) for r in DD.editdistance_pairs(df, threshold=8).collect()}
+    assert got == {(4, 5)}

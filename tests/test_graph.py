@@ -135,3 +135,30 @@ def test_pagerank_dangling_query_mass_sums_to_one(spark):
     out = q_graph_pagerank_dangling(spark, SF_DIR_MID)
     total_ppm = out.agg(F.sum("rank_ppm")).first()[0]
     assert abs(total_ppm - 1_000_000) < 1.0
+
+
+def test_triangle_stats_empty_graph_pins_transitivity_zero(spark):
+    """The empty graph's wedge sum is NULL, which slipped past the
+    n_wedges == 0 pin and made transitivity NULL (r10 review)."""
+    from mapreduce_system_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame([], "u long, v long")
+    r = triangle_stats(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (0, 0, 0, 0)
+    assert r.transitivity == 0.0
+
+
+def test_bfs_hops_seed_validation(spark):
+    """Multi-column seed frames raise (silent columns[0] pick ran BFS
+    from the wrong values); NULL seeds are dropped, not emitted as a
+    spurious (NULL, 0) row (r10 review)."""
+    import pytest
+
+    from mapreduce_system_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError, match="single-column"):
+        bfs_hops(e, spark.createDataFrame([("x", 1)], "label string, node long"))
+    seeds = spark.createDataFrame([(1,), (None,)], "node long")
+    got = {(r.node, r.hop) for r in bfs_hops(e, seeds).collect()}
+    assert got == {(1, 0), (2, 1)}
