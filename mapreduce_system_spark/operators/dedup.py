@@ -258,6 +258,48 @@ def minhash_signatures(
     return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(num_hashes)])
 
 
+def _band_keys(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(id, band_idx, band_key) exploded banding of an (id, sig) relation
+    — THE definition of the LSH band-key composition (xxhash64 over the
+    band's signature slots plus the band index), shared by
+    ``minhash_lsh_pairs`` and the scale probe's candidate census
+    (``tools/scale_probe.py``): a banding tweak applied to only one of
+    them would make the committed scale records count candidates under a
+    different banding than the shipped operator generates."""
+    if num_hashes % rows_per_band != 0:
+        # floor-dividing would silently discard the trailing hashes: the
+        # caller pays for num_hashes computations but gets fewer bands
+        # than the recall formula they sized for
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by rows_per_band "
+            f"({rows_per_band}); trailing hashes would be silently unused"
+        )
+    n_bands = num_hashes // rows_per_band
+    band_cols = [
+        F.xxhash64(
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)], F.lit(b)
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    return sig.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"))
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Text → exploded (id, band_idx, band_key) under exactly the banding
+    ``minhash_lsh_pairs`` joins on, for callers that need the band
+    relation itself (candidate-volume censuses, bucket diagnostics)
+    without the pair join + verification."""
+    sig = _minhash_sig(shingle_sets(df, n, text_col, id_col), num_hashes)
+    return _band_keys(sig, num_hashes, rows_per_band)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -274,24 +316,9 @@ def minhash_lsh_pairs(
     Precision is exact; recall = 1-(1-s^r)^b (r=2, b=64 ⇒ >99.99% at
     s=0.5). Candidate volume scales with docs-per-band-bucket, never n².
     """
-    if num_hashes % rows_per_band != 0:
-        # floor-dividing would silently discard the trailing hashes: the
-        # caller pays for num_hashes computations but gets fewer bands
-        # than the recall formula they sized for
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by rows_per_band "
-            f"({rows_per_band}); trailing hashes would be silently unused"
-        )
     sets_cached = tracked_cache(shingle_sets(df, n, text_col, id_col))
     sig = _minhash_sig(sets_cached, num_hashes)
-    n_bands = num_hashes // rows_per_band
-    band_cols = [
-        F.xxhash64(
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)], F.lit(b)
-        ).alias(f"b{b}")
-        for b in range(n_bands)
-    ]
-    bands = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"))
+    bands = _band_keys(sig, num_hashes, rows_per_band)
     x = bands.alias("x")
     y = bands.alias("y")
     candidates = (

@@ -34,6 +34,8 @@ tracks key cardinality, not changelog volume).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,19 +49,37 @@ def _sink_exists(spark: SparkSession, sink_path: str) -> bool:
     # marker — presence of any committed bucket directory is the signal.
     # Probed through the Hadoop FileSystem API, NOT a local Path.glob: a
     # URI-style sink (file:, hdfs://, s3a://) is invisible to the local
-    # filesystem, and a local glob that misses an EXISTING sink makes
-    # the merge silently drop every unmatched key in the touched buckets
+    # filesystem, and any probe that misses an EXISTING sink makes the
+    # merge silently drop every unmatched key in the touched buckets
     # (the absent-sink branch overwrites them with batch-only rows).
+    # listStatus, NOT globStatus: a glob re-interprets metacharacters
+    # ('[', '*', '{') inside the caller's sink path itself, which is the
+    # same missed-existing-sink failure by another route.
     jvm = spark._jvm
-    glob = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/{_BUCKET}=*")
-    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
-    matches = fs.globStatus(glob)
-    return matches is not None and len(matches) > 0
+    root = jvm.org.apache.hadoop.fs.Path(sink_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return False
+    prefix = f"{_BUCKET}="
+    return any(
+        st.isDirectory() and st.getPath().getName().startswith(prefix)
+        for st in fs.listStatus(root)
+    )
+
+
+def _read_path(sink_path: str) -> str:
+    """``sink_path`` with Hadoop-glob metacharacters backslash-escaped,
+    for READ sites only: DataFrameReader paths are glob patterns, so an
+    unescaped '[v2]' in a sink path parses as a character class and an
+    EXISTING sink raises PATH_NOT_FOUND (or, worse, matches a sibling
+    directory). Writer paths are literal and stay unescaped — the same
+    asymmetry behind ``_sink_exists``'s listStatus probe."""
+    return re.sub(r"([\\*?\[\]{}])", r"\\\1", sink_path)
 
 
 def read_latest(spark: SparkSession, sink_path: str) -> DataFrame:
     """Current latest-state view of the sink (all buckets)."""
-    return spark.read.parquet(sink_path).drop(_BUCKET)
+    return spark.read.parquet(_read_path(sink_path)).drop(_BUCKET)
 
 
 def merge_upsert(
@@ -101,7 +121,7 @@ def merge_upsert(
                 r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()
             ]
             cur = (
-                spark.read.parquet(sink_path)
+                spark.read.parquet(_read_path(sink_path))
                 .where(F.col(_BUCKET).isin(touched))
                 .select(*b.columns)
             )

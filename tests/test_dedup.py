@@ -276,3 +276,44 @@ def test_editdistance_pairs_exclude_empty_normalized_text(spark):
     df = docs_df(spark, ["!!!", "???", "...", "   ", shared + "one", shared + "two"])
     got = {(r.id_a, r.id_b) for r in DD.editdistance_pairs(df, threshold=8).collect()}
     assert got == {(4, 5)}
+
+
+def test_minhash_band_keys_is_the_operators_banding(spark):
+    """minhash_band_keys (the census surface scale_probe consumes) must
+    bucket every pair minhash_lsh_pairs emits: the verified pairs are a
+    subset of the same-band candidate set derived from the shared band
+    relation. A banding divergence between the two (the drift the shared
+    _band_keys helper exists to prevent) breaks this containment."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    df = docs_df(
+        spark,
+        [f"{template} unique{i}" for i in range(6)] + ["totally different words"],
+    )
+    bands = DD.minhash_band_keys(df)
+    x, y = bands.alias("x"), bands.alias("y")
+    from pyspark.sql import functions as F
+
+    cand = {
+        (r.a, r.b)
+        for r in x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    verified = {
+        (r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert verified  # the near-clone clique must produce pairs at all
+    assert verified <= cand
+
+
+def test_minhash_band_keys_rejects_indivisible_band_width(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        DD.minhash_band_keys(docs_df(spark, ["a b c d e f"]), rows_per_band=3)

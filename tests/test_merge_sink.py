@@ -123,3 +123,17 @@ def test_merge_upsert_uri_scheme_sink_keeps_unmatched_keys(spark, tmp_path):
     merge_upsert(spark, sink, _changelog(spark, _B1), ["user_id"], ["ts"])
     merge_upsert(spark, sink, _changelog(spark, _B2), ["user_id"], ["ts"])
     assert _state(spark, sink) == _EXPECTED
+
+
+def test_merge_upsert_glob_metachar_sink_keeps_unmatched_keys(spark, tmp_path):
+    """A sink path containing glob metacharacters must behave exactly
+    like a plain path: the sink-exists probe lists the directory
+    literally (listStatus), so the second merge sees the first batch's
+    state. With the old globStatus probe, '[v2]' parsed as a character
+    class, the existing sink looked absent, and the second merge
+    silently DELETED every key of the touched buckets that was not in
+    the new batch."""
+    p = str(tmp_path / "sink[v2]*{a}")
+    _apply(spark, p, _B1)
+    _apply(spark, p, _B2)
+    assert _state(spark, p) == _EXPECTED

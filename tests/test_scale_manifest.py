@@ -47,3 +47,14 @@ def test_source_fixture_matches_committed_manifest(spark):
     for t, want in manifest["source_tables"].items():
         got = _table_fingerprint(spark, f"/root/testdata/sf0.1/{t}.parquet")
         assert got == want, t
+
+
+def test_record_out_defaults_to_latest_and_honors_out():
+    """Probe records default to *_latest names; the committed round-named
+    artifacts are only reachable through an explicit --out (the bench.py
+    latest.json convention), so a smoke re-run cannot clobber them."""
+    from scale_probe import _record_out
+
+    assert _record_out(None, "scale_probe_latest.json").name == "scale_probe_latest.json"
+    assert _record_out("scale_probe_r7.json", "x").name == "scale_probe_r7.json"
+    assert _record_out(None, "sf1_manifest_latest.json").parent.name == "bench_runs"

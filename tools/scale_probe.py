@@ -25,14 +25,20 @@ runtime-vs-candidates relation.
 
 Usage::
 
-    python tools/scale_probe.py [reps] [src_sf_dir] [organic_pct]
-    python tools/scale_probe.py --graph [reps] [src_sf_dir] [organic_pct]
-    python tools/scale_probe.py --manifest
+    python tools/scale_probe.py [--out NAME] [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --graph [--out NAME] [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --sim [--out NAME] [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --manifest [--out NAME]
 
-Writes the record to bench_runs/scale_probe_r7.json (disjoint),
-scale_probe_r8_organic.json (organic_pct > 0), or
-scale_probe_r9_graph.json (--graph) and prints a markdown table
-(consumed by BASELINE.md §(h)/(j)/(l)).
+Writes the record to bench_runs/scale_probe_latest.json (dedup mode),
+scale_probe_graph_latest.json, scale_probe_sim_latest.json, or
+sf1_manifest_latest.json and prints a markdown table. The committed
+round-named artifacts (scale_probe_r7.json = disjoint 10x,
+scale_probe_r8_organic.json, scale_probe_r9_graph.json,
+scale_probe_r10_sim.json, sf1_manifest.json — consumed by BASELINE.md
+§(h)/(j)/(l) and tests/test_scale_manifest.py) are only written under
+an explicit ``--out``, so a lighter smoke re-run can never clobber a
+durable record with non-comparable numbers.
 
 ``--manifest`` (VERDICT r8 "missing #4") does not time anything: it
 rebuilds all three probe corpora (disjoint, organic, graph) with the
@@ -203,15 +209,14 @@ def shingle_df_profile(spark, sf_dir: str) -> dict:
 
 def minhash_band_candidates(spark, sf_dir: str) -> int:
     """Σ C(bucket, 2) over (band_idx, band_key) — the LSH candidate volume
-    BEFORE the pair-distinct (same banding as minhash_lsh_pairs: 128
-    hashes, 64 bands × 2 rows)."""
+    BEFORE the pair-distinct. The band relation comes from the operator's
+    own ``minhash_band_keys`` (defaults = the shipped banding: 128 hashes,
+    64 bands × 2 rows), not a local re-implementation, so a banding change
+    in ``minhash_lsh_pairs`` is counted by this census by construction —
+    the same sharing discipline as ``tri_graph_profile``'s use of
+    ``degree_census``/``orient_by_degree``."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    sig = DD.minhash_signatures(docs, n=3, num_hashes=128)
-    band_cols = [
-        F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(b)).alias(f"b{b}")
-        for b in range(64)
-    ]
-    bands = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"))
+    bands = DD.minhash_band_keys(docs)
     counts = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("c"))
     return _pairs_in_groups(counts)
 
@@ -345,9 +350,13 @@ def tri_graph_profile(spark, sf_dir: str) -> dict:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
-        .cache()
     )
-    deg = degree_census(pr).cache()
+    # tracked_cache, not bare .cache(): an exception mid-census (e.g. an
+    # executor OOM on the percentile collect at a bigger scale) must leave
+    # these reachable by the caller's caches.release(), not leaked for the
+    # session lifetime
+    pr = caches.tracked_cache(pr)
+    deg = caches.tracked_cache(degree_census(pr))
     drow = deg.agg(
         F.count("*").alias("n_nodes"),
         F.expr("percentile_approx(d, array(0.5, 0.9, 0.99), 10000)").alias("pct"),
@@ -387,8 +396,8 @@ def bfs_graph_profile(spark, sf_dir: str) -> dict:
             (F.col("l_suppkey") * 2 + 1).alias("v"),
         )
         .distinct()
-        .cache()
     )
+    e0 = caches.tracked_cache(e0)
     n_edges = e0.count()
     n_nodes = (
         e0.select(F.col("u").alias("n")).union(e0.select(F.col("v").alias("n"))).distinct().count()
@@ -397,7 +406,7 @@ def bfs_graph_profile(spark, sf_dir: str) -> dict:
     return {"n_nodes": int(n_nodes), "n_edges": int(2 * n_edges)}
 
 
-def graph_main(reps: int, src: str, organic_pct: int) -> int:
+def graph_main(reps: int, src: str, organic_pct: int, out_name: str | None = None) -> int:
     dst = "/tmp/spark_graft_scale/graph_sf1"
     spark = get_spark("scale_probe_graph")
     print(
@@ -471,8 +480,7 @@ def graph_main(reps: int, src: str, organic_pct: int) -> int:
         record["queries"][name]["volume_ratio"] = round(vol, 2)
         print(f"| {name} | {qa} | {qb} | {qb/qa:.2f} | {vol:.2f} |")
 
-    out = REPO / "bench_runs" / "scale_probe_r9_graph.json"
-    out.parent.mkdir(exist_ok=True)
+    out = _record_out(out_name, "scale_probe_graph_latest.json")
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
@@ -506,7 +514,7 @@ def _table_fingerprint(spark, path: str) -> dict:
     }
 
 
-def manifest_main() -> int:
+def manifest_main(out_name: str | None = None) -> int:
     """Pin the three probe corpora (BASELINE §(h)/(j)/(l)) in a committed
     manifest: rebuild each with its recorded parameters, fingerprint
     every table, and record the one-command re-runs."""
@@ -567,17 +575,35 @@ def manifest_main() -> int:
             print(f"#   {t}: {entry['tables'][t]}", file=sys.stderr)
         record["corpora"][name] = entry
         caches.release()
-    out = REPO / "bench_runs" / "sf1_manifest.json"
+    out = _record_out(out_name, "sf1_manifest_latest.json")
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree(root, ignore_errors=True)
     return 0
 
 
+def _record_out(out_name, default_name: str):
+    """Resolve the record path under bench.py's latest.json convention:
+    every run writes a *_latest record unless --out names the artifact
+    explicitly, so a smoke re-run with lighter parameters can never
+    clobber the committed round-named records BASELINE.md cites
+    (scale_probe_r7.json, sf1_manifest.json, ...) — promotion to a
+    round name is a deliberate --out / copy step, as with bench.py's
+    latest.json -> r{N}.json."""
+    out = REPO / "bench_runs" / (out_name or default_name)
+    out.parent.mkdir(exist_ok=True)
+    return out
+
+
 def main() -> int:
     args = list(sys.argv[1:])
+    out_name = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_name = args[i + 1]
+        del args[i : i + 2]
     if "--manifest" in args:
-        return manifest_main()
+        return manifest_main(out_name)
     graph_mode = "--graph" in args
     if graph_mode:
         args.remove("--graph")
@@ -588,9 +614,9 @@ def main() -> int:
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (10 if (graph_mode or sim_mode) else 0)
     if sim_mode:
-        return sim_main(reps, src, organic_pct)
+        return sim_main(reps, src, organic_pct, out_name)
     if graph_mode:
-        return graph_main(reps, src, organic_pct)
+        return graph_main(reps, src, organic_pct, out_name)
     dst = "/tmp/spark_graft_scale/sf1"
 
     spark = get_spark("scale_probe")
@@ -650,9 +676,7 @@ def main() -> int:
             f"{s['df_p99']} | {s['df_max']} | {s['over_cap']} |"
         )
 
-    name = "scale_probe_r8_organic.json" if organic_pct else "scale_probe_r7.json"
-    out = REPO / "bench_runs" / name
-    out.parent.mkdir(exist_ok=True)
+    out = _record_out(out_name, "scale_probe_latest.json")
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
@@ -780,7 +804,7 @@ def sim_recall_profile(spark, sf_dir: str, runs: int = 3) -> dict:
     return out
 
 
-def sim_main(reps: int, src: str, organic_pct: int) -> int:
+def sim_main(reps: int, src: str, organic_pct: int, out_name: str | None = None) -> int:
     dst = "/tmp/spark_graft_scale/sim_sf1"
     spark = get_spark("scale_probe_sim")
     print(
@@ -810,7 +834,7 @@ def sim_main(reps: int, src: str, organic_pct: int) -> int:
             f"| {meth} | {a[meth]['recall']} | {b[meth]['recall']} "
             f"| {a[meth]['wall_s']} | {b[meth]['wall_s']} |"
         )
-    out = REPO / "bench_runs" / "scale_probe_r10_sim.json"
+    out = _record_out(out_name, "scale_probe_sim_latest.json")
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)

@@ -45,7 +45,6 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    from pathlib import Path
 
     from mapreduce_system_spark import caches
     from mapreduce_system_spark.registry import SF_BOUND_ORACLES
