@@ -101,7 +101,13 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     toks = tokens(col)
     n_tok = F.size(toks)
     n_chars = F.length(col)
-    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    # explicit whitespace class, NOT \s: Java \s includes \x0B but
+    # RE2/DuckDB \s does not, so a text containing a vertical tab would
+    # count as punctuation in the oracle and as whitespace here — the
+    # class below means the same thing in both engines (the paired SQL
+    # fragment in queries/textstats.py + queries/pipeline.py spells it
+    # identically)
+    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w \t\n\x0B\f\r]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     mean_wlen = F.when(
         n_tok > 0,

@@ -28,8 +28,10 @@ regime the filter is FOR: a build side selective enough to prune well
 but too large to broadcast (when the build side broadcasts, Spark
 rightly skips the Bloom filter — the probe would be redundant).
 
-Registered first among the r7 window modules (queries/__init__.py) so
-the query's debut lands a driver CORRECTNESS row.
+Debuted inside the r7 driver window (a green driver row since r07);
+its CURRENT window position is whatever the authoritative import
+ledger in ``queries/__init__.py`` says — as of r10 it sits out of
+window, slated for the r11 rotation.
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -80,7 +81,7 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipe_hash_split — deterministic md5-bucket train/val/test assignment
 # ---------------------------------------------------------------------------
 
-_HASH_SPLIT_SQL = """
+_HASH_SPLIT_SQL = f"""
 SELECT split, lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS chars
@@ -89,7 +90,7 @@ FROM (
          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
   FROM (
     SELECT lang, n_chars,
-           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+           {md5_bucket32_sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
     FROM documents
   )
 )
@@ -110,11 +111,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     only cost is the scan. (The reference's model would need a custom
     mapf emitting the bucket as the key — README.MD:82.)"""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket32(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

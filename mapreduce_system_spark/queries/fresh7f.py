@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_system_spark.queries._textshared import _TOKS
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -35,7 +37,7 @@ _WEIGHTED_SAMPLE_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
          pow(
-           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+           ({md5_bucket32_sql("CAST(doc_id AS VARCHAR)")} + 1)
              / 4294967296.0,
            CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)
          ) AS k
@@ -44,7 +46,7 @@ WITH keyed AS (
 )
 SELECT doc_id, source, n_chars, round(k, 6) AS sample_key
 FROM keyed
-ORDER BY k DESC, doc_id
+ORDER BY round(k, 12) DESC, doc_id
 LIMIT {_K}
 """
 
@@ -58,17 +60,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from md5-derived uniforms, so the DuckDB oracle reselects the
     exact same rows."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        + 1
-    ) / 4294967296.0
+    u = (md5_bucket32(F.col("doc_id").cast("string")) + 1) / 4294967296.0
     k = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
     return (
         docs.where(F.col("n_chars") > 0)
         .select("doc_id", "source", "n_chars", k.alias("k"))
-        .orderBy(F.desc("k"), "doc_id")
+        # rank on the ROUNDED key, ties broken by doc_id: Java Math.pow and
+        # libm pow may differ in the last ulp on identical inputs, so an
+        # unrounded ORDER BY makes rank-100 membership engine-dependent
+        # (the cosine-rank class of commit 6170faa). 12 digits absorbs ulp
+        # noise while keeping the near-1.0 keys of long documents distinct
+        # (corpus key spacing is orders of magnitude above 1e-12).
+        .orderBy(F.desc(F.round(F.col("k"), 12)), "doc_id")
         .limit(_K)
         .select("doc_id", "source", "n_chars", F.round("k", 6).alias("sample_key"))
     )
@@ -78,10 +81,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # txt_shingle_novelty — uniqueness scoring for data curation
 # ---------------------------------------------------------------------------
 
-_NOVELTY_SQL = r"""
+_NOVELTY_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
+         {_TOKS} AS ts
   FROM documents
 ), sh AS (
   SELECT doc_id,

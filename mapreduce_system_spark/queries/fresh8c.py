@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.operators.dedup import containment_pairs
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -47,7 +48,7 @@ _STRAT_SQL = f"""
 WITH nl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
 d AS (
   SELECT d.lang, d.n_chars, nl.n_l,
-         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS u
+         CAST({md5_bucket32_sql("CAST(d.doc_id AS VARCHAR)")} AS BIGINT) AS u
   FROM documents d JOIN nl USING (lang)
 )
 SELECT lang,
@@ -71,9 +72,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     count table is genuinely tiny and broadcast back onto the scan."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     nl = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    u = md5_bucket32(F.col("doc_id").cast("string"))
     hit = (u * F.col("n_l")) < F.lit(_STRATUM_TARGET * _U32)
     return (
         docs.join(F.broadcast(nl), "lang")  # one row per language

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mapreduce_system_spark.operators.graph import triangle_stats
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table, register_views
 
@@ -350,10 +351,10 @@ def q_linear_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipe_incremental_dedup — today's batch vs the corpus fingerprint history
 # ---------------------------------------------------------------------------
 
-_INCR_DEDUP_SQL = """
+_INCR_DEDUP_SQL = f"""
 WITH b AS (
   SELECT lang, text,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bk
+         {md5_bucket32_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bk
   FROM documents
 ),
 batch AS (SELECT lang, md5(text) AS fp FROM b WHERE bk >= 90),
@@ -384,11 +385,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Reference contrast: its sink is write-once with no read-back
     path at all — worker.go:154-170.)"""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket32(F.col("doc_id").cast("string")) % 100
     base = docs.select("lang", F.md5("text").alias("fp"), bucket.alias("bk"))
     batch = base.where(F.col("bk") >= 90).select("lang", "fp")
     hist = (

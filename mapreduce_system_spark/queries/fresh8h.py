@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mapreduce_system_spark.operators.graph import bfs_hops
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -402,10 +403,10 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets 5-99 with the status field mutated on buckets 5-14. So the
 # expected classes are: added = 95-99, removed = 0-4, changed = 5-14,
 # unchanged = 15-94 — every class non-empty by construction.
-_DIFF_SQL = """
+_DIFF_SQL = f"""
 WITH b AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
-         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bk
+         {md5_bucket32_sql("CAST(o_orderkey AS VARCHAR)")} % 100 AS bk
   FROM orders
 ),
 v1 AS (
@@ -448,11 +449,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orders",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
-    bk = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bk = md5_bucket32(F.col("o_orderkey").cast("string")) % 100
     b = orders.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("s"),

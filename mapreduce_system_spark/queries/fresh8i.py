@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -44,7 +45,7 @@ _KFOLD_K = 5
 _KFOLD_SQL = f"""
 WITH f AS (
   SELECT source, lang, n_chars,
-         ('0x' || substr(md5(source), 1, 8))::UBIGINT % {_KFOLD_K} AS fold
+         {md5_bucket32_sql("source")} % {_KFOLD_K} AS fold
   FROM documents
 )
 SELECT CAST(fold AS INT) AS fold,
@@ -73,9 +74,7 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(
         spark, sf_dir, "documents", columns=["source", "lang", "n_chars"]
     )
-    fold = (
-        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long") % _KFOLD_K
-    ).cast("int")
+    fold = (md5_bucket32("source") % _KFOLD_K).cast("int")
     return (
         docs.select(fold.alias("fold"), "source", "n_chars")
         .groupBy("fold")

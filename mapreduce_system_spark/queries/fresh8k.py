@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -76,11 +77,11 @@ def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipe_source_manifest — order-independent per-source content checksum
 # ---------------------------------------------------------------------------
 
-_MANIFEST_SQL = """
+_MANIFEST_SQL = f"""
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars,
-       CAST(sum(('0x' || substr(md5(text), 1, 8))::UBIGINT) AS BIGINT)
+       CAST(sum({md5_bucket32_sql("text")}) AS BIGINT)
          AS content_checksum
 FROM documents
 GROUP BY source
@@ -105,7 +106,7 @@ def q_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     would wrap, so past the bound the right form is per-term modular
     reduction, e.g. sum(b % p) with a < 2³² prime, on both engines)."""
     docs = load_table(spark, sf_dir, "documents", columns=["source", "text", "n_chars"])
-    bucket32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    bucket32 = md5_bucket32("text")
     return (
         docs.select("source", "n_chars", bucket32.alias("b"))
         .groupBy("source")

@@ -182,6 +182,10 @@ def _wc_mapf(fname: str, content: str) -> list[tuple[str, str]]:
     # (DuckDB RE2) and the JVM word-count twin both treat \W as ASCII —
     # without the flag an accented character tokenizes differently across
     # the three engines.
+    if content is None:
+        # a NULL text row must map to zero pairs, matching tokens() /
+        # the oracle's unnest-over-NULL — not crash the Arrow map stage
+        return []
     return [(w, "1") for w in re.split(r"\W+", content.lower(), flags=re.ASCII) if w]
 
 

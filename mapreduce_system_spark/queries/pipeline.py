@@ -145,7 +145,7 @@ WITH base AS (
   SELECT source, doc_id,
          md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS fp,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS n_punct,
          {_TOKS} AS ts
   FROM documents
 ), feat AS (

@@ -24,7 +24,6 @@ from mapreduce_system_spark.queries._textshared import (
     _marker_score_sql,
 )
 from mapreduce_system_spark.registry import register
-from mapreduce_system_spark.sources.tables import load_table
 
 
 
@@ -33,7 +32,7 @@ _QUALITY_SQL = rf"""
 WITH base AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS n_punct,
          {_TOKS} AS ts
   FROM documents
 ), feat AS (
@@ -298,9 +297,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BIGRAM_SQL = r"""
+_BIGRAM_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
+  SELECT doc_id, {_TOKS} AS ts
   FROM documents
 ), grams AS (
   SELECT unnest(list_distinct([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))])) AS bigram

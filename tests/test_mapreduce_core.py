@@ -87,3 +87,12 @@ def test_map_reduce_scalable_matches_rdd_variant(spark):
     scalable = {r.key: r.value for r in MR.map_reduce_scalable(df, mapf, reducef).collect()}
     rdd_based = {r.key: r.value for r in MR.map_reduce(spark, df, mapf, reducef, n_reduce=4).collect()}
     assert scalable == rdd_based == {"hello": "2", "is": "2", "my": "1", "name": "3"}
+
+
+def test_generic_contract_mapf_tolerates_null_text():
+    """A NULL documents.text row must map to zero pairs (the oracle's
+    unnest-over-NULL), not crash the Arrow map stage."""
+    from mapreduce_system_spark.queries.mrcore import _wc_mapf
+
+    assert _wc_mapf("f", None) == []
+    assert _wc_mapf("f", "A b!") == [("a", "1"), ("b", "1")]

@@ -131,3 +131,53 @@ def test_heavy_hitter_candidates_are_a_superset_of_true_heavy_hitters(spark):
     assert len(candidates) <= int(2 / _HH_CAND_SUPPORT)
     got = {r["token"]: r["cnt"] for r in q_heavy_hitters(spark, SF_DIR).collect()}
     assert got == {t: exact[t] for t in true_heavy}
+
+
+def test_punct_count_treats_vertical_tab_as_whitespace_on_both_engines(spark):
+    """Java \\s includes \\x0B, RE2/DuckDB \\s does not — the punct class
+    is spelled as an explicit whitespace list on both engines so a
+    vertical tab counts as whitespace (not punctuation) everywhere."""
+    import duckdb
+    from pyspark.sql import Row
+
+    text = "a\x0bb!"
+    feats = TXT.quality_features("text")
+    pr = (
+        spark.createDataFrame([Row(text=text)])
+        .select(feats["punct_ratio"].alias("pr"))
+        .collect()[0]
+        .pr
+    )
+    assert abs(pr - 1 / 4) < 1e-9  # only '!' is punctuation
+    (oracle,) = duckdb.sql(
+        r"""SELECT (length(t) - length(regexp_replace(t, '[^\w \t\n\x0B\f\r]', '', 'g')))
+                 / CAST(length(t) AS DOUBLE)
+            FROM (SELECT 'a' || chr(11) || 'b!' AS t)"""
+    ).fetchone()
+    assert abs(pr - oracle) < 1e-9
+
+
+def test_md5_bucket32_matches_its_sql_twin(spark):
+    """functions/hashing.py is the ONE definition of the hash-uniform;
+    the Spark column and the interpolated DuckDB fragment must agree
+    value-for-value on arbitrary keys."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from mapreduce_system_spark.functions.hashing import (
+        md5_bucket32,
+        md5_bucket32_sql,
+    )
+
+    keys = ["", "a", "doc-42", "ledger", "🙂 unicode"]
+    got = dict(
+        spark.createDataFrame([Row(k=k) for k in keys])
+        .select("k", md5_bucket32("k").alias("b"))
+        .collect()
+    )
+    for k in keys:
+        (want,) = duckdb.sql(
+            f"SELECT CAST({md5_bucket32_sql('?')} AS BIGINT)", params=[k]
+        ).fetchone()
+        assert got[k] == want, k
+        assert 0 <= got[k] < 2**32
