@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.caches import tracked_cache
+from mapreduce_system_spark.queries._graphshared import node_label, purchase_edges
 from mapreduce_system_spark.operators.graph import pagerank
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
@@ -74,31 +75,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapReduce paper motivated but the reference cannot iterate."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    # The iterations run on LONG node ids (suppliers offset into their own
-    # id space) and only the final 1600-row result maps to the oracle's
-    # string labels: fixed-width 8-byte shuffle keys beat variable-length
-    # strings on every per-round exchange (~15% wall at sf0.1, and the
-    # margin grows with edge count). The pair set is cached because the
-    # union references it twice and the operator derives outdegrees,
-    # contribution edges, AND the node set from it — uncached, the
-    # fact-fact join + distinct subtree re-runs ~4x.
-    off = 1_000_000_000  # above any custkey at any fixture sf
-    e = tracked_cache(
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey").cast("long") + off).alias("dst"),
-        )
-        .distinct()
-    )
+    # Long-id iteration + final string labels: the shared codec in
+    # queries/_graphshared.py (one definition for both PageRank queries).
+    # The pair set is cached because the union references it twice and
+    # the operator derives outdegrees, contribution edges, AND the node
+    # set from it — uncached, the fact-fact join + distinct subtree
+    # re-runs ~4x.
+    e = tracked_cache(purchase_edges(orders, li))
     ud = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(ud, iterations=_ITERATIONS, damping=0.85)
-    label = (
-        F.when(
-            F.col("node") >= off,
-            F.concat(F.lit("s"), (F.col("node") - off).cast("string")),
-        ).otherwise(F.concat(F.lit("c"), F.col("node").cast("string")))
-    )
     return ranks.select(
-        label.alias("node"), F.round(F.col("rank") * 1000000, 4).alias("rank_ppm")
+        node_label().alias("node"), F.round(F.col("rank") * 1000000, 4).alias("rank_ppm")
     ).orderBy("node")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.caches import tracked_cache
+from mapreduce_system_spark.queries._graphshared import node_label, purchase_edges
 from mapreduce_system_spark.operators.graph import pagerank
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.merge import merge_upsert, read_latest
@@ -88,26 +89,12 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor; with it the ppm column sums to ~1,000,000."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    # Long node ids for fixed-width shuffle keys, exactly as
-    # queries/fresh7d.py — only the final result maps to string labels.
-    off = 1_000_000_000
-    e = tracked_cache(
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey").cast("long") + off).alias("dst"),
-        )
-        .distinct()
-    )
+    # Long node ids via the shared codec (queries/_graphshared.py) —
+    # only the final result maps to string labels.
+    e = tracked_cache(purchase_edges(orders, li))
     ranks = pagerank(e, iterations=_ITERATIONS, damping=0.85, dangling="redistribute")
-    label = (
-        F.when(
-            F.col("node") >= off,
-            F.concat(F.lit("s"), (F.col("node") - off).cast("string")),
-        ).otherwise(F.concat(F.lit("c"), F.col("node").cast("string")))
-    )
     return ranks.select(
-        label.alias("node"), F.round(F.col("rank") * 1000000, 4).alias("rank_ppm")
+        node_label().alias("node"), F.round(F.col("rank") * 1000000, 4).alias("rank_ppm")
     ).orderBy("node")
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from mapreduce_system_spark.operators.similarity import label_centroids
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table, register_views
 
@@ -57,14 +58,14 @@ dv AS (
 cn AS (SELECT label, sum(c * c) AS n2c FROM cent GROUP BY label),
 scored AS (
   SELECT dv.vec_id, dv.label,
-         round(dv.dot / (sqrt(dv.n2v) * sqrt(cn.n2c)), 6) AS centroid_cos
+         round(dv.dot / nullif(sqrt(dv.n2v) * sqrt(cn.n2c), 0), 6) AS centroid_cos
   FROM dv JOIN cn ON cn.label = dv.label
   WHERE dv.n2v > 0
 ),
 ranked AS (
   SELECT label, vec_id, centroid_cos,
          CAST(row_number() OVER (
-           PARTITION BY label ORDER BY centroid_cos, vec_id) AS BIGINT) AS rk
+           PARTITION BY label ORDER BY centroid_cos ASC NULLS LAST, vec_id) AS BIGINT) AS rk
   FROM scored
 )
 SELECT label, rk, vec_id, centroid_cos
@@ -91,18 +92,13 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. (Reference contrast: no vector type at all — KeyValue is
     string/string, worker.go:26-29.)"""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
-    pe = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
-    )
-    cent = (
-        pe.groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
-        )
+    sumsq = lambda col: F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v)  # noqa: E731
+    # the ONE centroid-assembly definition (operators/similarity.py) —
+    # a local re-derivation could drift from the exported-centroid
+    # convention the sim/cluster oracles verify. Its squared norm is an
+    # O(d) fold computed HERE, once per label row, not per corpus row.
+    cent = label_centroids(emb, partition_col="label").withColumn(
+        "_n2c", sumsq(F.col("centroid"))
     )
     xs = F.col("embedding").cast("array<double>")
     dot = F.aggregate(
@@ -110,22 +106,30 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    sumsq = lambda col: F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v)  # noqa: E731
     scored = (
         emb.join(F.broadcast(cent), "label")
+        # let-bind the vector fold: _n2v serves the positivity filter AND
+        # the denominator, so the O(d) fold runs once per row, not twice
+        .select("label", "vec_id", dot.alias("_dot"), sumsq(xs).alias("_n2v"), "_n2c")
+        .where(F.col("_n2v") > 0)
         .select(
             "label",
             "vec_id",
-            F.round(dot / (F.sqrt(sumsq(xs)) * F.sqrt(sumsq(F.col("centroid")))), 6).alias(
-                "centroid_cos"
-            ),
-            sumsq(xs).alias("_n2v"),
+            # nullif on the norm product: a zero-norm centroid (components
+            # cancel) must yield NULL on both engines — under ANSI Spark a
+            # bare division ABORTS the whole query on it, DuckDB nulls it
+            F.round(
+                F.col("_dot")
+                / F.nullif(F.sqrt(F.col("_n2v")) * F.sqrt(F.col("_n2c")), F.lit(0.0)),
+                6,
+            ).alias("centroid_cos"),
         )
-        .where(F.col("_n2v") > 0)
-        .drop("_n2v")
     )
+    # asc_nulls_last: a zero-norm centroid yields a NULL cosine on both
+    # engines, but Spark ASC defaults NULLS FIRST while DuckDB defaults
+    # NULLS LAST — the one ASC rank in the catalog must pin the order
     rk = F.row_number().over(
-        W.partitionBy("label").orderBy("centroid_cos", "vec_id")
+        W.partitionBy("label").orderBy(F.col("centroid_cos").asc_nulls_last(), "vec_id")
     )
     return (
         scored.select("label", rk.cast("long").alias("rk"), "vec_id", "centroid_cos")

@@ -451,8 +451,6 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage PQ serving shape. Shortlist recall vs brute force is
     pinned in tests/test_similarity.py (m=16/ks=16: 0.92-0.96 observed
     recall@5 at fixture scales)."""
-    from mapreduce_system_spark.functions.vectors import cosine
-
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_set(spark, sf_dir)
     books = PQ.pq_fit(emb, m=_PQ_M, ks=_PQ_KS, max_iter=5)

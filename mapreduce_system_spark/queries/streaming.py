@@ -209,6 +209,7 @@ _DISTINCT_USERS_SQL = f"""
 SELECT strftime(time_bucket(INTERVAL '60 minutes', ts), '{_TS_FMT_DUCK}') AS w_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY w_start
 ORDER BY w_start
 """

@@ -345,3 +345,48 @@ def test_q8_share_bounds_and_broadcast_chain(spark):
     # the five dimension relations must ride broadcasts; the only
     # shuffle-worthy join is lineitem x orders
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_centroid_outliers_null_cosine_ranks_last_on_both_engines(spark, tmp_path):
+    """A label whose centroid cancels to the zero vector yields NULL
+    cosines; Spark ASC defaults NULLS FIRST while DuckDB defaults NULLS
+    LAST, so the rank pins asc_nulls_last — NULL scores must sit at the
+    BOTTOM of the per-label ranking, exactly as the oracle's
+    ASC NULLS LAST."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from mapreduce_system_spark.queries.fresh8e import (
+        _CENTROID_OUTLIERS_SQL,
+        q_centroid_outliers,
+    )
+
+    rows = [Row(vec_id=0, embedding=[1.0, -1.0], label=0),
+            Row(vec_id=1, embedding=[-1.0, 1.0], label=0),
+            Row(vec_id=2, embedding=[1.0, 0.0], label=1),
+            Row(vec_id=3, embedding=[0.5, 0.5], label=1),
+            Row(vec_id=4, embedding=[0.0, 1.0], label=1)]
+    schema = "vec_id long, embedding array<float>, label int"
+    spark.createDataFrame(rows, schema).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = [
+        (r.label, r.rk, r.vec_id, r.centroid_cos)
+        for r in q_centroid_outliers(spark, str(tmp_path)).collect()
+    ]
+    assert any(c is None for (_, _, _, c) in got)  # the degenerate label hits
+    # NULL cosines must rank AFTER every non-NULL cosine within the label
+    for lab in {g[0] for g in got}:
+        ranked = sorted((rk, c) for (lb, rk, _, c) in got if lb == lab)
+        seen_null = False
+        for _, c in ranked:
+            if c is None:
+                seen_null = True
+            else:
+                assert not seen_null  # a non-NULL after a NULL = wrong order
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(_CENTROID_OUTLIERS_SQL).fetchall()]
+    assert [(lb, rk, v, c) for (lb, rk, v, c) in got] == want
