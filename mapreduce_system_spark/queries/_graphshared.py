@@ -1,4 +1,4 @@
-"""Shared customer→supplier long-id node codec — NO query registrations.
+"""Shared graph-query constructions — NO query registrations.
 
 ``graph_pagerank`` (queries/fresh7d.py) and ``graph_pagerank_dangling``
 (queries/fresh8a.py) iterate on LONG node ids — suppliers offset into
@@ -14,8 +14,10 @@ query's nodes against its oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mapreduce_system_spark.sources.tables import load_table
 
 NODE_OFFSET = 1_000_000_000  # above any custkey at any fixture sf
 
@@ -42,3 +44,27 @@ def node_label(node: str = "node") -> Column:
         c >= NODE_OFFSET,
         F.concat(F.lit("s"), (c - NODE_OFFSET).cast("string")),
     ).otherwise(F.concat(F.lit("c"), c.cast("string")))
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (u < v) part co-purchase pairs — the ONE
+    definition of the graph that ``graph_triangle_count``
+    (queries/fresh8f.py), ``graph_degree_distribution``
+    (queries/fresh8j.py), and the scale probe's census
+    (tools/scale_probe.py) all analyze: a basket-cap or dedup tweak
+    applied to one consumer but not the others would make the censuses
+    silently describe different graphs. Pair generation is quadratic
+    only in basket size (bounded by the order-size cap the fixture
+    inherits from TPC-H); unbounded baskets would take a basket-size
+    cap exactly like the dedup family's stop-shingle DF cap."""
+    li = (
+        load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )

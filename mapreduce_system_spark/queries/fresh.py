@@ -220,8 +220,8 @@ SELECT event_id, user_id,
        round(sum(value) OVER (
          PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS rolling_1h,
-       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS INT) AS quartile,
-       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS pr
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id) AS INT) AS quartile,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id), 6) AS pr
 FROM events
 ORDER BY event_id
 """
@@ -239,7 +239,11 @@ def q_window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_range = (
         W.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-3600, 0)
     )
-    w_rank = W.partitionBy("user_id").orderBy("value", "event_id")
+    # asc_nulls_last: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST —
+    # a NULL value row must rank last on both engines (fresh8e precedent)
+    w_rank = W.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return (
         ev.select(
             "event_id",

@@ -104,7 +104,7 @@ SELECT c_custkey, c_mktsegment,
        round(cume_dist() OVER w, 6) AS cume,
        round(percent_rank() OVER w, 6) AS pct_rank
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC NULLS LAST, c_custkey)
 ORDER BY c_custkey
 """
 
@@ -119,7 +119,11 @@ def q_window_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(
         spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
     )
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # asc_nulls_last: a NULL c_acctbal must rank LAST on both engines
+    # (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST — fresh8e class)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     return (
         cust.select(
             "c_custkey",

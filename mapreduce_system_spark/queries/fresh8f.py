@@ -44,6 +44,7 @@ from pyspark.sql import Window as W
 
 from mapreduce_system_spark.operators.graph import triangle_stats
 from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
+from mapreduce_system_spark.queries._graphshared import copurchase_pairs
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table, register_views
 
@@ -101,17 +102,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-size cap the fixture inherits from TPC-H); unbounded baskets
     would take a basket-size cap exactly like the dedup family's
     stop-shingle DF cap."""
-    li = (
-        load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pr = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    pr = copurchase_pairs(spark, sf_dir)
     return triangle_stats(pr)
 
 

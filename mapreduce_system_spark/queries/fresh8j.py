@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from mapreduce_system_spark.queries._graphshared import copurchase_pairs
+from mapreduce_system_spark.functions.text import tokens
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
@@ -163,9 +165,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates with broadcast riders. Deterministic ties: (count DESC,
     word) on both engines."""
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
-    tok = docs.select(
-        F.explode(F.split(F.lower("text"), r"\W+")).alias("word")
-    ).where(F.col("word") != "")
+    tok = docs.select(F.explode(tokens("text")).alias("word"))
     wc = tok.groupBy("word").agg(F.count("*").alias("c"))
     tot = wc.agg(
         F.sum("c").alias("total"), F.count("*").alias("n_vocab")
@@ -238,17 +238,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram a second over ~log₂(max degree) groups. Binning is
     exact: floor(log2(d)) can only flip at powers of two, where IEEE
     log2 is exact on both engines."""
-    li = (
-        load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pr = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    pr = copurchase_pairs(spark, sf_dir)
     deg = (
         pr.select(F.col("u").alias("node"))
         .unionAll(pr.select(F.col("v").alias("node")))

@@ -146,7 +146,11 @@ def _group_median(df: DataFrame, g: str, value: Column, out: str) -> DataFrame:
     group dwarfs a core's sort throughput — at that scale prefer the
     documented sketch path (``agg_approx_quantiles``) first."""
     v = value.alias("v")
-    base = df.select(F.col(g), v)
+    # NULL discipline (the agg_quantiles r10 fix, which this helper's
+    # template citation inherits): quantile_cont IGNORES NULL values, so
+    # they must not be ranked (Spark sorts them FIRST ascending, shifting
+    # every selected rank) nor counted in cnt
+    base = df.select(F.col(g), v).where(F.col("v").isNotNull())
     cnts = base.groupBy(g).agg(F.count("*").alias("cnt"))
     ranked = base.select(
         g, "v", F.row_number().over(W.partitionBy(g).orderBy("v")).alias("rn")

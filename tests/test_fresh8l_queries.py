@@ -113,3 +113,21 @@ def test_group_median_handles_tiny_and_even_groups(spark):
     )
     got = {r.g: r.med for r in _group_median(df, "g", F.col("v"), "med").collect()}
     assert got == {"one": 7.0, "two": 2.0, "odd": 5.0}
+
+
+def test_group_median_ignores_null_values(spark):
+    """quantile_cont skips NULLs; the rank-based median must neither rank
+    them (Spark sorts NULLs first ascending, shifting every selected
+    rank) nor count them — the agg_quantiles r10 fix, applied here."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mapreduce_system_spark.queries.fresh8l import _group_median
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=1.0), Row(g="a", v=None), Row(g="a", v=3.0),
+         Row(g="b", v=None), Row(g="b", v=5.0)],
+        "g string, v double",
+    )
+    got = {r.g: r.med for r in _group_median(df, "g", F.col("v"), "med").collect()}
+    assert got == {"a": 2.0, "b": 5.0}

@@ -339,18 +339,9 @@ def tri_graph_profile(spark, sf_dir: str) -> dict:
     re-implementation, so if the orientation rule ever changes the probe
     measures the new shape by construction."""
     from mapreduce_system_spark.operators.graph import degree_census, orient_by_degree
+    from mapreduce_system_spark.queries._graphshared import copurchase_pairs
 
-    li = (
-        load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pr = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    pr = copurchase_pairs(spark, sf_dir)
     # tracked_cache, not bare .cache(): an exception mid-census (e.g. an
     # executor OOM on the percentile collect at a bigger scale) must leave
     # these reachable by the caller's caches.release(), not leaked for the
