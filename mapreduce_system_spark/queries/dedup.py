@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_system_spark.caches import tracked_cache
 from mapreduce_system_spark.operators import dedup as DD
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
@@ -304,7 +305,14 @@ def q_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
+    # cached: the left-outer rework references the pair relation THREE
+    # times (the id union twice, the final join once) — uncached, the
+    # whole jaccard candidate-pair subtree re-runs per reference
+    # (measured: 2.3 -> 5.1 s median at sf0.1 when the cache was lost
+    # in the left-join rework; back to ~2.6 s with it)
+    pairs = tracked_cache(
+        DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF)
+    )
     # An outer join can never broadcast its preserved side (the build side
     # must be the nullable side — here the corpus-sized embeddings table),
     # so a naive pairs-LEFT-JOIN-embeddings would shuffle the whole corpus.

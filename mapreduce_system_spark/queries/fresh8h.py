@@ -269,7 +269,7 @@ _EQUI_DEPTH_SQL = """
 WITH r AS (
   SELECT o_orderpriority AS priority, o_totalprice AS v,
          row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice, o_orderkey) AS rn,
+                            ORDER BY o_totalprice ASC NULLS LAST, o_orderkey) AS rn,
          count(*) OVER (PARTITION BY o_orderpriority) AS cnt
   FROM orders
 )
@@ -314,7 +314,13 @@ def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.col("o_totalprice").alias("v"),
         F.row_number()
-        .over(W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey"))
+        # asc_nulls_last mirrors DuckDB's ASC default (fresh8e class) —
+        # o_totalprice is non-null by TPC-H contract, pinned for free
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+            )
+        )
         .alias("rn"),
     ).join(F.broadcast(cnts), "priority")
     decile = F.expr("CAST(((rn - 1) * 10) DIV cnt AS INT) + 1").alias("decile")
