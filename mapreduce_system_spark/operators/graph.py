@@ -41,6 +41,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     *,
+    weight: str | None = None,
     iterations: int = 3,
     damping: float = 0.85,
     dangling: str = "none",
@@ -49,8 +50,16 @@ def pagerank(
     """Rank nodes of the directed edge list by PageRank.
 
     ``edges`` should be deduplicated by the caller (duplicate edges act
-    as weights). ``dangling`` picks the treatment of nodes with no
-    out-edge:
+    as weights). ``weight`` (optional) names a positive edge-weight
+    column: contributions become ``rank * (wt / Σ out-weight)`` instead
+    of ``rank * (1/outdeg)`` — the weighted PageRank a purchase graph
+    wants (edge strength = transaction volume, not mere adjacency).
+    With ``weight`` set, duplicate edges add their weights through the
+    out-weight sum, and the per-edge share is spelled ``wt / outw`` so
+    an unrolled SQL oracle can mirror the doubles exactly; weights must
+    be positive (a zero total out-weight would divide by zero exactly
+    where an outdeg of zero cannot occur). ``dangling`` picks the
+    treatment of nodes with no out-edge:
 
     - ``"none"`` (default): dangling mass leaks — the recurrence is
       exactly ``base + d * contrib``, matching the unrolled SQL oracle
@@ -79,12 +88,25 @@ def pagerank(
     — the documented 100 TB switch, not the fixture regime).
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    deg = e.groupBy("u").agg(F.count("*").cast("double").alias("outdeg"))
-    # contribution edge list: (u, v, 1/outdeg) — the loop's only input
-    ce = tracked_cache(
-        e.join(deg, "u").select("u", "v", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-    )
+    if weight is None:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        deg = e.groupBy("u").agg(F.count("*").cast("double").alias("outdeg"))
+        # contribution edge list: (u, v, 1/outdeg) — the loop's only input
+        ce = tracked_cache(
+            e.join(deg, "u").select("u", "v", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        )
+    else:
+        e = edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("double").alias("wt"),
+        )
+        deg = e.groupBy("u").agg(F.sum("wt").alias("outw"))
+        # contribution edge list: (u, v, wt/Σwt) — same loop, same shapes;
+        # only the share definition differs from the unweighted form
+        ce = tracked_cache(
+            e.join(deg, "u").select("u", "v", (F.col("wt") / F.col("outw")).alias("w"))
+        )
     nodes = tracked_cache(
         e.select(F.col("u").alias("node")).union(e.select(F.col("v").alias("node"))).distinct()
     )

@@ -162,3 +162,56 @@ def test_bfs_hops_seed_validation(spark):
     seeds = spark.createDataFrame([(1,), (None,)], "node long")
     got = {(r.node, r.hop) for r in bfs_hops(e, seeds).collect()}
     assert got == {(1, 0), (2, 1)}
+
+
+def test_weighted_pagerank_matches_hand_recurrence(spark):
+    """Weighted contributions are rank * (wt / sum of out-weights): pin
+    the exact 3-iteration recurrence on a 3-node graph whose weights
+    skew b's mass toward c."""
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 3.0), ("c", "b", 2.0)],
+        ["src", "dst", "w"],
+    )
+    got = {r.node: r.rank for r in pagerank(e, weight="w", iterations=3).collect()}
+
+    base, d = 0.15 / 3, 0.85
+    r = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    for _ in range(3):
+        contrib = {
+            "a": r["b"] * (1.0 / 4.0),
+            "c": r["b"] * (3.0 / 4.0),
+            "b": r["a"] * (1.0 / 1.0) + r["c"] * (2.0 / 2.0),
+        }
+        r = {k: base + d * contrib[k] for k in r}
+    for k in r:
+        assert abs(got[k] - r[k]) < 1e-12, (k, got[k], r[k])
+    assert got["c"] > got["a"]  # the 3:1 skew must show
+
+
+def test_weighted_pagerank_with_unit_weights_equals_unweighted(spark):
+    """wt=1.0 everywhere makes wt/sum == 1/outdeg exactly (IEEE: the sum
+    of n ones is exact), so the weighted path must reproduce the
+    unweighted ranks bit-for-bit."""
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")]
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    ew = spark.createDataFrame([(s, t, 1.0) for s, t in pairs], ["src", "dst", "w"])
+    plain = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    weighted = {r.node: r.rank for r in pagerank(ew, weight="w", iterations=3).collect()}
+    assert plain == weighted
+
+
+def test_weighted_pagerank_dangling_redistribute_conserves_mass(spark):
+    """The dangling correction must see weighted out-degrees: c has no
+    out-edge, so its mass redistributes and total rank stays 1."""
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 5.0)], ["src", "dst", "w"]
+    )
+    ranks = pagerank(e, weight="w", iterations=4, dangling="redistribute")
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
