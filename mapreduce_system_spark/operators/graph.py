@@ -101,6 +101,20 @@ def pagerank(
             F.col(dst).alias("v"),
             F.col(weight).cast("double").alias("wt"),
         )
+        # fail fast on NULL or non-positive weights: sum() silently skips
+        # NULLs (a NULL-weight edge would contribute nothing while its
+        # source still counts as non-dangling — rank mass vanishes), and
+        # a zero out-weight sum aborts the cache materialization with an
+        # opaque executor-side ANSI DIVIDE_BY_ZERO; one bounded driver
+        # scalar buys a clear error at the call site instead
+        n_bad = e.agg(
+            F.count_if(F.col("wt").isNull() | (F.col("wt") <= 0)).alias("n")
+        ).collect()[0]["n"]
+        if n_bad:
+            raise ValueError(
+                f"weight column {weight!r} must be positive and non-NULL; "
+                f"{n_bad} edge(s) violate this"
+            )
         deg = e.groupBy("u").agg(F.sum("wt").alias("outw"))
         # contribution edge list: (u, v, wt/Σwt) — same loop, same shapes;
         # only the share definition differs from the unweighted form

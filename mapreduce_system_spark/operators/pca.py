@@ -103,6 +103,11 @@ def pca_topk(
     if drow["mx"] is None:
         raise ValueError("corpus has no vector components")
     d = int(drow["mx"]) + 1
+    if k > d:
+        # beyond d the deflated iterate is zero in exact arithmetic; in
+        # floating point normalization amplifies deflation round-off into
+        # an arbitrary (non-orthogonal) unit vector — refuse, don't emit
+        raise ValueError(f"k ({k}) cannot exceed the dimensionality ({d})")
     positions = spark.range(d).select(F.col("id").cast("int").alias("pos"))
     prev: DataFrame | None = None
     prev_ids: set[int] = set()

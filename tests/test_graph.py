@@ -215,3 +215,22 @@ def test_weighted_pagerank_dangling_redistribute_conserves_mass(spark):
     ranks = pagerank(e, weight="w", iterations=4, dangling="redistribute")
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_rejects_null_and_nonpositive_weights(spark):
+    """sum() skips NULLs, so a NULL-weight edge would silently destroy
+    rank mass (its source still counts as non-dangling); zero weights
+    abort deep inside cache materialization under ANSI — both must fail
+    fast with a clear error instead."""
+    import pytest
+
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    e_null = spark.createDataFrame(
+        [("a", "b", None), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    with pytest.raises(ValueError, match="positive and non-NULL"):
+        pagerank(e_null, weight="w", iterations=1)
+    e_zero = spark.createDataFrame([("a", "b", 0.0), ("b", "a", 1.0)], ["src", "dst", "w"])
+    with pytest.raises(ValueError, match="positive and non-NULL"):
+        pagerank(e_zero, weight="w", iterations=1)

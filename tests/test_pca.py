@@ -71,3 +71,13 @@ def test_pca_topk_validates_arguments(spark):
         pca_topk(_corpus(spark), k=0)
     with pytest.raises(ValueError, match="rounds must be"):
         pca_topk(_corpus(spark), rounds=0)
+
+
+def test_pca_topk_rejects_k_beyond_dimensionality(spark):
+    """Beyond d the deflated iterate is round-off noise normalized into
+    an arbitrary unit vector — the operator must refuse, not emit a
+    direction that silently violates its orthogonality contract."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dimensionality"):
+        pca_topk(_corpus(spark), k=5, rounds=1)
