@@ -44,7 +44,12 @@ fresh7, fresh7c, fresh7e, fresh7f — ~22 rows), then the r08/r09-green
 modules and finally the mr-core 9 (r09 rows, mrcore.py — rotate by
 r12). Catalog growth this round is exactly the 3 new in-window
 queries (VERDICT r9 #2/#3/#4); multi-batch growth resumes r11+ per
-VERDICT r9 #8 once the evidence tail is trimmed.
+VERDICT r9 #8 once the evidence tail is trimmed. The OPERATOR halves of
+the planned r11 debuts are already staged and pytest-pinned — weighted
+PageRank (``operators/graph.py::pagerank(weight=...)``,
+tests/test_graph.py) and top-k PCA via deflation (``operators/pca.py``,
+numpy-anchored tests/test_pca.py) — so the r11 batch only wires
+registered queries + unrolled oracles and rotates them in-window.
 """
 
 from __future__ import annotations
