@@ -234,3 +234,53 @@ def test_weighted_pagerank_rejects_null_and_nonpositive_weights(spark):
     e_zero = spark.createDataFrame([("a", "b", 0.0), ("b", "a", 1.0)], ["src", "dst", "w"])
     with pytest.raises(ValueError, match="positive and non-NULL"):
         pagerank(e_zero, weight="w", iterations=1)
+
+
+def test_weighted_pagerank_matches_unrolled_duckdb_recurrence(spark, tmp_path):
+    """Cross-engine parity for the weighted form, drafted exactly as the
+    future registered query's oracle will spell it: deg = sum(w),
+    share = wt/outw, rank recurrence unrolled per iteration. Locks the
+    double discipline before the query/oracle pair is wired in."""
+    import duckdb
+
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 1.0), ("a", "c", 3.0),
+        ("b", "a", 2.0), ("b", "c", 2.0),
+        ("c", "a", 5.0), ("c", "b", 1.0),
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    e.write.parquet(f"{tmp_path}/edges.parquet")
+    got = {r.node: r.rank for r in pagerank(e, weight="w", iterations=3).collect()}
+
+    def it(prev, cur):
+        return f"""{cur} AS (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(s.contrib, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ce.v AS node, sum({prev}.rank * ce.w) AS contrib
+    FROM ce JOIN {prev} ON {prev}.node = ce.u
+    GROUP BY 1
+  ) s ON s.node = nodes.node
+)"""
+
+    sql = (
+        f"""
+WITH e AS (SELECT src AS u, dst AS v, CAST(w AS DOUBLE) AS wt
+           FROM read_parquet('{tmp_path}/edges.parquet/*.parquet')),
+deg AS (SELECT u, sum(wt) AS outw FROM e GROUP BY 1),
+ce AS (SELECT e.u, e.v, e.wt / deg.outw AS w FROM e JOIN deg ON deg.u = e.u),
+nodes AS (SELECT DISTINCT u AS node FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+"""
+        + ",\n".join(it(f"r{i}", f"r{i + 1}") for i in range(3))
+        + "\nSELECT node, rank FROM r3 ORDER BY node"
+    )
+    want = dict(duckdb.sql(sql).fetchall())
+    assert set(got) == set(want)
+    for k in want:
+        # summation order may differ in the per-node contribution sum
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])

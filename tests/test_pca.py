@@ -81,3 +81,61 @@ def test_pca_topk_rejects_k_beyond_dimensionality(spark):
 
     with pytest.raises(ValueError, match="dimensionality"):
         pca_topk(_corpus(spark), k=5, rounds=1)
+
+
+def test_pca_topk_deflation_matches_unrolled_duckdb(spark, tmp_path):
+    """Cross-engine parity for the DEFLATED second component, drafted as
+    the future registered query's oracle will spell it: component 1 is
+    the fresh8m unrolled power iteration; component 2 starts from the
+    deflated uniform vector and re-deflates every loading iterate. Locks
+    the double discipline before the query/oracle pair is wired in."""
+    import duckdb
+
+    _corpus(spark).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        (r.component, r.pos): r.loading
+        for r in pca_topk(_corpus(spark), k=2, rounds=2).collect()
+    }
+
+    sql = f"""
+WITH comp AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM read_parquet('{tmp_path}/embeddings.parquet/*.parquet')
+),
+-- component 1: plain power iteration from the uniform unit start (1/sqrt(4))
+a_s1 AS (SELECT vec_id, sum(val) * 0.5 AS s FROM comp GROUP BY vec_id),
+a_w1 AS (SELECT c.pos, sum(c.val * a_s1.s) AS w FROM comp c JOIN a_s1 USING (vec_id) GROUP BY c.pos),
+a_n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM a_w1),
+a_v1 AS (SELECT pos, w / nullif(nrm, 0) AS v FROM a_w1 CROSS JOIN a_n1),
+a_s2 AS (SELECT c.vec_id, sum(c.val * a_v1.v) AS s FROM comp c JOIN a_v1 USING (pos) GROUP BY c.vec_id),
+a_w2 AS (SELECT c.pos, sum(c.val * a_s2.s) AS w FROM comp c JOIN a_s2 USING (vec_id) GROUP BY c.pos),
+a_n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM a_w2),
+v1 AS (SELECT pos, w / nullif(nrm, 0) AS v FROM a_w2 CROSS JOIN a_n2),
+-- component 2: deflate the uniform start against v1, iterate, re-deflate
+b_d0 AS (SELECT sum(v * 0.5) AS d FROM v1),
+b_t0 AS (SELECT v1.pos, 0.5 - b_d0.d * v1.v AS v FROM v1 CROSS JOIN b_d0),
+b_s1 AS (SELECT c.vec_id, sum(c.val * b_t0.v) AS s FROM comp c JOIN b_t0 USING (pos) GROUP BY c.vec_id),
+b_w1 AS (SELECT c.pos, sum(c.val * b_s1.s) AS w FROM comp c JOIN b_s1 USING (vec_id) GROUP BY c.pos),
+b_d1 AS (SELECT sum(v1.v * b_w1.w) AS d FROM v1 JOIN b_w1 USING (pos)),
+b_p1 AS (SELECT b_w1.pos, b_w1.w - b_d1.d * v1.v AS w FROM b_w1 JOIN v1 USING (pos) CROSS JOIN b_d1),
+b_n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM b_p1),
+b_v1 AS (SELECT pos, w / nullif(nrm, 0) AS v FROM b_p1 CROSS JOIN b_n1),
+b_s2 AS (SELECT c.vec_id, sum(c.val * b_v1.v) AS s FROM comp c JOIN b_v1 USING (pos) GROUP BY c.vec_id),
+b_w2 AS (SELECT c.pos, sum(c.val * b_s2.s) AS w FROM comp c JOIN b_s2 USING (vec_id) GROUP BY c.pos),
+b_d2 AS (SELECT sum(v1.v * b_w2.w) AS d FROM v1 JOIN b_w2 USING (pos)),
+b_p2 AS (SELECT b_w2.pos, b_w2.w - b_d2.d * v1.v AS w FROM b_w2 JOIN v1 USING (pos) CROSS JOIN b_d2),
+b_n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM b_p2),
+v2 AS (SELECT pos, w / nullif(nrm, 0) AS v FROM b_p2 CROSS JOIN b_n2)
+SELECT 0 AS component, pos, v AS loading FROM v1
+UNION ALL
+SELECT 1 AS component, pos, v AS loading FROM v2
+ORDER BY component, pos
+"""
+    want = {(c, p): v for c, p, v in duckdb.sql(sql).fetchall()}
+    assert set(got) == set(want)
+    for key in want:
+        # summation order differs between engines; the recurrence is
+        # expression-identical (the r11 oracle rounds to 6 — this is 1e-9)
+        assert abs(got[key] - want[key]) < 1e-9, (key, got[key], want[key])
