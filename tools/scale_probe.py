@@ -601,9 +601,16 @@ def main() -> int:
     sim_mode = "--sim" in args
     if sim_mode:
         args.remove("--sim")
+    pca_mode = "--pca" in args
+    if pca_mode:
+        args.remove("--pca")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    organic_pct = int(args[2]) if len(args) > 2 else (10 if (graph_mode or sim_mode) else 0)
+    organic_pct = int(args[2]) if len(args) > 2 else (
+        10 if (graph_mode or sim_mode or pca_mode) else 0
+    )
+    if pca_mode:
+        return pca_main(reps, src, organic_pct, out_name)
     if sim_mode:
         return sim_main(reps, src, organic_pct, out_name)
     if graph_mode:
@@ -826,6 +833,56 @@ def sim_main(reps: int, src: str, organic_pct: int, out_name: str | None = None)
             f"| {a[meth]['wall_s']} | {b[meth]['wall_s']} |"
         )
     out = _record_out(out_name, "scale_probe_sim_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# --pca: top-k deflated PCA wall at 1x vs 10x (the operator's scale claim is
+# "corpus touched exactly 2*k*rounds times, all other state k*d" — so wall
+# should track corpus size ~linearly; a superlinear ratio would expose a
+# hidden per-round blowup the fixture can't show)
+# ---------------------------------------------------------------------------
+
+def pca_main(reps: int, src: str, organic_pct: int, out_name: str | None = None) -> int:
+    import statistics
+
+    from mapreduce_system_spark.operators.pca import pca_topk
+
+    dst = "/tmp/spark_graft_scale/pca_sf1"
+    spark = get_spark("scale_probe_pca")
+    print(f"# building {reps}x corpus at {dst} from {src} (organic {organic_pct}%)", file=sys.stderr)
+    build_scaled(spark, src, dst, reps, organic_pct=organic_pct)
+
+    record: dict = {"mode": "pca", "reps": reps, "src": src,
+                    "organic_pct": organic_pct, "k": 3, "rounds": 3, "scales": {}}
+    # untimed warm-up (JVM/codegen), same as the other modes
+    emb0 = load_table(spark, src, "embeddings", columns=["vec_id", "embedding"])
+    pca_topk(emb0, k=3, rounds=3).write.format("noop").mode("overwrite").save()
+    caches.release()
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        emb = load_table(spark, d, "embeddings", columns=["vec_id", "embedding"])
+        n = emb.count()
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            pca_topk(emb, k=3, rounds=3).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+            caches.release()
+        record["scales"][label] = {"rows": int(n), "wall_s": round(statistics.median(walls), 2)}
+        print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2)
+    record["rows_ratio"] = round(b["rows"] / a["rows"], 2)
+    print("| scale | rows | wall s |")
+    print("|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['rows']} | {sc['wall_s']} |")
+    print(f"| ratio | {record['rows_ratio']} | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_pca_latest.json")
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
