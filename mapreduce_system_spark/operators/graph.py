@@ -107,13 +107,20 @@ def pagerank(
         # a zero out-weight sum aborts the cache materialization with an
         # opaque executor-side ANSI DIVIDE_BY_ZERO; one bounded driver
         # scalar buys a clear error at the call site instead
-        n_bad = e.agg(
-            F.count_if(F.col("wt").isNull() | (F.col("wt") <= 0)).alias("n")
-        ).collect()[0]["n"]
+        # NaN needs its own test: Spark orders NaN ABOVE every number, so
+        # `wt > 0` is true for NaN and a NaN weight would sail through a
+        # sign check into all-NaN ranks; +Inf fails the finiteness bound
+        # (inf/inf shares are NaN too)
+        bad = (
+            F.col("wt").isNull()
+            | F.isnan("wt")
+            | ~((F.col("wt") > 0) & (F.col("wt") < F.lit(float("inf"))))
+        )
+        n_bad = e.agg(F.count_if(bad).alias("n")).collect()[0]["n"]
         if n_bad:
             raise ValueError(
-                f"weight column {weight!r} must be positive and non-NULL; "
-                f"{n_bad} edge(s) violate this"
+                f"weight column {weight!r} must be positive, finite, and "
+                f"non-NULL; {n_bad} edge(s) violate this"
             )
         deg = e.groupBy("u").agg(F.sum("wt").alias("outw"))
         # contribution edge list: (u, v, wt/Σwt) — same loop, same shapes;

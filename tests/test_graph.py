@@ -229,11 +229,17 @@ def test_weighted_pagerank_rejects_null_and_nonpositive_weights(spark):
     e_null = spark.createDataFrame(
         [("a", "b", None), ("b", "a", 1.0)], "src string, dst string, w double"
     )
-    with pytest.raises(ValueError, match="positive and non-NULL"):
+    with pytest.raises(ValueError, match="positive, finite"):
         pagerank(e_null, weight="w", iterations=1)
     e_zero = spark.createDataFrame([("a", "b", 0.0), ("b", "a", 1.0)], ["src", "dst", "w"])
-    with pytest.raises(ValueError, match="positive and non-NULL"):
+    with pytest.raises(ValueError, match="positive, finite"):
         pagerank(e_zero, weight="w", iterations=1)
+    # NaN orders ABOVE every number in Spark, so a bare sign check would
+    # pass it into all-NaN ranks; +Inf makes inf/inf = NaN shares
+    for w in (float("nan"), float("inf")):
+        e_bad = spark.createDataFrame([("a", "b", w), ("b", "a", 1.0)], ["src", "dst", "w"])
+        with pytest.raises(ValueError, match="positive, finite"):
+            pagerank(e_bad, weight="w", iterations=1)
 
 
 def test_weighted_pagerank_matches_unrolled_duckdb_recurrence(spark, tmp_path):

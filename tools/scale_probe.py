@@ -97,7 +97,10 @@ HEAVY = [
 _OFFSET = 10_000_000  # id offset per replica — far above any fixture id
 
 
-def build_scaled(spark, src: str, dst: str, reps: int, organic_pct: int = 0) -> None:
+def build_scaled(
+    spark, src: str, dst: str, reps: int, organic_pct: int = 0,
+    tables: tuple = ("documents", "embeddings"),
+) -> None:
     """Write the sharded 10× documents + embeddings tables under dst.
 
     ``organic_pct`` > 0 switches on the ORGANIC-collision variant
@@ -159,8 +162,10 @@ def build_scaled(spark, src: str, dst: str, reps: int, organic_pct: int = 0) -> 
     out_embs = emb_parts[0]
     for p in emb_parts[1:]:
         out_embs = out_embs.unionByName(p)
-    out_docs.repartition(8).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
-    out_embs.repartition(4).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    if "documents" in tables:
+        out_docs.repartition(8).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    if "embeddings" in tables:
+        out_embs.repartition(4).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
 
 
 def _pairs_in_groups(counts, col="c"):
@@ -854,7 +859,9 @@ def pca_main(reps: int, src: str, organic_pct: int, out_name: str | None = None)
     dst = "/tmp/spark_graft_scale/pca_sf1"
     spark = get_spark("scale_probe_pca")
     print(f"# building {reps}x corpus at {dst} from {src} (organic {organic_pct}%)", file=sys.stderr)
-    build_scaled(spark, src, dst, reps, organic_pct=organic_pct)
+    # embeddings only: the documents rewrite (per-doc regexp at 10x) is
+    # half the build and this probe never reads it
+    build_scaled(spark, src, dst, reps, organic_pct=organic_pct, tables=("embeddings",))
 
     record: dict = {"mode": "pca", "reps": reps, "src": src,
                     "organic_pct": organic_pct, "k": 3, "rounds": 3, "scales": {}}
