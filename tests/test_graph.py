@@ -290,3 +290,26 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)
     for k in want:
         # summation order may differ in the per-node contribution sum
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+def test_weighted_pagerank_mass_invariant_on_random_graphs(spark):
+    """Seeded random weighted digraphs with redistribute: total rank is
+    1 regardless of topology or weight skew — the invariant, not one
+    hand-built case."""
+    import random
+
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(12)]
+        edges = [
+            (a, b, round(rng.uniform(0.1, 9.0), 3))
+            for a in nodes
+            for b in rng.sample(nodes, 3)
+            if a != b and rng.random() < 0.7
+        ]
+        e = spark.createDataFrame(edges, ["src", "dst", "w"])
+        ranks = pagerank(e, weight="w", iterations=4, dangling="redistribute")
+        total = ranks.agg(F.sum("rank")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-9, (seed, total)

@@ -139,3 +139,33 @@ ORDER BY component, pos
         # summation order differs between engines; the recurrence is
         # expression-identical (the r11 oracle rounds to 6 — this is 1e-9)
         assert abs(got[key] - want[key]) < 1e-9, (key, got[key], want[key])
+
+
+def test_pca_topk_invariants_on_random_matrices(spark):
+    """Seeded random corpora: directions stay orthonormal and aligned
+    with numpy's singular vectors — the invariant, not one fixture."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    for seed in (7, 23):
+        rng = np.random.default_rng(seed)
+        # well-separated spectrum by construction
+        u, _ = np.linalg.qr(rng.normal(size=(12, 3)))
+        v, _ = np.linalg.qr(rng.normal(size=(5, 3)))
+        x = (u * np.array([10.0, 4.0, 1.5])) @ v.T
+        corpus = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(c) for c in row]) for i, row in enumerate(x)],
+            "vec_id long, embedding array<float>",
+        )
+        out = pca_topk(corpus, k=2, rounds=10).collect()
+        comps = {}
+        for r in out:
+            comps.setdefault(r.component, {})[r.pos] = r.loading
+        vs = [np.array([comps[c][p] for p in range(5)]) for c in sorted(comps)]
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        for c in range(2):
+            assert abs(float(np.linalg.norm(vs[c])) - 1.0) < 1e-9
+            # float32 embedding storage bounds the achievable alignment
+            assert abs(float(np.dot(vs[c], vt[c]))) > 1 - 1e-5, (seed, c)
+        assert abs(float(np.dot(vs[0], vs[1]))) < 1e-9
