@@ -72,6 +72,24 @@ def blob_features(df: DataFrame, id_col: str = "id", blob_col: str = "blob") -> 
     return df.select(id_col, blob_col).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+_PIL_IMAGE_CACHE: list = []  # [PIL.Image module or None], resolved once
+
+
+def _pil_image():
+    """PIL.Image or None, resolved ONCE per interpreter: Python does not
+    negatively cache failed imports, so re-attempting ``from PIL import
+    Image`` per blob pays a raised ImportError (~57 us measured here) on
+    every row of the hot mapInPandas path in a container without PIL."""
+    if not _PIL_IMAGE_CACHE:
+        try:
+            from PIL import Image  # type: ignore
+
+            _PIL_IMAGE_CACHE.append(Image)
+        except Exception:
+            _PIL_IMAGE_CACHE.append(None)
+    return _PIL_IMAGE_CACHE[0]
+
+
 def _decode_image_real(blob: bytes):
     """Real decoder — requires an imaging library absent from this
     container. Cited for the intended production path.
@@ -82,8 +100,10 @@ def _decode_image_real(blob: bytes):
     kept because the switch is purely environmental: with PIL present this
     function lights up and ``decoder`` flips to ``"pil"`` with zero engine
     changes."""
+    Image = _pil_image()
+    if Image is None:
+        return None
     try:
-        from PIL import Image  # type: ignore
         import io
 
         img = Image.open(io.BytesIO(blob))
@@ -114,9 +134,11 @@ def decode_image_png(blob: bytes):
     for non-PNG/truncated bytes or unsupported shapes (only 8-bit depth,
     color types 0/2/4/6, non-interlaced) so a mixed corpus falls back to
     the stand-in per blob instead of failing the stage. ``mean_value``
-    is the mean ITU-R 601-2 integer luma ((299R+587G+114B)//1000 — the
-    same definition PIL's convert('L') uses), alpha ignored, so the two
-    real decoders agree where their support overlaps.
+    is the mean ITU-R 601-2 integer luma ((299R+587G+114B)//1000; PIL's
+    convert('L') truncates the fixed-point form (19595R+38470G+7471B)>>16,
+    which can differ by 1 LSB on some pixels — e.g. RGB=(4,0,86) — so the
+    two real decoders agree to within 1 LSB per pixel, not bit-exactly),
+    alpha ignored.
 
     Pure-Python per-scanline loops are fine here: the adapter contract
     is per-blob ``bytes -> features``, and at scale the cost center is
@@ -139,6 +161,12 @@ def decode_image_png(blob: bytes):
     except ValueError:  # bad filter byte mid-stream
         return None
     return (width, height, total / (width * height), "png")
+
+
+# inflate cap for untrusted PNGs: covers every plausible curation input
+# (64 MiB plane = e.g. 4096x4096 RGBA) while bounding decompression-bomb
+# allocations to the cap instead of the bomb's declared size
+_MAX_PNG_PLANE_BYTES = 64 * 1024 * 1024
 
 
 def _png_reconstruct(blob: bytes):
@@ -184,9 +212,18 @@ def _png_reconstruct(blob: bytes):
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             return None
-        raw = zlib.decompress(bytes(idat))
         stride = width * channels
-        if len(raw) != (stride + 1) * height:
+        expected = (stride + 1) * height
+        # bound BEFORE inflating: a tiny crafted blob whose IHDR declares
+        # huge dimensions (or whose IDAT inflates at ~1000:1) would
+        # otherwise allocate gigabytes inside zlib.decompress and get the
+        # executor cgroup-killed — uncatchable, failing the whole stage
+        # the per-blob-fallback design exists to protect
+        if expected > _MAX_PNG_PLANE_BYTES:
+            return None
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+        if len(raw) != expected:
             return None
     except Exception:
         return None
@@ -676,11 +713,13 @@ def _decode_image_pixels_real(blob: bytes):
     """PIL full-pixel path (absent in this container; kept first in the
     chain so a production image works with zero engine changes):
     ``bytes -> (width, height, HxW uint8 luma ndarray, "pil") | None``."""
+    Image = _pil_image()
+    if Image is None:
+        return None
     try:
         import io
 
         import numpy as np
-        from PIL import Image  # type: ignore
 
         img = Image.open(io.BytesIO(blob))
         if img.width * img.height == 0:
@@ -810,11 +849,15 @@ def decode_audio_wave(blob: bytes):
             width = w.getsampwidth()
             n_ch = w.getnchannels()
             raw = w.readframes(n_frames)
-        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        # explicit little-endian dtypes: WAV PCM payloads are ALWAYS
+        # little-endian, but np.int16/int32 are native-endian aliases —
+        # a big-endian host would silently decode byte-swapped garbage
+        # (wrong rms, no exception, so no fallback)
+        dtype = {1: "u1", 2: "<i2", 4: "<i4"}.get(width)
         if dtype is None or n_frames == 0 or rate <= 0:
             return None
-        sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-        if dtype is np.uint8:
+        sig = np.frombuffer(raw, dtype=np.dtype(dtype)).astype(np.float64)
+        if width == 1:
             sig = sig - 128.0
         sig = sig.reshape(n_frames, n_ch).mean(axis=1)
         return (n_frames, n_frames / rate, float(np.sqrt((sig**2).mean())), "wave")

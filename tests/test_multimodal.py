@@ -969,3 +969,66 @@ def test_jpeg_encoder_rejects_out_of_range_dimensions():
         encode_image_jpeg_baseline(np.zeros((0, 8, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="65535"):
         encode_image_jpeg_baseline(np.zeros((8, 70000, 3), dtype=np.uint8))
+
+
+def test_png_decompression_bomb_is_bounded_not_allocated():
+    """A tiny blob whose IHDR declares huge dimensions with a ~1000:1
+    zlib IDAT must be rejected by the pre-inflate bound (returns None
+    fast), never allocated: inside a memory-capped executor that
+    allocation is a cgroup kill, not a catchable exception."""
+    import struct
+    import time
+    import zlib
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data)
+        )
+
+    # declares a 50000x50000 RGB image (7.5 GB plane) but ships ~7 MB of
+    # highly compressible zeros
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(1 << 23), 9)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    assert MM.decode_image_png(bomb) is None
+    assert time.time() - t0 < 2.0  # rejected at the header bound, not inflated
+
+
+def test_png_oversized_inflation_under_dim_cap_is_truncated_safely():
+    """Even when the declared plane fits the cap, an IDAT stream that
+    inflates to MORE than the declared plane must be rejected (bounded
+    decompressobj read), not trusted."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # gray 2x2: 6 bytes
+    idat = zlib.compress(bytes(1000))  # inflates far past the plane
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    assert MM.decode_image_png(blob) is None
+
+
+def test_blob_schema_matches_binarize_text_output(spark):
+    """BLOB_SCHEMA is the documented shape of the ingestion stand-in —
+    keep it checked against the actual output, not drift-prone prose."""
+    df = spark.createDataFrame([Row(doc_id=1, text="hi")])
+    out = MM.binarize_text(df)
+    want = spark.createDataFrame([], MM.BLOB_SCHEMA).schema
+    got = out.schema
+    assert [f.name for f in got.fields] == [f.name for f in want.fields]
+    assert [f.dataType for f in got.fields] == [f.dataType for f in want.fields]
