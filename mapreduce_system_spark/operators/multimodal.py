@@ -378,6 +378,12 @@ def decode_image_jpeg_rgb(blob: bytes):
     return _jpeg_decode(blob, pixels=True, rgb=True)
 
 
+# declared-dimension cap for untrusted JPEGs (the _MAX_PNG_PLANE_BYTES
+# sibling): bounds the float64 reconstruction planes and the per-block
+# coefficient store that are sized from the SOF header alone
+_MAX_JPEG_PIXELS = 4 * 1024 * 1024
+
+
 def _jpeg_decode(blob: bytes, pixels: bool, rgb: bool = False):
     try:
         if not blob.startswith(b"\xff\xd8"):
@@ -421,6 +427,14 @@ def _jpeg_decode(blob: bytes, pixels: bool, rgb: bool = False):
                     return None
                 height = int.from_bytes(seg[1:3], "big")
                 width = int.from_bytes(seg[3:5], "big")
+                # the PNG bomb guard's JPEG sibling: declared dimensions
+                # size the per-component float64 planes AND the per-block
+                # coefficient store, both allocated before any pixel is
+                # checked — a crafted SOF + a few MB of EOB-only entropy
+                # data would otherwise OOM the executor (uncatchable
+                # cgroup kill). 4 MP/component = 32 MB float64 plane.
+                if width * height > _MAX_JPEG_PIXELS:
+                    return None
                 nc = seg[5]
                 comps = [
                     (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0xF, seg[8 + 3 * c])

@@ -1032,3 +1032,29 @@ def test_blob_schema_matches_binarize_text_output(spark):
     got = out.schema
     assert [f.name for f in got.fields] == [f.name for f in want.fields]
     assert [f.dataType for f in got.fields] == [f.dataType for f in want.fields]
+
+
+def test_jpeg_declared_dimension_bomb_is_rejected_before_allocation():
+    """A crafted SOF declaring huge dimensions must be rejected at the
+    header (the PNG bomb guard's sibling): the reconstruction planes and
+    the coefficient store are sized from the SOF alone, before any
+    entropy data is validated."""
+    import struct
+    import time
+
+    # SOI + SOF0 declaring 60000x60000, 1 component
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)  # segment length
+        + b"\x08"  # precision 8
+        + struct.pack(">H", 60000)
+        + struct.pack(">H", 60000)
+        + b"\x01"  # 1 component
+        + b"\x01\x11\x00"  # id 1, 1x1 sampling, qtable 0
+    )
+    blob = b"\xff\xd8" + sof
+    t0 = time.time()
+    assert MM.decode_image_jpeg_dc(blob) is None
+    assert MM.decode_image_jpeg_pixels(blob) is None
+    assert MM.decode_image_jpeg_rgb(blob) is None
+    assert time.time() - t0 < 1.0
