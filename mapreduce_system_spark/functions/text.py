@@ -45,8 +45,12 @@ def token_count(text: Column | str) -> Column:
 # GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible subset
 # (no lookahead) so the exact same pattern runs in Spark (Java regex) and the
 # DuckDB oracle (RE2): contraction suffixes, space-prefixed letter runs,
-# space-prefixed digit runs, space-prefixed punctuation runs.
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# space-prefixed digit runs, space-prefixed punctuation runs. The
+# whitespace exclusion in the punctuation class is spelled EXPLICITLY,
+# not \s: Java \s includes \x0B where RE2's does not, so under \s a
+# vertical tab would count as a punctuation token in the oracle only
+# (caught by tests/test_adversarial_corpus.py).
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
 
 
 def bpe_tokens(text: Column | str) -> Column:

@@ -155,7 +155,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same regex text as functions.text.BPE_SPLIT_RE, with the leading quote
 # doubled for SQL string literals.
-_BPE_RE_SQL = r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'"
+# derived from the ONE Python-side pattern (functions/text.py) with SQL
+# quote-escaping — a hand-copied twin is exactly how the \\s-vs-\\x0B
+# class of divergence slips in on one side only
+_BPE_RE_SQL = "'" + TXT.BPE_SPLIT_RE.replace("'", "''") + "'"
 
 _BPE_STATS_SQL = rf"""
 WITH t AS (

@@ -181,3 +181,53 @@ def test_md5_bucket32_matches_its_sql_twin(spark):
         ).fetchone()
         assert got[k] == want, k
         assert 0 <= got[k] < 2**32
+
+
+def test_quality_profile_cross_engine_on_adversarial_strings(spark, tmp_path):
+    """The fixture corpus is pure-ASCII and NULL-free, so the oracle gate
+    never exercises the regex/NULL edges — this pins the full quality
+    query against its own oracle SQL on a crafted corpus: unicode
+    whitespace variants, accents (non-word in BOTH engines' ASCII \\w),
+    emoji/CJK, control characters, NBSP/zero-width, empty/whitespace-only/
+    punct-only strings, underscores, digits, and a NULL text row."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from mapreduce_system_spark.queries.textstats import (
+        _QUALITY_SQL,
+        q_quality_profile,
+    )
+
+    texts = [
+        None,
+        "",
+        "   \t\n",
+        "!!! ??? ...",
+        "plain ascii words the and of",
+        "tab\tsep\nnewline\x0bvtab\ffeed\rret",
+        "café naïve résumé",
+        "emoji \U0001f600 mixed 中文 words",
+        "nbsp joined zero​width",
+        "under_scores and digits 12345 67890",
+        "UPPER lower MiXeD the THE The",
+        "x" * 500,
+        "a " * 200,
+        "word-with-hyphens and/or slashes|pipes",
+        "quotes 'single' \"double\" `back`",
+        "trailing spaces   ",
+        "   leading spaces",
+        "semi;colon:colon,comma.dot",
+        "math 3<4 >=2 !=1 ~5 ^6 &7 *8",
+        "brackets (a) [b] {c} <d>",
+    ]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = [tuple(r) for r in q_quality_profile(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(_QUALITY_SQL).fetchall()]
+    assert got == want
