@@ -85,12 +85,22 @@ def q_math_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guard: DuckDB's json_extract_string VALIDATES its input and
+# aborts the whole query on a malformed props string, where Spark's
+# from_json nulls just that row — the CASE makes malformed rows NULL on
+# both engines (caught by tests/test_adversarial_corpus.py; fixture
+# props are all well-formed, so fixture hashes are unchanged)
 _JSON_MAP_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN props END AS props
+  FROM events
+)
 SELECT event_type,
        count(*) AS cnt,
        CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS with_k,
        CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
-FROM events
+FROM p
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -119,3 +119,87 @@ def test_documents_query_matches_oracle_on_adversarial_corpus(
     assert sorted(got, key=key) == sorted(want, key=key), (
         f"{name}: spark={got[:5]}... oracle={want[:5]}..."
     )
+
+
+# ---------------------------------------------------------------------------
+# events family: NULL user_id / value / event_type / props, malformed and
+# extreme JSON, duplicate timestamps, sub-second ordering ties
+# ---------------------------------------------------------------------------
+
+_EVENT_ROWS = [
+    # (event_id, ts iso, user_id, event_type, value, props)
+    (1, "2024-01-01 00:00:00", 10, "open", 1.5, '{"k": 1, "plan": "a"}'),
+    (2, "2024-01-01 00:00:00", 10, "open", 1.5, '{"k": 1, "plan": "a"}'),  # exact dup
+    (3, "2024-01-01 00:15:30", None, "view", 2.0, None),                    # NULL user
+    (4, "2024-01-01 00:59:59", 11, None, None, "not json at all"),          # NULLs + bad json
+    (5, "2024-01-01 01:00:00", 11, "pay", -3.25, '{"k": null}'),            # boundary + null k
+    (6, "2024-01-01 01:00:00", 11, "pay", 0.0, '{"k": 2147483648}'),        # >int32 k
+    (7, "2024-01-02 23:59:59", 12, "close", 1e12, "{}"),                    # day gap + huge value
+    (8, "2024-01-05 12:00:00", None, "view", None, '{"plan": "b"}'),        # NULL-user-only window
+    (9, "2024-01-05 12:30:00", 13, "open", 7.0, "[1,2,3]"),                 # non-object json
+    (10, "2024-01-05 12:30:00", 13, "close", 7.0, '{"plan": "b", "k": 3}'),  # ts tie, diff type
+]
+
+_EVENT_QUERY_NAMES = [
+    "fn_json_props",
+    "fn_json_map_props",
+    "fn_date_trunc_hourly_events",
+    "fn_date_gap_fill_daily",
+    "rel_cdc_latest_state",
+    "rel_scd2_intervals",
+    "rel_funnel_conversion",
+    "rel_sessionize_events",
+    "rel_window_range_frames",
+    "stream_user_totals_batch",
+    "stream_tumbling_distinct_users",
+    "fn_ewma_user_value",
+    "agg_grouped_mode_argmax",
+    "fn_time_weighted_avg",
+    "fn_moving_window_stats",
+    "fn_cohort_retention",
+    "fn_ohlc_hourly",
+    "pipe_keep_latest_k",
+    "mr_key_count",
+    "skew_salted_agg",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(spark, tmp_path_factory):
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("adversarial_events")
+    rows = [
+        Row(
+            event_id=e,
+            ts=dt.datetime.fromisoformat(ts),
+            user_id=u,
+            event_type=et,
+            value=v,
+            props=pr,
+        )
+        for (e, ts, u, et, v, pr) in _EVENT_ROWS
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERY_NAMES)
+def test_events_query_matches_oracle_on_adversarial_corpus(
+    spark, adversarial_events_dir, name
+):
+    got = [tuple(r) for r in QUERIES[name](spark, adversarial_events_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adversarial_events_dir}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key), (
+        f"{name}: spark={got[:5]}... oracle={want[:5]}..."
+    )
