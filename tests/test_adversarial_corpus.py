@@ -203,3 +203,111 @@ def test_events_query_matches_oracle_on_adversarial_corpus(
     assert sorted(got, key=key) == sorted(want, key=key), (
         f"{name}: spark={got[:5]}... oracle={want[:5]}..."
     )
+
+
+# ---------------------------------------------------------------------------
+# embeddings family (pure-SQL oracles only — the export-pattern queries
+# pin their side tables to the fixture sf name): zero vectors (nullif
+# guards), exact duplicates (tie-breaks), negatives, tiny/large magnitudes
+# ---------------------------------------------------------------------------
+
+# cosine-RANKING queries run on the zero-free corpus: a zero-norm vector
+# is outside the verified domain by documented contract (functions/
+# vectors.py::cosine scores it 0.0 where DuckDB's list_cosine_similarity
+# returns -1.0; the fixture guard test_fixture_embeddings_have_no_zero_norm
+# pins the domain loudly). The guard-bearing statistics queries keep the
+# zero vector — their nullif guards must agree cross-engine ON it.
+_EMB_RANKING_QUERY_NAMES = [
+    "sim_topk_arrow",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf_exact",
+    "sim_dup_pairs_cosine",
+]
+
+_EMB_QUERY_NAMES = [
+    "emb_int8_quantize_error",
+    "emb_centroid_outliers",
+    "emb_hof_vector_stats",
+    "emb_centroid_distance_matrix",
+    "emb_pca_power_iteration",
+]
+
+
+def _emb_rows(include_zero: bool):
+    base = [
+        [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0] * 8,                                  # zero vector: NULL cosine
+        [1.0] * 8,                                  # uniform
+        [-1.0] * 8,                                 # antipodal uniform
+        [1e-6] * 8,                                 # tiny magnitude
+        [1e6, -1e6, 1e6, -1e6, 1e6, -1e6, 1e6, -1e6],
+        [0.5, -0.5, 0.25, -0.25, 0.125, -0.125, 0.0625, -0.0625],
+    ]
+    rows = []
+    for i in range(24):
+        v = list(base[i % len(base)])
+        if not include_zero and i % len(base) == 2:
+            v = [0.25] * 8  # replace the zero vector inside the domain
+        if i >= len(base):
+            v = [x * (1.0 + (i // len(base)) * 0.25) for x in v]  # scaled clones
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v], label=i % 3))
+    # an exact duplicate pair (same values, different ids) for tie-breaks
+    rows.append(Row(vec_id=24, embedding=[1.0] * 8, label=0))
+    return rows
+
+
+def _write_emb(spark, d, include_zero: bool) -> str:
+    spark.createDataFrame(
+        _emb_rows(include_zero), "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings_dir(spark, tmp_path_factory):
+    return _write_emb(spark, tmp_path_factory.mktemp("adversarial_emb"), True)
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings_nz_dir(spark, tmp_path_factory):
+    return _write_emb(spark, tmp_path_factory.mktemp("adversarial_emb_nz"), False)
+
+
+@pytest.mark.parametrize("name", _EMB_QUERY_NAMES)
+def test_embeddings_query_matches_oracle_on_adversarial_corpus(
+    spark, adversarial_embeddings_dir, name
+):
+    got = [
+        tuple(r) for r in QUERIES[name](spark, adversarial_embeddings_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_embeddings_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key), (
+        f"{name}: spark={got[:5]}... oracle={want[:5]}..."
+    )
+
+
+@pytest.mark.parametrize("name", _EMB_RANKING_QUERY_NAMES)
+def test_embeddings_ranking_query_matches_oracle_on_zero_free_corpus(
+    spark, adversarial_embeddings_nz_dir, name
+):
+    got = [
+        tuple(r)
+        for r in QUERIES[name](spark, adversarial_embeddings_nz_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_embeddings_nz_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key), (
+        f"{name}: spark={got[:5]}... oracle={want[:5]}..."
+    )
