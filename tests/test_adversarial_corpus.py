@@ -311,3 +311,103 @@ def test_embeddings_ranking_query_matches_oracle_on_zero_free_corpus(
     assert sorted(got, key=key) == sorted(want, key=key), (
         f"{name}: spark={got[:5]}... oracle={want[:5]}..."
     )
+
+
+# ---------------------------------------------------------------------------
+# relational tables: NULLs in the ranking/measure columns — the direct
+# cross-engine proof of the asc_nulls_last pins and the NULL-skipping
+# group median (which the ASCII NULL-free fixture can never exercise)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_rel_dir(spark, tmp_path_factory):
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("adversarial_rel")
+    segs = ["AUTOMOBILE", "BUILDING"]
+    cust = [
+        Row(
+            c_custkey=i,
+            c_name=f"c{i}",
+            c_nationkey=i % 3,
+            c_acctbal=(None if i % 5 == 0 else float(100 * i - 250)),
+            c_mktsegment=segs[i % 2],
+        )
+        for i in range(1, 13)
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+
+    prios = ["1-URGENT", "2-HIGH"]
+    orders = [
+        Row(
+            o_orderkey=i,
+            o_custkey=(i % 12) + 1,
+            o_orderstatus="O",
+            o_totalprice=(None if i % 7 == 0 else float(1000 + 37 * i)),
+            o_orderdate=dt.datetime(2024, 1, 1 + (i % 20)),
+            o_orderpriority=prios[i % 2],
+        )
+        for i in range(1, 31)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+
+    flags = ["A", "N", "R"]
+    li = [
+        Row(
+            l_orderkey=(i % 30) + 1,
+            l_partkey=i,
+            l_suppkey=i % 5,
+            l_linenumber=i % 4,
+            l_quantity=float(i % 9 + 1),
+            l_extendedprice=(None if i % 11 == 0 else float(900 + 13 * i)),
+            l_discount=0.05,
+            l_tax=0.02,
+            l_returnflag=flags[i % 3],
+            l_linestatus="F",
+            l_shipdate=dt.datetime(2024, 2, 1 + (i % 25)),
+        )
+        for i in range(1, 61)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    return str(d)
+
+
+_REL_QUERY_NAMES = [
+    "rel_window_cume_ntile",   # NULL c_acctbal through the pinned ASC rank
+    "rel_histogram_equi_depth",  # NULL o_totalprice through the pinned rank
+    "agg_mad_outliers",        # NULL l_extendedprice through the group median
+    "agg_quantiles",           # NULL l_extendedprice through rank selection
+]
+
+
+@pytest.mark.parametrize("name", _REL_QUERY_NAMES)
+def test_relational_query_matches_oracle_on_null_bearing_corpus(
+    spark, adversarial_rel_dir, name
+):
+    got = [tuple(r) for r in QUERIES[name](spark, adversarial_rel_dir).collect()]
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_rel_dir}/{t}.parquet/*.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key), (
+        f"{name}: spark={got[:5]}... oracle={want[:5]}..."
+    )
