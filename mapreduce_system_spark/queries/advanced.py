@@ -102,6 +102,10 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = li.groupBy(g).agg(
         F.count("*").alias("cnt_all"), F.count(px).alias("cnt")
     )
+    # eqNullSafe: GROUP BY treats NULL as a group, but an equi-join key
+    # never matches NULL — a plain join(g) silently DROPPED the NULL-flag
+    # group (caught by the adversarial corpus; the fixture has no NULL
+    # flags)
     ranked = (
         li.where(px.isNotNull())
         .select(
@@ -109,7 +113,12 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             px.alias("v"),
             F.row_number().over(W.partitionBy(g).orderBy(px)).alias("rn"),
         )
-        .join(F.broadcast(cnts), g)
+        .alias("r")
+        .join(
+            F.broadcast(cnts.alias("c")),
+            F.col(f"r.{g}").eqNullSafe(F.col(f"c.{g}")),
+        )
+        .select(F.col(f"r.{g}").alias(g), "v", "rn", "cnt", "cnt_all")
     )
 
     def rank_lo(p: float):  # 1-indexed lower rank of the interpolation pair
@@ -144,12 +153,24 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = pos - F.floor(pos)
         return F.round(F.col(lo) + frac * (F.col(hi) - F.col(lo)), 4)
 
-    return edges.select(
+    qvals = edges.select(
         g,
         interp(0.5, "v50lo", "v50hi").alias("p50"),
         interp(0.9, "v90lo", "v90hi").alias("p90"),
-        F.col("cnt_all").alias("cnt"),
-    ).orderBy(g)
+    )
+    # LEFT join back onto the full group list (null-safe): a group whose
+    # values are ALL NULL has no ranked rows at all, but quantile_cont
+    # still emits it with NULL quantiles and its count(*)
+    return (
+        cnts.alias("c")
+        .join(
+            F.broadcast(qvals.alias("q")),
+            F.col(f"c.{g}").eqNullSafe(F.col(f"q.{g}")),
+            "left",
+        )
+        .select(F.col(f"c.{g}").alias(g), "p50", "p90", F.col("cnt_all").alias("cnt"))
+        .orderBy(g)
+    )
 
 
 _WMEAN_SQL = """

@@ -194,7 +194,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
+                                     ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
          AS running_sum
 FROM orders
@@ -208,8 +208,15 @@ def q_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding..current). Partitioned window — scales with per-key history,
     not table size."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    # asc_nulls_last on the time key: a NULL order date must sit at the
+    # END of the cumulative history on both engines (Spark ASC defaults
+    # NULLS FIRST, DuckDB NULLS LAST — the fresh8e class, here on a
+    # running frame rather than a rank)
     out = REL.running_agg(
-        orders, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")], "o_totalprice"
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey")],
+        "o_totalprice",
     )
     return out.select(
         "o_custkey", "o_orderkey", F.round("running_sum", 2).alias("running_sum")
@@ -221,7 +228,7 @@ SELECT o_custkey, o_orderkey,
        round(lag(o_totalprice) OVER w, 2) AS prev_price,
        CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey)
 ORDER BY o_custkey, o_orderkey
 """
 
@@ -233,7 +240,12 @@ def q_window_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
-    w_time = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # asc_nulls_last: NULL order dates lag-chain at the END on both
+    # engines (fresh8e class); the DESC rank already agrees (both
+    # engines default DESC NULLS LAST)
+    w_time = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     w_rank = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         orders.select(

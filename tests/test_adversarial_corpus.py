@@ -346,10 +346,12 @@ def adversarial_rel_dir(spark, tmp_path_factory):
     orders = [
         Row(
             o_orderkey=i,
-            o_custkey=(i % 12) + 1,
+            o_custkey=(None if i % 13 == 0 else (i % 12) + 1),
             o_orderstatus="O",
             o_totalprice=(None if i % 7 == 0 else float(1000 + 37 * i)),
-            o_orderdate=dt.datetime(2024, 1, 1 + (i % 20)),
+            o_orderdate=(
+                None if i == 17 else dt.datetime(2024, 1, 1 + (i % 20))
+            ),
             o_orderpriority=prios[i % 2],
         )
         for i in range(1, 31)
@@ -367,11 +369,11 @@ def adversarial_rel_dir(spark, tmp_path_factory):
             l_partkey=i,
             l_suppkey=i % 5,
             l_linenumber=i % 4,
-            l_quantity=float(i % 9 + 1),
+            l_quantity=(None if i % 17 == 0 else float(i % 9 + 1)),
             l_extendedprice=(None if i % 11 == 0 else float(900 + 13 * i)),
             l_discount=0.05,
             l_tax=0.02,
-            l_returnflag=flags[i % 3],
+            l_returnflag=(None if i % 19 == 0 else flags[i % 3]),
             l_linestatus="F",
             l_shipdate=dt.datetime(2024, 2, 1 + (i % 25)),
         )
@@ -392,6 +394,36 @@ _REL_QUERY_NAMES = [
     "rel_histogram_equi_depth",  # NULL o_totalprice through the pinned rank
     "agg_mad_outliers",        # NULL l_extendedprice through the group median
     "agg_quantiles",           # NULL l_extendedprice through rank selection
+    "rel_sql_api_q3",
+    "rel_semi_join",           # NULL o_custkey: NULL keys never join, both
+    "rel_anti_join",
+    "rel_not_exists_subquery",
+    "rel_full_outer_join",
+    "rel_join_fact_fact",
+    "rel_set_ops",
+    "rel_set_ops_bag",
+    "rel_topk_per_group",
+    "rel_running_agg",
+    "rel_window_lag_rank",
+    "rel_cube",                # planted NULL l_returnflag vs subtotal rows
+    "rel_rollup",
+    "rel_grouping_sets",
+    "rel_pivot_priority_revenue",
+    "rel_unpivot_metrics",
+    "rel_table_profile",
+    "rel_snapshot_diff",
+    "rel_skew_profile",
+    "rel_range_join_price_bands",
+    "rel_histogram_equi_width",
+    "fn_math_scalar_profile",  # NULL measures through sqrt/ln/exp/pow
+    "fn_date_trunc_monthly",   # NULL o_orderdate group
+    "agg_weighted_mean_udaf",  # pandas UDAF NULL identity
+    "agg_moments_profile",
+    "agg_distinct_stats",
+    "agg_star_pricing",
+    "udf_grouped_map_zscore",
+    "mr_sort_topn",
+    "mr_per_key_fold",
 ]
 
 
