@@ -443,3 +443,81 @@ def test_relational_query_matches_oracle_on_null_bearing_corpus(
     assert sorted(got, key=key) == sorted(want, key=key), (
         f"{name}: spark={got[:5]}... oracle={want[:5]}..."
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-table joins: as-of (events x orders) with NULL timestamps on both
+# sides and NULL join users; stream-static enrich with NULL segment keys
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_join_dir(spark, adversarial_events_dir, tmp_path_factory):
+    import datetime as dt
+    import shutil
+
+    d = tmp_path_factory.mktemp("adversarial_join")
+    shutil.copytree(
+        f"{adversarial_events_dir}/events.parquet", f"{d}/events.parquet"
+    )
+    orders = [
+        Row(
+            o_orderkey=i,
+            o_custkey=[10, 11, 12, 13, None][i % 5],
+            o_orderstatus="O",
+            o_totalprice=float(100 * i),
+            o_orderdate=(
+                None if i == 4 else dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i)
+            ),
+            o_orderpriority="1-URGENT",
+        )
+        for i in range(1, 16)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    segs = ["AUTOMOBILE", "BUILDING", None]
+    cust = [
+        Row(
+            c_custkey=k,
+            c_name=f"c{k}",
+            c_nationkey=k % 3,
+            c_acctbal=float(k),
+            c_mktsegment=segs[k % 3],
+        )
+        for k in (10, 11, 12)  # 13 missing: events user without a dim row
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    return str(d)
+
+
+_JOIN_QUERY_NAMES = [
+    "asof_join_events_orders",
+    "asof_join_salted_events",
+    "asof_join_nearest",
+    "stream_static_enrich",
+]
+
+
+@pytest.mark.parametrize("name", _JOIN_QUERY_NAMES)
+def test_join_query_matches_oracle_on_adversarial_corpus(
+    spark, adversarial_join_dir, name
+):
+    got = [tuple(r) for r in QUERIES[name](spark, adversarial_join_dir).collect()]
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_join_dir}/{t}.parquet/*.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key), (
+        f"{name}: spark={got[:5]}... oracle={want[:5]}..."
+    )
