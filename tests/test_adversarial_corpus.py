@@ -521,3 +521,135 @@ def test_join_query_matches_oracle_on_adversarial_corpus(
     assert sorted(got, key=key) == sorted(want, key=key), (
         f"{name}: spark={got[:5]}... oracle={want[:5]}..."
     )
+
+
+# ---------------------------------------------------------------------------
+# full-star joins: a coherent mini-warehouse (region..lineitem with valid
+# FKs) plus NULLs in measures and a NULL nation on one supplier — the
+# TPC-H-shaped queries joined across every dimension at once
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_star_dir(spark, tmp_path_factory):
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("adversarial_star")
+    spark.createDataFrame(
+        [Row(r_regionkey=0, r_name="AMERICA"), Row(r_regionkey=1, r_name="ASIA")],
+        "r_regionkey int, r_name string",
+    ).write.parquet(f"{d}/region.parquet")
+    spark.createDataFrame(
+        [
+            Row(n_nationkey=0, n_name="BRAZIL", n_regionkey=0),
+            Row(n_nationkey=1, n_name="CANADA", n_regionkey=0),
+            Row(n_nationkey=2, n_name="JAPAN", n_regionkey=1),
+            Row(n_nationkey=3, n_name="CHINA", n_regionkey=1),
+        ],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [
+            Row(
+                s_suppkey=k,
+                s_name=f"s{k}",
+                s_nationkey=(None if k == 7 else k % 4),
+                s_acctbal=float(k * 10),
+            )
+            for k in range(8)
+        ],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [
+            Row(
+                p_partkey=k,
+                p_name=f"part {k}",
+                p_brand=f"Brand#{k % 3}",
+                p_type=["ECONOMY ANODIZED STEEL", "LARGE BRUSHED BRASS"][k % 2],
+                p_size=k % 10,
+                p_retailprice=(None if k == 5 else float(100 + k)),
+            )
+            for k in range(20)
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [
+            Row(
+                c_custkey=k,
+                c_name=f"c{k}",
+                c_nationkey=k % 4,
+                c_acctbal=float(k),
+                c_mktsegment="AUTOMOBILE",
+            )
+            for k in range(1, 13)
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=i,
+                o_custkey=(i % 12) + 1,
+                o_orderstatus="F",
+                o_totalprice=float(1000 + i),
+                o_orderdate=dt.datetime(1995 + (i % 2), 1 + (i % 12), 1 + (i % 28)),
+                o_orderpriority="1-URGENT",
+            )
+            for i in range(1, 31)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [
+            Row(
+                l_orderkey=(i % 30) + 1,
+                l_partkey=i % 20,
+                l_suppkey=i % 8,
+                l_linenumber=i % 4,
+                l_quantity=(None if i % 23 == 0 else float(i % 15 + 1)),
+                l_extendedprice=(None if i % 13 == 0 else float(500 + 7 * i)),
+                l_discount=float((i % 5)) / 100.0,
+                l_tax=0.02,
+                l_returnflag=["A", "N", "R"][i % 3],
+                l_linestatus="F",
+                l_shipdate=dt.datetime(1995 + (i % 2), 1 + (i % 12), 2 + (i % 26)),
+            )
+            for i in range(1, 91)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    return str(d)
+
+
+_STAR_QUERY_NAMES = [
+    "rel_broadcast_join_region_revenue",
+    "rel_scalar_subquery_q17",
+    "rel_sql_api_q8_market_share",
+    "agg_grouped_linreg",
+]
+
+
+@pytest.mark.parametrize("name", _STAR_QUERY_NAMES)
+def test_star_query_matches_oracle_on_adversarial_warehouse(
+    spark, adversarial_star_dir, name
+):
+    got = [tuple(r) for r in QUERIES[name](spark, adversarial_star_dir).collect()]
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_star_dir}/{t}.parquet/*.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key), (
+        f"{name}: spark={got[:5]}... oracle={want[:5]}..."
+    )
