@@ -85,7 +85,14 @@ def pq_fit(
     from mapreduce_system_spark.pyfiles import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).cache()
+    # NULL vectors drop at the scan (cosine()'s NULL convention and the
+    # brute_force_topk_arrow guard, ADVICE r10): one NULL row would
+    # otherwise raise TypeError inside the Arrow stage and fail the fit
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .cache()
+    )
     try:
         seed_rows = base.orderBy("__id").limit(ks).collect()
         if not seed_rows:
@@ -197,6 +204,9 @@ def pq_encode(
     out_schema = f"__id long, {out_col} array<int>"
     return (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        # NULL vectors are unencodable — drop them JVM-side before the
+        # Arrow stage (cosine()'s NULL convention; ADVICE r10)
+        .where(F.col("__v").isNotNull())
         .mapInPandas(encode, schema=out_schema)
         .withColumnRenamed("__id", id_col)
     )

@@ -49,6 +49,18 @@ def _rank_key(col: str = "cos"):
     return F.round(F.col(col), SCORE_DIGITS)
 
 
+def round_half_up(a, digits: int = SCORE_DIGITS):
+    """numpy twin of the JVM/DuckDB rounding MODE: ``F.round`` and DuckDB's
+    ``round()`` are HALF AWAY FROM ZERO, while ``np.round`` is half-to-EVEN —
+    a score whose ``digits``-decimal rounding lands exactly on the
+    threshold/rank boundary would flip membership between the Arrow path
+    and the JVM/oracle paths the callers keep in lockstep (ADVICE r10).
+    Cosine magnitudes are ≤ 1, so the scaled value stays far below 2**52
+    and the +0.5 is never absorbed."""
+    scale = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(a) * scale + 0.5) / scale, a)
+
+
 def centroids_df(spark, centroids: list[list[float]], partition_col: str = "cluster") -> DataFrame:
     """Lift a fit result (list of centroid vectors, index = partition id)
     to a (partition_col int, centroid array<double>) DataFrame — the one
@@ -436,7 +448,7 @@ def brute_force_topk_arrow(
                 # per-batch prune orders on (rounded score, id) like the
                 # final window — a raw-score prune could drop a candidate
                 # that ties on the rounded key but wins the id tie-break
-                order = np.lexsort((ids[mask], -np.round(col[mask], SCORE_DIGITS)))[:k]
+                order = np.lexsort((ids[mask], -round_half_up(col[mask])))[:k]
                 sel_ids = ids[mask][order]
                 sel_cos = col[mask][order]
                 out[query_id_col].extend([qid] * len(sel_ids))
@@ -516,8 +528,9 @@ def cosine_dup_pairs_arrow(
         s = u @ u.T
         # membership on the rounded score, in lockstep with the JVM twin's
         # _rank_key threshold (SCORE_DIGITS) — raw BLAS vs fold ulps must
-        # not decide boundary pairs
-        ia, ib = np.where(np.triu(np.round(s, SCORE_DIGITS) >= threshold, k=1))
+        # not decide boundary pairs, and the rounding MODE is half-up to
+        # match F.round/DuckDB (np.round's half-even flips exact halves)
+        ia, ib = np.where(np.triu(round_half_up(s) >= threshold, k=1))
         lo = np.minimum(ids[ia], ids[ib])
         hi = np.maximum(ids[ia], ids[ib])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": s[ia, ib]})

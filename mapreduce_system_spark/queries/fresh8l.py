@@ -149,7 +149,12 @@ def _group_median(df: DataFrame, g: str, value: Column, out: str) -> DataFrame:
     # NULL discipline (the agg_quantiles r10 fix, which this helper's
     # template citation inherits): quantile_cont IGNORES NULL values, so
     # they must not be ranked (Spark sorts them FIRST ascending, shifting
-    # every selected rank) nor counted in cnt
+    # every selected rank) nor counted in cnt — but a group whose values
+    # are ALL NULL must still come out (with a NULL median): GROUP BY
+    # keeps the group on the SQL side, and dropping it here would erase
+    # the group from every inner join downstream (ADVICE r10). Hence the
+    # left join back onto the unfiltered group list at the bottom.
+    all_groups = df.select(F.col(g)).distinct()
     base = df.select(F.col(g), v).where(F.col("v").isNotNull())
     cnts = base.groupBy(g).agg(F.count("*").alias("cnt"))
     ranked = base.select(
@@ -159,7 +164,7 @@ def _group_median(df: DataFrame, g: str, value: Column, out: str) -> DataFrame:
     hi = F.least(lo + 1, F.col("cnt"))
     frac = (F.lit(0.5) * (F.col("cnt") - 1)) - F.floor(F.lit(0.5) * (F.col("cnt") - 1))
     picked = ranked.where((F.col("rn") == lo) | (F.col("rn") == hi))
-    return picked.groupBy(g).agg(
+    med = picked.groupBy(g).agg(
         (
             F.max(F.when(F.col("rn") == lo, F.col("v")))
             + F.first(frac)
@@ -169,6 +174,8 @@ def _group_median(df: DataFrame, g: str, value: Column, out: str) -> DataFrame:
             )
         ).alias(out)
     )
+    # all-NULL groups survive with a NULL median (group-count-sized join)
+    return all_groups.join(med, g, "left")
 
 
 _MAD_SQL = f"""

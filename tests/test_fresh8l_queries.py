@@ -131,3 +131,67 @@ def test_group_median_ignores_null_values(spark):
     )
     got = {r.g: r.med for r in _group_median(df, "g", F.col("v"), "med").collect()}
     assert got == {"a": 2.0, "b": 5.0}
+
+
+def test_group_median_keeps_all_null_groups_with_null_median(spark):
+    """A group whose values are ALL NULL must survive with a NULL median
+    (GROUP BY keeps the group on the SQL side; dropping it here would
+    erase the group from agg_mad_outliers' inner joins — ADVICE r10)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mapreduce_system_spark.queries.fresh8l import _group_median
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=1.0), Row(g="a", v=3.0),
+         Row(g="n", v=None), Row(g="n", v=None)],
+        "g string, v double",
+    )
+    got = {r.g: r.med for r in _group_median(df, "g", F.col("v"), "med").collect()}
+    assert got == {"a": 2.0, "n": None}
+
+
+def test_mad_outliers_emits_all_null_group_like_duckdb(spark, tmp_path):
+    """End-to-end cross-engine pin of the all-NULL-group fix: a flag whose
+    every l_extendedprice is NULL appears in both engines' output with
+    NULL median/MAD and zero outliers."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    rows = []
+    for i in range(6):
+        rows.append(Row(
+            l_orderkey=i, l_partkey=i, l_suppkey=i % 2, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=float(100 + i), l_discount=0.0,
+            l_tax=0.0, l_returnflag="A", l_linestatus="F",
+            l_shipdate=dt.datetime(2024, 1, 1),
+        ))
+    for i in range(3):  # the all-NULL-price flag
+        rows.append(Row(
+            l_orderkey=10 + i, l_partkey=i, l_suppkey=0, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=None, l_discount=0.0,
+            l_tax=0.0, l_returnflag="Z", l_linestatus="F",
+            l_shipdate=dt.datetime(2024, 1, 1),
+        ))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = sorted(
+        tuple(r) for r in QUERIES["agg_mad_outliers"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLE_SQL["agg_mad_outliers"]).fetchall())
+    assert got == want
+    assert any(r[0] == "Z" for r in got)  # the all-NULL group survived

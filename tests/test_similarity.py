@@ -379,3 +379,37 @@ def test_topk_ranks_on_rounded_score_with_id_tiebreak(spark):
         r.vec_id for r in SIM.brute_force_topk_arrow(corpus, q, k=2).orderBy("rn").collect()
     ]
     assert got_arrow == [3, 5]
+
+
+def test_round_half_up_matches_jvm_and_duckdb_mode():
+    """np.round is half-to-EVEN while F.round and DuckDB round() are half
+    AWAY FROM ZERO: a score landing exactly on the 6-decimal boundary
+    (2.5e-6) must round UP like the JVM/oracle paths, not down to the
+    even neighbor (ADVICE r10). 1.5e-6 agrees under both modes — the
+    control that the helper changes only the exact-half case."""
+    import numpy as np
+
+    a = np.array([2.5e-6, -2.5e-6, 1.5e-6, 0.3999999, 0.0])
+    got = SIM.round_half_up(a)
+    assert got.tolist() == [3e-6, -3e-6, 2e-6, 0.4, 0.0]
+    # np.round would have produced the even neighbor on the exact halves
+    assert np.round(a, 6).tolist()[:2] == [2e-6, -2e-6]
+
+
+def test_pq_fit_and_encode_drop_null_embeddings(spark):
+    """One NULL embedding row must not fail the Arrow stages: pq_fit and
+    pq_encode drop NULL vectors at the scan (cosine()'s NULL convention,
+    the brute_force_topk_arrow guard; ADVICE r10), and the fit matches
+    the fit over the pre-filtered corpus exactly."""
+    from pyspark.sql import Row
+
+    from mapreduce_system_spark.operators import pq as PQ
+
+    rows = [Row(vec_id=i, embedding=[float(i + j) for j in range(4)]) for i in range(8)]
+    rows.append(Row(vec_id=99, embedding=None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = emb.where("embedding IS NOT NULL")
+    books = PQ.pq_fit(emb, m=2, ks=2, max_iter=2)
+    assert books == PQ.pq_fit(clean, m=2, ks=2, max_iter=2)
+    codes = PQ.pq_encode(emb, books).collect()
+    assert {r.vec_id for r in codes} == set(range(8))  # NULL row dropped
