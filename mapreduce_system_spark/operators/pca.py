@@ -40,6 +40,8 @@ map→reduce, coordinator.go:126-141) and has no vector type
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -113,8 +115,12 @@ def pca_topk(
     prev_ids: set[int] = set()
     round_ids: set[int] = set()
     for ci in range(k):
-        # uniform unit start (the fresh8m convention), deflated up front
-        v = positions.select("pos", F.lit(1.0 / (d**0.5)).alias("v"))
+        # uniform unit start (the fresh8m convention), deflated up front.
+        # math.sqrt, not d**0.5: sqrt is IEEE correctly-rounded in both
+        # CPython and DuckDB's C sqrt so `1.0/sqrt(d)` is bit-identical to
+        # the oracle's, while pow(d, 0.5) may differ in the last ulp
+        # (the parity class registry.py documents for computed doubles)
+        v = positions.select("pos", F.lit(1.0 / math.sqrt(d)).alias("v"))
         v = _project_out(v, prev)
         for _ in range(rounds):
             s = (

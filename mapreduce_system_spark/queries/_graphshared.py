@@ -35,6 +35,35 @@ def purchase_edges(orders: DataFrame, li: DataFrame) -> DataFrame:
     )
 
 
+def purchase_edges_weighted(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """(src=custkey, dst=suppkey+offset, wt=Σ l_quantity) long-id weighted
+    edges of the customer→supplier purchase graph — ``purchase_edges``'s
+    strength-carrying sibling (edge weight = transaction volume, what
+    weighted PageRank ranks by, not mere adjacency).
+
+    NULL keys and NULL quantities are filtered EXPLICITLY (and the oracle
+    mirrors the predicate): a NULL key would otherwise ride the groupBy as
+    its own node while never matching any join, and sum() skipping a NULL
+    quantity inside an otherwise-NULL group would hand the operator a NULL
+    weight, which it rejects by contract (operators/graph.py). l_quantity
+    is integer-valued (TPC-H 1-50), so the per-pair double sums are EXACT
+    in any summation order — the property that lets the unrolled oracle
+    mirror wt/outw bit-for-bit."""
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(
+            F.col("o_custkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + NODE_OFFSET).alias("dst"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("wt"))
+    )
+
+
 def node_label(node: str = "node") -> Column:
     """'c<custkey>' / 's<suppkey>' string label of a long node id —
     the inverse of ``purchase_edges``'s encoding, spelled identically

@@ -230,6 +230,10 @@ _EMB_QUERY_NAMES = [
     "emb_hof_vector_stats",
     "emb_centroid_distance_matrix",
     "emb_pca_power_iteration",
+    # r11 debut: d=8 here vs the fixture's 64 — proves the oracle's
+    # data-driven 1/sqrt(d) start (and the deflation chain) holds off
+    # the fixture dimensionality, zero vector included
+    "emb_pca_topk_deflation",
 ]
 
 
@@ -424,6 +428,12 @@ _REL_QUERY_NAMES = [
     "udf_grouped_map_zscore",
     "mr_sort_topn",
     "mr_per_key_fold",
+    # r11 debut + its unweighted twin: NULL o_custkey rows ride the
+    # graph as NULL-labeled nodes (never joined, base rank only) and
+    # NULL l_quantity rows are filtered by the weighted edge predicate
+    # on BOTH engines
+    "graph_pagerank_weighted",
+    "graph_pagerank",
 ]
 
 

@@ -38,28 +38,44 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle entries without a registered query: {dangling}"
 
 
-def test_r10_driver_window_composition():
+def test_r11_driver_window_composition():
     """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
-    correctness gate covers the FIRST 50 registered queries. Pin the r10
-    window so an accidental import reorder (or a module gaining a query)
-    can't silently rotate evidence-stale or brand-new queries out of the
-    gate. Update this pin deliberately with each round's rotation plan."""
+    correctness gate covers the FIRST 50 registered queries. Pin the r11
+    window EXACTLY (module granularity per the rotation plan in the
+    package docstring) so an accidental import reorder — or a module
+    gaining a query — can't silently rotate evidence-stale or brand-new
+    queries out of the gate. Update deliberately with each rotation."""
+    expected_modules = [
+        ("graphml", 2),      # r11 debuts
+        ("relational2", 6),  # r07 evidence tail from here
+        ("textstats", 7),
+        ("fresh7b2", 2),
+        ("fresh7", 1),
+        ("fresh7c", 2),
+        ("fresh7e", 1),
+        ("fresh7f", 3),
+        ("multimodal", 5),   # JPEG chroma changed late-r10
+        ("streaming", 8),    # r08 rows from here
+        ("fresh", 4),
+        ("fresh8e", 2),
+        ("fresh8c", 3),
+        ("fresh8a", 2),
+        ("fresh7d", 1),
+        ("temporal2", 1),    # first query only (fn_math_scalar_profile)
+    ]
+    assert sum(c for _, c in expected_modules) == 50
     names = list(QUERIES)
     window = names[:50]
-    # this round's new queries MUST have driver rows
-    for new in ("sim_topk_pq", "stream_stateful_sessions_tws", "mm_image_rgb_stats"):
-        assert new in window, f"{new} fell out of the r10 window"
-    # the rotation cohort fills the window: temporal(5) advanced(7)
-    # similarity(9) relational(12) dedup(8) sinks(5) fresh6(3) mm2(1)
-    prefixes = {
-        "fn_", "asof_", "rel_", "skew_", "agg_", "sim_", "cluster_",
-        "emb_", "dedup_", "sink_", "scan_", "stream_stateful_", "mm_image_rgb",
-    }
+    got_modules = []
     for n in window:
-        assert any(n.startswith(p) for p in prefixes), (
-            f"unexpected query {n!r} inside the first-50 window"
-        )
-    # mr-core intentionally sits past the window this round (fresh r09
-    # rows; rotate back by r12 — registry.py)
+        mod = QUERIES[n].__module__.split(".")[-1]
+        if not got_modules or got_modules[-1][0] != mod:
+            got_modules.append([mod, 0])
+        got_modules[-1][1] += 1
+    assert [tuple(m) for m in got_modules] == expected_modules, got_modules
+    # this round's debuts lead the window
+    assert window[:2] == ["graph_pagerank_weighted", "emb_pca_topk_deflation"]
+    # mr-core leads the r12 window (hard deadline) — still 9 strong past
+    # the line, none inside it
     assert all(not n.startswith("mr_") for n in window)
     assert sum(n.startswith("mr_") for n in names[50:]) == 9

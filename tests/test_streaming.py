@@ -677,3 +677,35 @@ def test_tumbling_distinct_users_excludes_null_users(spark):
     }
     # hour 9 has users {1, 2}; hour 10 has ONLY a null user -> no row
     assert got == {(9, 2)}
+
+
+def test_pbshim_is_noop_when_site_protobuf_exists(spark, monkeypatch):
+    """The portable deployment path (VERDICT r10 #4): with a real pip
+    ``google.protobuf`` importable, ``tws_protobuf_env`` must not touch
+    ``sc.environment`` at all — no PYTHONPATH binding, no /tmp build —
+    because the worker interpreters share the driver's site-packages."""
+    from mapreduce_system_spark import pbshim
+
+    monkeypatch.setattr(pbshim, "_site_protobuf_available", lambda: True)
+    env_before = dict(spark.sparkContext.environment)
+    built = []
+    monkeypatch.setattr(pbshim, "_build_shim", lambda: built.append(1))
+    with pbshim.tws_protobuf_env(spark):
+        assert dict(spark.sparkContext.environment) == env_before
+    assert dict(spark.sparkContext.environment) == env_before
+    assert not built  # the shim build must not even be attempted
+
+
+def test_pbshim_error_names_the_pip_remedy(spark, monkeypatch):
+    """No site protobuf and no vendored runtime → the error must tell the
+    operator the one-line portable fix instead of leaving a deployment
+    landmine (VERDICT r10 #2/#4)."""
+    from mapreduce_system_spark import pbshim
+
+    monkeypatch.setattr(pbshim, "_site_protobuf_available", lambda: False)
+    monkeypatch.setattr(pbshim, "_VENDORED_PROTOBUF_DIRS", ("/nonexistent",))
+    env_before = dict(spark.sparkContext.environment)
+    with pytest.raises(RuntimeError, match="pip install protobuf"):
+        with pbshim.tws_protobuf_env(spark):
+            pass  # pragma: no cover — must raise before yielding
+    assert dict(spark.sparkContext.environment) == env_before
