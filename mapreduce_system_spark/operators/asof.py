@@ -24,7 +24,20 @@ n_salts sub-partitions, right rows replicated to every salt — per-task
 work drops to left/n_salts + right per key, at the cost of an n_salts×
 replication of the (smaller) right side. Same trade as
 ``operators.skew.salted_join``; result parity is pinned in
-tests/test_asof.py.
+tests/test_asof.py AND re-asserted by checksum inside the skew probe.
+
+MEASURED CROSSOVER (tools/scale_probe.py --asof, r11,
+bench_runs/scale_probe_r11_asof{,50}.json, local[32]): with one key
+holding 18% of a 1M-row left side both forms sit on the fixed-cost
+floor (plain 1.17 s vs salted 1.27 s — salting pays its ~8-40% right-
+replication overhead for nothing); with one key holding 29% of a
+5M-row left side the plain window's single hot-key task dominates the
+stage (0.67 → 4.29 s, wall ×6.4 at rows ×50) while the salted form
+tracks total input (0.94 → 1.89 s, ×2.01) — 2.3× faster, identical
+results. Rule of thumb from the two records: salt when the hottest
+key's left depth approaches ~one task's worth of rows (≳10% of a
+local stage's input, or ≳1 partition's rows on a cluster); below that
+the plain window wins on overhead.
 
 ``range_join`` joins a fact column into literal bands via broadcast —
 Catalyst plans BroadcastNestedLoopJoin with the band predicate, which is

@@ -609,11 +609,17 @@ def main() -> int:
     pca_mode = "--pca" in args
     if pca_mode:
         args.remove("--pca")
+    asof_mode = "--asof" in args
+    if asof_mode:
+        args.remove("--asof")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
-        10 if (graph_mode or sim_mode or pca_mode) else 0
+        20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
+    if asof_mode:
+        # third positional = hot_pct (share of cloned rows on ONE user)
+        return asof_main(reps, src, organic_pct, out_name)
     if pca_mode:
         return pca_main(reps, src, organic_pct, out_name)
     if sim_mode:
@@ -894,6 +900,163 @@ def pca_main(reps: int, src: str, organic_pct: int, out_name: str | None = None)
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0
+
+
+# ---------------------------------------------------------------------------
+# --asof (VERDICT r10 #8): the as-of family's union+window shape at 10x with
+# a genuinely skewed key. Construction: events replicate reps× with new
+# event_ids; ``hot_pct``% of CLONED rows (picked by xxhash64 of the new
+# event_id) are rerouted to ONE fixture user, so that key's left depth grows
+# ~(1 + (reps-1)·hot_pct·N/100/n_users)× while the rest of the key space
+# shards disjointly (user_id offset per replica). The right side (orders)
+# stays at 1× — dimension history does not grow with event volume — which is
+# exactly the regime where the plain window puts the hot key's entire left
+# depth in one task and the salted form splits it n_salts ways while
+# replicating only the (static) right rows. Claim under test: plain wall
+# grows with the HOT KEY's depth once it dominates a task; salted wall
+# tracks total input. Parity of the two forms at 10x is asserted, not
+# assumed (count + order-insensitive checksum).
+# ---------------------------------------------------------------------------
+
+_ASOF_HOT_UID = 0  # a real sf0.1 user: the hot key keeps genuine right rows
+
+
+def build_scaled_events(
+    spark, src: str, dst: str, reps: int, hot_pct: int
+) -> None:
+    """Write the reps× skewed events table under dst (events only)."""
+    ev = load_table(spark, src, "events", columns=["event_id", "user_id", "ts"])
+    parts = [ev]
+    for r in range(1, reps):
+        new_id = (F.col("event_id") + r * _OFFSET).alias("event_id")
+        hot = F.pmod(F.xxhash64(F.col("event_id") + r * _OFFSET), F.lit(100)) < hot_pct
+        parts.append(
+            ev.select(
+                new_id,
+                F.when(hot, F.lit(_ASOF_HOT_UID))
+                .otherwise(F.col("user_id") + r * _OFFSET)
+                .alias("user_id"),
+                "ts",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+
+def asof_main(reps: int, src: str, hot_pct: int, out_name: str | None = None) -> int:
+    import statistics
+
+    from mapreduce_system_spark.operators import asof as ASOF
+
+    dst = "/tmp/spark_graft_scale/asof_sf1"
+    spark = get_spark("scale_probe_asof")
+    print(
+        f"# building {reps}x skewed events at {dst} from {src} (hot {hot_pct}%)",
+        file=sys.stderr,
+    )
+    build_scaled_events(spark, src, dst, reps, hot_pct)
+
+    orders = load_table(
+        spark, src, "orders",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    right = ASOF.latest_per_key_time(
+        orders, "o_custkey", "o_orderdate", "o_orderkey"
+    ).withColumnRenamed("o_custkey", "user_id")
+
+    def plain(ev):
+        return ASOF.asof_join(
+            ev, right, on="user_id", left_time="ts", right_time="o_orderdate",
+            payload_cols=["o_orderkey", "o_totalprice"],
+        )
+
+    def salted(ev):
+        return ASOF.asof_join_salted(
+            ev, right, on="user_id", left_time="ts", right_time="o_orderdate",
+            payload_cols=["o_orderkey", "o_totalprice"],
+            salt_src_col="event_id", n_salts=8,
+        )
+
+    record: dict = {
+        "mode": "asof", "reps": reps, "src": src, "hot_pct": hot_pct,
+        "hot_uid": _ASOF_HOT_UID, "n_salts": 8, "scales": {},
+    }
+    # untimed warm-up (JVM/codegen/shuffle services)
+    ev0 = load_table(spark, src, "events", columns=["event_id", "user_id", "ts"])
+    plain(ev0).write.format("noop").mode("overwrite").save()
+    salted(ev0).write.format("noop").mode("overwrite").save()
+
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        ev = load_table(spark, d, "events", columns=["event_id", "user_id", "ts"])
+        n = ev.count()
+        depth = ev.groupBy("user_id").count()
+        hot_depth = int(
+            depth.agg(F.max("count")).collect()[0][0]
+        )
+        walls: dict = {"plain": [], "salted": []}
+        for _ in range(3):
+            for form, fn in (("plain", plain), ("salted", salted)):
+                t0 = time.time()
+                fn(ev).write.format("noop").mode("overwrite").save()
+                walls[form].append(time.time() - t0)
+        record["scales"][label] = {
+            "rows": int(n),
+            "hot_key_depth": hot_depth,
+            "plain_s": round(statistics.median(walls["plain"]), 2),
+            "salted_s": round(statistics.median(walls["salted"]), 2),
+        }
+        print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
+
+    # parity at the skewed scale: the salted rewrite must stay
+    # observationally identical under the exact regime it exists for
+    ev1 = load_table(spark, dst, "events", columns=["event_id", "user_id", "ts"])
+    def _sig(df):
+        # bit_xor + decimal sum, the _table_fingerprint discipline — a
+        # plain long sum of xxhash64 values overflows (ANSI would abort)
+        row = (
+            df.select(
+                F.xxhash64(
+                    "event_id", "user_id", "o_orderkey",
+                    F.round("o_totalprice", 2),
+                ).alias("h")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], int(row["x"] or 0), int(row["s"] or 0) % (1 << 64))
+    p_sig, s_sig = _sig(plain(ev1)), _sig(salted(ev1))
+    record["parity_at_sf1"] = {"plain": p_sig, "salted": s_sig, "equal": p_sig == s_sig}
+    if p_sig != s_sig:
+        print(f"# PARITY FAILURE: {p_sig} vs {s_sig}", file=sys.stderr)
+
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["rows_ratio"] = round(b["rows"] / a["rows"], 2)
+    record["hot_depth_ratio"] = round(b["hot_key_depth"] / a["hot_key_depth"], 2)
+    record["plain_wall_ratio"] = round(b["plain_s"] / a["plain_s"], 2)
+    record["salted_wall_ratio"] = round(b["salted_s"] / a["salted_s"], 2)
+    print("| scale | rows | hot depth | plain s | salted s |")
+    print("|---|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(
+            f"| {label} | {sc['rows']} | {sc['hot_key_depth']} | "
+            f"{sc['plain_s']} | {sc['salted_s']} |"
+        )
+    print(
+        f"| ratio | {record['rows_ratio']} | {record['hot_depth_ratio']} | "
+        f"**{record['plain_wall_ratio']}** | **{record['salted_wall_ratio']}** |"
+    )
+    out = _record_out(out_name, "scale_probe_asof_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if record["parity_at_sf1"]["equal"] else 1
 
 
 if __name__ == "__main__":
