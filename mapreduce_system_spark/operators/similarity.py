@@ -42,6 +42,12 @@ from mapreduce_system_spark.functions.vectors import cosine, dot_double, with_un
 # membership and adjacent-rank order. Rounding collapses that drift into
 # exact ties, which the id tie-break then orders identically everywhere
 # (the discipline operators/pq.py's ADC shortlist established).
+# Residual, accepted: a score landing EXACTLY on a grid half-point (e.g.
+# 0.5000005) still rounds differently in Spark (shortest-repr HALF_UP →
+# 0.500001) vs DuckDB's double round (scaled-binary → 0.5) — measure-zero
+# for continuous cosines, absent from every fixture/adversarial corpus,
+# and unfixable from this side; round_half_up keeps the ARROW paths in
+# lockstep with Spark's F.round, the authority all final ranks use.
 SCORE_DIGITS = 6
 
 
@@ -50,15 +56,43 @@ def _rank_key(col: str = "cos"):
 
 
 def round_half_up(a, digits: int = SCORE_DIGITS):
-    """numpy twin of the JVM/DuckDB rounding MODE: ``F.round`` and DuckDB's
-    ``round()`` are HALF AWAY FROM ZERO, while ``np.round`` is half-to-EVEN —
-    a score whose ``digits``-decimal rounding lands exactly on the
-    threshold/rank boundary would flip membership between the Arrow path
-    and the JVM/oracle paths the callers keep in lockstep (ADVICE r10).
-    Cosine magnitudes are ≤ 1, so the scaled value stays far below 2**52
-    and the +0.5 is never absorbed."""
+    """numpy twin of what Spark's ``F.round`` actually computes: HALF-UP
+    on the double's SHORTEST DECIMAL REPRESENTATION (``BigDecimal.valueOf``
+    = ``Double.toString``) — np.round's half-to-even is the wrong MODE,
+    and a plain scaled-binary ``floor(x·10^d + 0.5)`` is the wrong
+    OPERAND: ``0.5000005 * 1e6`` is ``500000.49999999994`` in binary, so
+    it rounds DOWN where Spark, reading the shortest repr "0.5000005",
+    rounds UP (r11 review, verified numerically). F.round is the
+    authority because every Arrow call site feeds a JVM-side F.round
+    rank/threshold downstream. DuckDB's ``round`` on a DOUBLE is
+    scaled-binary (it gives 0.5 here), so the two ENGINES themselves
+    diverge on this measure-zero knife edge — the residual the
+    SCORE_DIGITS comment has always accepted for raw summation drift
+    applies to the grid half-points too; no helper can close a
+    Spark-vs-DuckDB gap, only the Arrow-vs-JVM one, which this does.
+
+    Hybrid for speed: the vectorized scaled-binary form is exact except
+    within ~1e-9 of a grid half-point (cosines are ≤ 1, so the scaled
+    value stays far below 2**52 and its error below 1e-9); elements inside
+    a generous 1e-6 band around the half are re-rounded through
+    ``Decimal(repr(x))`` — the engines' own algorithm — at Python speed,
+    which a measure-zero sliver of real data ever pays."""
+    a = np.asarray(a, dtype=np.float64)
     scale = 10.0 ** digits
-    return np.copysign(np.floor(np.abs(a) * scale + 0.5) / scale, a)
+    av = np.abs(a)
+    scaled = av * scale
+    out = np.floor(scaled + 0.5) / scale
+    near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-digits)
+        out[near] = [
+            # float(x): numpy-2 repr of a float64 is "np.float64(...)"
+            float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+            for x in av[near]
+        ]
+    return np.copysign(out, a)
 
 
 def centroids_df(spark, centroids: list[list[float]], partition_col: str = "cluster") -> DataFrame:
@@ -535,8 +569,14 @@ def cosine_dup_pairs_arrow(
         hi = np.maximum(ids[ia], ids[ib])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": s[ia, ib]})
 
-    return corpus.groupBy(block_col).applyInPandas(
-        block_pairs, schema="id_a long, id_b long, cos double"
+    # NULL vectors drop JVM-side before the Arrow stage: the JVM twin
+    # excludes them via a NULL cosine failing the threshold, and one
+    # list(None) here would crash the whole block task (r11 review —
+    # the same class as the pq_fit/brute-force guards)
+    return (
+        corpus.where(F.col(vec_col).isNotNull())
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, schema="id_a long, id_b long, cos double")
     )
 
 
@@ -595,4 +635,6 @@ def random_projection(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name in out_cols]
         + [f"{out_col} array<double>"]
     )
-    return df.mapInPandas(project, schema=schema)
+    # NULL vectors are unprojectable — drop JVM-side (cosine()'s NULL
+    # convention; one list(None) would crash the Arrow stage, r11 review)
+    return df.where(F.col(vec_col).isNotNull()).mapInPandas(project, schema=schema)

@@ -22,6 +22,29 @@ from mapreduce_system_spark.sources.tables import load_table
 NODE_OFFSET = 1_000_000_000  # above any custkey at any fixture sf
 
 
+def pagerank_iter_cte(prev: str, cur: str) -> str:
+    """One unrolled damped-PageRank iteration as a DuckDB CTE — the ONE
+    spelling both ``graph_pagerank`` (queries/fresh7d.py) and
+    ``graph_pagerank_weighted`` (queries/graphml.py) unroll (the
+    weighting lives entirely in the ``ce.w`` definition upstream, so the
+    recurrence text is shared verbatim; hand-copies would let a teleport
+    or coalesce tweak verify different formulas per query — the drift
+    class this module exists to prevent). ``graph_pagerank_dangling``
+    (queries/fresh8a.py) adds the m/N redistribution term and keeps its
+    own spelling. The formula mirrors operators/graph.py::pagerank
+    double-for-double: 0.15/N teleport + 0.85·Σ rank·w."""
+    return f"""{cur} AS (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(s.contrib, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ce.v AS node, sum({prev}.rank * ce.w) AS contrib
+    FROM ce JOIN {prev} ON {prev}.node = ce.u
+    GROUP BY 1
+  ) s ON s.node = nodes.node
+)"""
+
+
 def purchase_edges(orders: DataFrame, li: DataFrame) -> DataFrame:
     """Distinct directed (src=custkey, dst=suppkey+offset) long-id edges
     of the customer→supplier purchase graph."""

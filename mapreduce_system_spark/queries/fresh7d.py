@@ -20,27 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.caches import tracked_cache
-from mapreduce_system_spark.queries._graphshared import node_label, purchase_edges
+from mapreduce_system_spark.queries._graphshared import (
+    node_label,
+    pagerank_iter_cte,
+    purchase_edges,
+)
 from mapreduce_system_spark.operators.graph import pagerank
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
 _ITERATIONS = 3
-
-
-def _iter_cte(prev: str, cur: str) -> str:
-    """One unrolled PageRank iteration as a CTE (formula mirrors
-    operators/graph.py exactly — see module docstring)."""
-    return f"""{cur} AS (
-  SELECT nodes.node,
-         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(s.contrib, CAST(0.0 AS DOUBLE)) AS rank
-  FROM nodes CROSS JOIN nn
-  LEFT JOIN (
-    SELECT ce.v AS node, sum({prev}.rank * ce.w) AS contrib
-    FROM ce JOIN {prev} ON {prev}.node = ce.u
-    GROUP BY 1
-  ) s ON s.node = nodes.node
-)"""
 
 
 _PAGERANK_SQL = (
@@ -58,7 +47,7 @@ nodes AS (SELECT DISTINCT u AS node FROM ud),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
 """
-    + ",\n".join(_iter_cte(f"r{i}", f"r{i + 1}") for i in range(_ITERATIONS))
+    + ",\n".join(pagerank_iter_cte(f"r{i}", f"r{i + 1}") for i in range(_ITERATIONS))
     + f"""
 SELECT node, round(rank * 1000000, 4) AS rank_ppm
 FROM r{_ITERATIONS}

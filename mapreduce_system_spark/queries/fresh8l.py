@@ -146,20 +146,29 @@ def _group_median(df: DataFrame, g: str, value: Column, out: str) -> DataFrame:
     group dwarfs a core's sort throughput — at that scale prefer the
     documented sketch path (``agg_approx_quantiles``) first."""
     v = value.alias("v")
-    # NULL discipline (the agg_quantiles r10 fix, which this helper's
-    # template citation inherits): quantile_cont IGNORES NULL values, so
-    # they must not be ranked (Spark sorts them FIRST ascending, shifting
-    # every selected rank) nor counted in cnt — but a group whose values
-    # are ALL NULL must still come out (with a NULL median): GROUP BY
-    # keeps the group on the SQL side, and dropping it here would erase
-    # the group from every inner join downstream (ADVICE r10). Hence the
-    # left join back onto the unfiltered group list at the bottom.
-    all_groups = df.select(F.col(g)).distinct()
-    base = df.select(F.col(g), v).where(F.col("v").isNotNull())
-    cnts = base.groupBy(g).agg(F.count("*").alias("cnt"))
-    ranked = base.select(
-        g, "v", F.row_number().over(W.partitionBy(g).orderBy("v")).alias("rn")
-    ).join(F.broadcast(cnts), g)
+    src = df.select(F.col(g), v)
+    # NULL discipline, the full agg_quantiles pattern (queries/advanced.py):
+    # quantile_cont IGNORES NULL values, so they must not be ranked (Spark
+    # sorts them FIRST ascending, shifting every selected rank) — hence
+    # count("v"), which skips NULLs, over the UNFILTERED input, so every
+    # group survives (an all-NULL group carries cnt=0 and comes out with a
+    # NULL median exactly like GROUP BY + quantile_cont; ADVICE r10). The
+    # joins are eqNullSafe because GROUP BY treats NULL as a group but an
+    # equi-join key never matches NULL — a plain join(g) would silently
+    # hand a NULL-keyed group a NULL median even when it has values.
+    cnts = src.groupBy(g).agg(F.count("v").alias("cnt"))
+    ranked = (
+        src.where(F.col("v").isNotNull())
+        .select(
+            g, "v", F.row_number().over(W.partitionBy(g).orderBy("v")).alias("rn")
+        )
+        .alias("r")
+        .join(
+            F.broadcast(cnts.alias("c")),
+            F.col(f"r.{g}").eqNullSafe(F.col(f"c.{g}")),
+        )
+        .select(F.col(f"r.{g}").alias(g), "v", "rn", "cnt")
+    )
     lo = F.floor(F.lit(0.5) * (F.col("cnt") - 1)).cast("long") + 1
     hi = F.least(lo + 1, F.col("cnt"))
     frac = (F.lit(0.5) * (F.col("cnt") - 1)) - F.floor(F.lit(0.5) * (F.col("cnt") - 1))
@@ -174,8 +183,17 @@ def _group_median(df: DataFrame, g: str, value: Column, out: str) -> DataFrame:
             )
         ).alias(out)
     )
-    # all-NULL groups survive with a NULL median (group-count-sized join)
-    return all_groups.join(med, g, "left")
+    # LEFT join back onto the full group list (free: cnts already holds
+    # every group) — all-NULL groups survive with a NULL median
+    return (
+        cnts.alias("c")
+        .join(
+            F.broadcast(med.alias("m")),
+            F.col(f"c.{g}").eqNullSafe(F.col(f"m.{g}")),
+            "left",
+        )
+        .select(F.col(f"c.{g}").alias(g), out)
+    )
 
 
 _MAD_SQL = f"""

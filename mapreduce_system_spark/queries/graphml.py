@@ -49,28 +49,13 @@ from mapreduce_system_spark.operators.graph import pagerank
 from mapreduce_system_spark.operators.pca import pca_topk
 from mapreduce_system_spark.queries._graphshared import (
     node_label,
+    pagerank_iter_cte,
     purchase_edges_weighted,
 )
 from mapreduce_system_spark.registry import register
 from mapreduce_system_spark.sources.tables import load_table
 
 _ITERATIONS = 3
-
-
-def _iter_cte(prev: str, cur: str) -> str:
-    """One unrolled weighted-PageRank iteration as a CTE — the formula is
-    the unweighted one (queries/fresh7d.py); the weighting lives entirely
-    in ce.w = wt/outw."""
-    return f"""{cur} AS (
-  SELECT nodes.node,
-         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(s.contrib, CAST(0.0 AS DOUBLE)) AS rank
-  FROM nodes CROSS JOIN nn
-  LEFT JOIN (
-    SELECT ce.v AS node, sum({prev}.rank * ce.w) AS contrib
-    FROM ce JOIN {prev} ON {prev}.node = ce.u
-    GROUP BY 1
-  ) s ON s.node = nodes.node
-)"""
 
 
 _PAGERANK_WEIGHTED_SQL = (
@@ -94,7 +79,7 @@ nodes AS (SELECT DISTINCT u AS node
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
 """
-    + ",\n".join(_iter_cte(f"r{i}", f"r{i + 1}") for i in range(_ITERATIONS))
+    + ",\n".join(pagerank_iter_cte(f"r{i}", f"r{i + 1}") for i in range(_ITERATIONS))
     + f"""
 SELECT node, round(rank * 1000000, 4) AS rank_ppm
 FROM r{_ITERATIONS}

@@ -195,3 +195,22 @@ def test_mad_outliers_emits_all_null_group_like_duckdb(spark, tmp_path):
     want = sorted(tuple(r) for r in con.execute(ORACLE_SQL["agg_mad_outliers"]).fetchall())
     assert got == want
     assert any(r[0] == "Z" for r in got)  # the all-NULL group survived
+
+
+def test_group_median_computes_median_for_null_keyed_group(spark):
+    """GROUP BY treats NULL as a group, so a NULL-keyed group WITH values
+    must get its real median (eqNullSafe joins — a plain join(g) silently
+    handed it NULL; r11 review), while the all-NULL-value group still
+    survives with a NULL median."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mapreduce_system_spark.queries.fresh8l import _group_median
+
+    df = spark.createDataFrame(
+        [Row(g=None, v=1.0), Row(g=None, v=3.0), Row(g="a", v=2.0),
+         Row(g="n", v=None)],
+        "g string, v double",
+    )
+    got = {r.g: r.med for r in _group_median(df, "g", F.col("v"), "med").collect()}
+    assert got == {None: 2.0, "a": 2.0, "n": None}

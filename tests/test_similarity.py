@@ -396,6 +396,68 @@ def test_round_half_up_matches_jvm_and_duckdb_mode():
     assert np.round(a, 6).tolist()[:2] == [2e-6, -2e-6]
 
 
+def test_round_half_up_matches_spark_on_shortest_repr_knife_edges():
+    """The r11 review's verified divergence: 0.5000005 * 1e6 is
+    500000.49999999994 in binary, so a plain scaled floor(+0.5) rounds
+    DOWN while Spark (BigDecimal.valueOf on the shortest repr) rounds UP
+    to 0.500001. The hybrid helper must take Spark's side — F.round is
+    the final rank/threshold authority every Arrow call site must agree
+    with. (DuckDB's round on a DOUBLE is scaled-binary and gives 0.5
+    here — the engines themselves diverge on this measure-zero knife
+    edge; that residual is documented at SCORE_DIGITS, and the helper
+    deliberately mirrors Spark, not DuckDB.) 0.73500005 (binary lands
+    above the grid point, repr keeps it below the half) is the control
+    in the other direction."""
+    import numpy as np
+
+    vals = [0.5000005, -0.5000005, 0.73500005, 0.1234565, 0.2812505]
+    got = SIM.round_half_up(np.array(vals)).tolist()
+    assert got == [0.500001, -0.500001, 0.735, 0.123457, 0.281251]
+
+
+def test_round_half_up_agrees_with_spark_f_round(spark):
+    """Direct lockstep pin against the authority the call sites share:
+    the per-batch Arrow prune key must equal the final window's
+    F.round key on every knife-edge, or the prune can drop a row the
+    final rank would have kept (r11 review failure scenario)."""
+    import numpy as np
+
+    vals = [0.5000005, 0.73500005, 0.1234565, 2.5e-6, 0.3999999, -0.2812505]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    jvm = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    assert SIM.round_half_up(np.array(vals)).tolist() == jvm
+
+
+def test_cosine_dup_pairs_arrow_drops_null_embeddings_like_jvm_twin(spark):
+    """One NULL embedding row must not crash the block task: the JVM twin
+    excludes NULL-vector pairs via a NULL cosine failing the threshold,
+    and the Arrow twin must stay bitwise-identical to it (r11 review —
+    the remaining list(None) in the family)."""
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [0.9, 0.1], "x"),
+        (2, None, "x"),
+        (3, [0.8, 0.2], "y"),
+        (4, None, "y"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    jvm = sorted(map(tuple, SIM.cosine_dup_pairs(emb, threshold=0.4).collect()))
+    arrow = sorted(map(tuple, SIM.cosine_dup_pairs_arrow(emb, threshold=0.4).collect()))
+    assert arrow == jvm
+    # blocking is per label: x pairs (0,1); y's only non-NULL row pairs
+    # with nothing — the NULL rows vanish instead of crashing the stage
+    assert {p[:2] for p in arrow} == {(0, 1)}
+
+
+def test_random_projection_drops_null_embeddings(spark):
+    """NULL vectors drop JVM-side instead of raising TypeError inside the
+    Arrow stage (cosine()'s NULL convention; r11 review)."""
+    rows = [(0, [1.0] * 4), (1, None), (2, [0.5] * 4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.random_projection(emb, in_dim=4, out_dim=2).collect()
+    assert {r.vec_id for r in out} == {0, 2}
+
+
 def test_pq_fit_and_encode_drop_null_embeddings(spark):
     """One NULL embedding row must not fail the Arrow stages: pq_fit and
     pq_encode drop NULL vectors at the scan (cosine()'s NULL convention,

@@ -28,7 +28,15 @@ Usage::
     python tools/scale_probe.py [--out NAME] [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --graph [--out NAME] [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --sim [--out NAME] [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --pca [--out NAME] [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --asof [--out NAME] [reps] [src_sf_dir] [hot_pct]
     python tools/scale_probe.py --manifest [--out NAME]
+
+NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
+the share of CLONED event rows rerouted to one fixture user — not the
+organic collision percentage the other modes take. The committed records:
+``scale_probe_r11_asof.json`` = ``--asof 10 /root/testdata/sf0.1 20``,
+``scale_probe_r11_asof50.json`` = ``--asof 50 /root/testdata/sf0.1 30``.
 
 Writes the record to bench_runs/scale_probe_latest.json (dedup mode),
 scale_probe_graph_latest.json, scale_probe_sim_latest.json, or
