@@ -67,7 +67,16 @@ deg AS (SELECT src AS u, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
 ce AS (SELECT e.src AS u, e.dst AS v, CAST(1.0 AS DOUBLE) / deg.outdeg AS w
        FROM e JOIN deg ON deg.u = e.src),
 nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
-dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT u FROM deg)),
+-- NOT EXISTS, not NOT IN: with a NULL o_custkey the deg subquery
+-- contains a NULL u, and `node NOT IN (...NULL...)` is never TRUE —
+-- DuckDB's dang set goes EMPTY and the whole redistribution silently
+-- dies (found by the r11 adversarial gate). NOT EXISTS mirrors the
+-- operator's left_anti exactly: the NULL-labeled node counts as
+-- dangling (its out-edges can never deliver through an equi-join),
+-- while the m CTE's equality join below excludes its rank from the
+-- redistributed mass — also exactly the operator's left_semi.
+dang AS (SELECT node FROM nodes n0
+         WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.u = n0.node)),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
 """

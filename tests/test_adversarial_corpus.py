@@ -79,6 +79,18 @@ _QUERY_NAMES = [
     "pipe_incremental_dedup",
     "pipe_group_kfold",
     "pipe_source_manifest",
+    # r11 gate expansion: the reference's own flagship workloads run the
+    # tokenizing/grep regexes straight over the NULL/unicode/control-char
+    # corpus (the Java-vs-RE2 class lives exactly here), plus the UDTF
+    # and the quality-feature column stack
+    "mr_word_count",
+    "mr_grep",
+    "mr_inverted_index",
+    "mr_posting_pairs",
+    "mr_generic_contract_word_count",
+    "mr_whole_text_files_wc",
+    "udtf_sentence_stats",
+    "txt_quality_profile",
 ]
 
 
@@ -161,6 +173,15 @@ _EVENT_QUERY_NAMES = [
     "pipe_keep_latest_k",
     "mr_key_count",
     "skew_salted_agg",
+    # r11 gate expansion: the windowed/dedup/interval-join streaming
+    # batch twins and the SCD2 point-in-time attribution, all pure
+    # events consumers
+    "stream_tumbling_event_counts",
+    "stream_sliding_avg_value",
+    "stream_session_counts_user",
+    "stream_dedup_exact",
+    "stream_interval_join_attrib",
+    "rel_pit_join_scd2",
 ]
 
 
@@ -434,6 +455,15 @@ _REL_QUERY_NAMES = [
     # on BOTH engines
     "graph_pagerank_weighted",
     "graph_pagerank",
+    # r11 gate expansion: the rest of the orders/lineitem graph family,
+    # the Bloom-pushed join, the salted join, and the calendar
+    # interpolation (NULL o_orderdate / o_totalprice / l_partkey edges)
+    "graph_pagerank_dangling",
+    "graph_triangle_count",
+    "graph_degree_distribution",
+    "rel_bloom_join_pruned",
+    "skew_salted_join",
+    "fn_linear_interpolate_daily",
 ]
 
 
@@ -657,6 +687,60 @@ def test_star_query_matches_oracle_on_adversarial_warehouse(
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{adversarial_star_dir}/{t}.parquet/*.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key), (
+        f"{name}: spark={got[:5]}... oracle={want[:5]}..."
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal: documents AND embeddings in ONE corpus dir (the crossmodal
+# agreement join and the paraphrase anti-join read both). Texts carry the
+# full NULL/unicode edge set; embeddings are the zero-free corpus (cosine
+# RANKING is involved — the zero-norm 0.0-vs--1.0 divergence is a
+# documented domain guard, same as _EMB_RANKING_QUERY_NAMES).
+# ---------------------------------------------------------------------------
+
+_CROSSMODAL_QUERY_NAMES = [
+    "dedup_crossmodal_agreement",
+    "dedup_paraphrase_candidates",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_multi_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_multi")
+    rows = [
+        Row(
+            doc_id=i,
+            text=t,
+            lang=("en" if i % 3 else "de"),
+            source=f"src{i % 4}",
+            n_chars=(len(t) if t is not None else 0),
+        )
+        for i, t in enumerate(_TEXTS)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    _write_emb(spark, d, False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _CROSSMODAL_QUERY_NAMES)
+def test_crossmodal_query_matches_oracle_on_adversarial_corpus(
+    spark, adversarial_multi_dir, name
+):
+    got = [
+        tuple(r) for r in QUERIES[name](spark, adversarial_multi_dir).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_multi_dir}/{t}.parquet/*.parquet')"
         )
     want = [tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall()]
     key = repr
