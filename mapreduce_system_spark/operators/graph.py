@@ -46,6 +46,7 @@ def pagerank(
     damping: float = 0.85,
     dangling: str = "none",
     tol: float | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Rank nodes of the directed edge list by PageRank.
 
@@ -76,6 +77,19 @@ def pagerank(
     ``clustering.kmeans_fit``); ``iterations`` is then the cap. With
     ``tol=None`` the loop runs exactly ``iterations`` rounds so the
     unrolled oracles stay exact. Returns (node, rank).
+
+    ``seeds`` (optional) makes this PERSONALIZED PageRank (random walk
+    with restart): a one-column DataFrame of node ids replaces the
+    uniform teleport with ``tp = 1/|S|`` on the seed set and 0 elsewhere
+    — the recurrence becomes ``(1-d)·tp + d·(contrib [+ m·tp])``, the
+    exact generalization of the uniform form (tp ≡ 1/N recovers it term
+    for term), so ``dangling="redistribute"`` routes dangling mass back
+    to the SEEDS, the standard restart semantics. Iteration starts at
+    the teleport vector. Seeds outside the node set are ignored (inner
+    semi-join); an empty effective seed set raises. The teleport column
+    rides the same per-round join the uniform path already pays for the
+    node list, so the iteration cost is unchanged — and ``seeds``
+    composes freely with ``weight``.
 
     Rejected levers (do not retry without new evidence): per-round
     repartition+SHJ on the iteration join (r9 A/B: adverse — AQE already
@@ -141,8 +155,34 @@ def pagerank(
         )
     elif dangling != "none":
         raise ValueError(f"dangling must be 'none' or 'redistribute', got {dangling!r}")
-    base = 0.15 / n if damping == 0.85 else (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = 0.15 if damping == 0.85 else 1.0 - damping
+    tpn = None
+    if seeds is not None:
+        # effective seeds = seeds ∩ nodes (ids outside the graph carry no
+        # walk to restart); |S| is a bounded driver scalar like n
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+        )
+        ns = sd.count()
+        if ns == 0:
+            raise ValueError("seeds: no seed id matches a graph node")
+        # per-node teleport column: 1/|S| on seeds, 0.0 elsewhere — rides
+        # the node list the update join already touches, so the loop pays
+        # no extra join for personalization
+        tpn = tracked_cache(
+            nodes.join(sd.withColumn("__s", F.lit(1)), "node", "left").select(
+                "node",
+                F.when(F.col("__s").isNotNull(), F.lit(1.0 / ns))
+                .otherwise(F.lit(0.0))
+                .alias("tp"),
+            )
+        )
+        ranks = tpn.select("node", F.col("tp").alias("rank"))
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = teleport / n  # uniform-teleport scalar (unused on the seeds path)
     prev_ids: set[int] = set()
     for _ in range(iterations):
         contribs = (
@@ -152,19 +192,29 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         gain = F.coalesce("contrib", F.lit(0.0))
-        updated = nodes.join(contribs, "node", "left")
+        updated = (nodes if tpn is None else tpn).join(contribs, "node", "left")
         if dang is not None:
             # one-row dangling-mass aggregate, broadcast into the update —
-            # the division by N is spelled `m / n` to mirror the oracle
+            # the division by N (uniform) / multiplication by tp (seeds)
+            # is spelled exactly as the oracles mirror it
             mdf = ranks.join(dang, "node", "left_semi").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
             )
             updated = updated.crossJoin(F.broadcast(mdf))
-            gain = gain + F.col("m") / F.lit(float(n))
+            gain = gain + (
+                F.col("m") / F.lit(float(n))
+                if tpn is None
+                else F.col("m") * F.col("tp")
+            )
         before = persistent_rdd_ids(spark)
-        new_ranks = updated.select(
-            "node", (F.lit(base) + F.lit(damping) * gain).alias("rank")
-        ).localCheckpoint(eager=True)
+        new_rank_expr = (
+            F.lit(base) + F.lit(damping) * gain
+            if tpn is None
+            else F.lit(teleport) * F.col("tp") + F.lit(damping) * gain
+        )
+        new_ranks = updated.select("node", new_rank_expr.alias("rank")).localCheckpoint(
+            eager=True
+        )
         step_ids = persistent_rdd_ids(spark) - before
         done = False
         if tol is not None:

@@ -58,6 +58,15 @@ rounds for everything except the explicitly-ledgered overflow.
 
 Catalog growth this round is exactly the 2 in-window debuts (multi-batch
 growth stays paused until the r12 draft's math clears — VERDICT r10 #9).
+The OPERATOR halves of two r13 debut candidates are staged and
+pytest-pinned with their future oracles already drafted (the same
+pattern that staged this round's debuts in r10): personalized PageRank
+(``operators/graph.py::pagerank(seeds=...)``,
+tests/test_graph.py::test_personalized_pagerank_matches_unrolled_duckdb_recurrence)
+and market-basket association rules (``operators/basket.py``,
+tests/test_basket.py::test_association_rules_match_unrolled_duckdb) —
+the r13 batch wires registered queries + oracles into the ~35 free
+slots left after the r09-tail rotation.
 """
 
 from __future__ import annotations

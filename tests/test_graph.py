@@ -313,3 +313,124 @@ def test_weighted_pagerank_mass_invariant_on_random_graphs(spark):
         ranks = pagerank(e, weight="w", iterations=4, dangling="redistribute")
         total = ranks.agg(F.sum("rank")).collect()[0][0]
         assert abs(total - 1.0) < 1e-9, (seed, total)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (seeds=) — staged r11 for the r13 debut; the
+# registered query will spell exactly these oracles (the weighted-pagerank
+# staging pattern, r10)
+# ---------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_with_all_nodes_matches_uniform(spark):
+    """seeds = every node ⇒ tp ≡ 1/N and the personalized recurrence
+    degenerates to the uniform one term for term (0.15·(1/N) vs 0.15/N
+    differ only in the final multiply's last ulp)."""
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    allseeds = spark.createDataFrame([("a",), ("b",), ("c",)], ["node"])
+    uni = {r.node: r.rank for r in pagerank(e, iterations=4).collect()}
+    per = {r.node: r.rank for r in pagerank(e, iterations=4, seeds=allseeds).collect()}
+    assert set(uni) == set(per)
+    for k in uni:
+        assert abs(uni[k] - per[k]) < 1e-14, (k, uni[k], per[k])
+
+
+def test_personalized_pagerank_matches_unrolled_duckdb_recurrence(spark, tmp_path):
+    """Cross-engine parity for the seeded form with dangling restart,
+    drafted exactly as the future registered query's oracle will spell
+    it: tp = 1/|S| on seeds else 0, r0 = tp, rank = 0.15·tp +
+    0.85·(contrib + m·tp), dang via NOT EXISTS. Locks the double
+    discipline before the query/oracle pair is wired in (r13)."""
+    import duckdb
+
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    # c is dangling; seeds {a, d} — d is an otherwise-minor node
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a"), ("b", "d")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    e.write.parquet(f"{tmp_path}/edges.parquet")
+    seeds = spark.createDataFrame([("a",), ("d",)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            e, iterations=3, dangling="redistribute", seeds=seeds
+        ).collect()
+    }
+
+    def it(prev, cur, m):
+        return f"""{m} AS (
+  SELECT coalesce(sum({prev}.rank), CAST(0.0 AS DOUBLE)) AS m
+  FROM {prev} JOIN dang USING (node)
+),
+{cur} AS (
+  SELECT tp.node,
+         CAST(0.15 AS DOUBLE) * tp.tp
+           + CAST(0.85 AS DOUBLE) * (coalesce(s.contrib, CAST(0.0 AS DOUBLE)) + mm.m * tp.tp) AS rank
+  FROM tp CROSS JOIN {m} mm
+  LEFT JOIN (
+    SELECT ce.v AS node, sum({prev}.rank * ce.w) AS contrib
+    FROM ce JOIN {prev} ON {prev}.node = ce.u
+    GROUP BY 1
+  ) s ON s.node = tp.node
+)"""
+
+    sql = (
+        f"""
+WITH e AS (SELECT src AS u, dst AS v
+           FROM read_parquet('{tmp_path}/edges.parquet/*.parquet')),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
+ce AS (SELECT e.u, e.v, CAST(1.0 AS DOUBLE) / deg.outdeg AS w
+       FROM e JOIN deg ON deg.u = e.u),
+nodes AS (SELECT DISTINCT u AS node FROM (SELECT u FROM e UNION ALL SELECT v AS u FROM e)),
+dang AS (SELECT node FROM nodes n0
+         WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.u = n0.node)),
+sset AS (SELECT * FROM (VALUES ('a'), ('d')) s(node)),
+nsn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sset),
+tp AS (SELECT n.node,
+              coalesce(s.t, CAST(0.0 AS DOUBLE)) AS tp
+       FROM nodes n
+       LEFT JOIN (SELECT node, 1.0 / nsn.ns AS t FROM sset CROSS JOIN nsn) s
+         USING (node)),
+r0 AS (SELECT node, tp AS rank FROM tp),
+"""
+        + ",\n".join(it(f"r{i}", f"r{i + 1}", f"m{i}") for i in range(3))
+        + "\nSELECT node, rank FROM r3 ORDER BY node"
+    )
+    want = dict(duckdb.sql(sql).fetchall())
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+def test_personalized_pagerank_invariants(spark):
+    """Restart semantics: with redistribute, total mass stays 1 for any
+    seed set; a non-seed node with no path from the seeds holds rank 0;
+    out-of-graph seed ids are ignored; an empty effective seed set
+    raises."""
+    import pytest as _pytest
+
+    from mapreduce_system_spark.operators.graph import pagerank
+
+    # z is unreachable FROM the seed component and has an out-edge, so it
+    # receives neither teleport nor contribution mass
+    edges = [("a", "b"), ("b", "a"), ("z", "a")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("ghost",)], ["node"])
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(
+            e, iterations=5, dangling="redistribute", seeds=seeds
+        ).collect()
+    }
+    total = sum(ranks.values())
+    assert abs(total - 1.0) < 1e-9, total
+    assert ranks["z"] == 0.0
+    # a and b trade mass around the 2-cycle (finite iterations oscillate);
+    # both hold positive mass and together all of it
+    assert ranks["a"] > 0.0 and ranks["b"] > 0.0
+    assert abs(ranks["a"] + ranks["b"] - 1.0) < 1e-9
+    with _pytest.raises(ValueError, match="no seed id"):
+        pagerank(e, seeds=spark.createDataFrame([("ghost",)], ["node"]))
