@@ -405,3 +405,59 @@ def test_degenerate_division_guards_survive_in_both_engines(spark):
     plan = formatted_plan(q_triangle_count(spark, SF_DIR))
     trans = [ln for ln in plan.splitlines() if "AS transitivity" in ln]
     assert any("CASE WHEN" in ln and "0.0" in ln for ln in trans), trans[:3]
+
+
+def test_weighted_pagerank_edge_build_prunes_and_equi_joins(spark):
+    """The corpus-sized piece of graph_pagerank_weighted is the edge
+    aggregation (the iteration itself runs over eager localCheckpoints,
+    so the registered query's FINAL plan is a truncated RDD scan — the
+    guard belongs on the pre-loop relation): the fact-fact join must be
+    an equi-join with the lineitem scan pruned to exactly the three
+    join/weight columns."""
+    from mapreduce_system_spark.queries._graphshared import purchase_edges_weighted
+
+    orders = load_table(spark, SF_DIR, "orders", columns=["o_orderkey", "o_custkey"])
+    li = load_table(
+        spark, SF_DIR, "lineitem", columns=["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    plan = formatted_plan(purchase_edges_weighted(orders, li))
+    for op in _ALL_PAIRS_OPS:
+        assert op not in plan, f"{op} in plan:\n{plan}"
+    # column pruning reached the lineitem scan: quantity rides, the
+    # other 8 lineitem columns don't
+    assert "l_quantity" in plan
+    assert "l_extendedprice" not in plan, "lineitem scan not pruned"
+    # map-side partial combine before the exchange (partial_sum shows as
+    # two HashAggregates around the shuffle)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pca_projection_objects_ride_broadcasts(spark):
+    """pca_topk's per-round corpus joins must take the k·d-or-smaller
+    deflation/iterate objects as BROADCASTS (the operator's own
+    _project_out and score-join shapes, checked on the relation BEFORE
+    the checkpoint truncates the plan): a shuffled join of a d-row
+    vector onto the exploded corpus would serialize every round on an
+    exchange."""
+    from mapreduce_system_spark.operators.pca import _project_out
+
+    emb = load_table(spark, SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+    comp = emb.select(
+        F.col("vec_id").alias("id"), F.posexplode("embedding").alias("pos", "vf")
+    ).select("id", "pos", F.col("vf").cast("double").alias("val"))
+    spark_range = comp.sparkSession.range(64).select(
+        F.col("id").cast("int").alias("pos")
+    )
+    v = spark_range.select("pos", F.lit(0.125).alias("v"))
+    prev = spark_range.select(
+        F.lit(0).alias("component"), "pos", F.lit(0.125).alias("loading")
+    )
+    s = (
+        comp.join(F.broadcast(_project_out(v, prev)), "pos")
+        .groupBy("id")
+        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+    )
+    plan = formatted_plan(s)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
