@@ -99,7 +99,13 @@ def pagerank(
     vs 4.69s median-of-3 full-query at sf0.1: AQE broadcasts the rank
     vector anyway, so bucketing trades a free broadcast for per-round
     table writes. The crossover needs rank vectors too big to broadcast
-    — the documented 100 TB switch, not the fixture regime).
+    — the documented 100 TB switch, not the fixture regime); folding the
+    weight-validity count_if into a CACHED deg aggregate to save the
+    standalone edge scan (r11 A/B: 5.73 vs 5.52 s median-of-3 on
+    graph_pagerank_weighted — the callers already cache the edge
+    relation, so the "saved" scan was a cache read while the deg cache
+    added blocks + one extra job; revisit only for an uncached edge
+    source, where the saved scan is a real fact-table pass).
     """
     spark = edges.sparkSession
     if weight is None:
