@@ -310,9 +310,16 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(px).alias("cnt_vals"),
         F.approx_percentile("l_extendedprice", pcts, F.lit(10000)).alias("p"),
     )
+    # eqNullSafe: GROUP BY keeps a NULL-flag group on both engines, but a
+    # plain equi-join back onto the facts silently dropped it from the
+    # Spark side only (r11 adversarial gate — the agg_quantiles class)
     ranks = (
-        li.join(F.broadcast(appx), "l_returnflag")
-        .groupBy("l_returnflag")
+        li.alias("f")
+        .join(
+            F.broadcast(appx.alias("x")),
+            F.col("f.l_returnflag").eqNullSafe(F.col("x.l_returnflag")),
+        )
+        .groupBy(F.col("f.l_returnflag").alias("l_returnflag"))
         .agg(
             F.first("cnt").alias("cnt"),
             F.first("cnt_vals").alias("cnt_vals"),
@@ -323,9 +330,18 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.col("cnt_vals").cast("double")
+
+    def band(lt: str, le: str, lo: float, hi: float):
+        # a group with NO values has no quantile to be wrong about — its
+        # band holds vacuously (the oracle emits unconditional TRUE);
+        # without the guard the NULL-valued comparisons make it NULL
+        return F.when(F.col("cnt_vals") == 0, F.lit(True)).otherwise(
+            (F.col(lt) / n <= hi) & (F.col(le) / n >= lo)
+        )
+
     return ranks.select(
         "l_returnflag",
         "cnt",
-        ((F.col("lt50") / n <= 0.505) & (F.col("le50") / n >= 0.495)).alias("p50_ok"),
-        ((F.col("lt90") / n <= 0.905) & (F.col("le90") / n >= 0.895)).alias("p90_ok"),
+        band("lt50", "le50", 0.495, 0.505).alias("p50_ok"),
+        band("lt90", "le90", 0.895, 0.905).alias("p90_ok"),
     ).orderBy("l_returnflag")

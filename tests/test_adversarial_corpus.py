@@ -464,6 +464,11 @@ _REL_QUERY_NAMES = [
     "rel_bloom_join_pruned",
     "skew_salted_join",
     "fn_linear_interpolate_daily",
+    # the sketch pair: their oracles are error-band checks (TRUE/FALSE
+    # columns), so a degenerate corpus that breaks the band logic — not
+    # merely the estimate — is exactly what this gate would catch
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
 ]
 
 
@@ -674,6 +679,10 @@ _STAR_QUERY_NAMES = [
     "rel_scalar_subquery_q17",
     "rel_sql_api_q8_market_share",
     "agg_grouped_linreg",
+    # r11 expansion: BFS over the purchase graph with a NULL-nation
+    # supplier — a frontier edge whose nation join must drop identically
+    # on both engines
+    "graph_bfs_reachability",
 ]
 
 
