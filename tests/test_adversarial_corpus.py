@@ -7,6 +7,17 @@ Java-regex Spark side and the RE2 DuckDB side are never exercised by it
 suite re-runs a representative slice of the registered documents-only
 queries against their OWN registered oracle SQL on a crafted corpus of
 exactly those edges, comparing full result rows.
+
+Coverage census (r11): every registered query with a corpus-portable
+oracle is in some list below. The principled exclusions are the
+SF_BOUND export-pattern queries (their oracles read side tables the
+Spark query exports under fixture-sf-keyed paths —
+registry.SF_BOUND_ORACLES), cosine-RANKING queries on zero-bearing
+corpora (the documented 0.0-vs--1.0 zero-norm domain guard — they run
+on the zero-free corpus instead), and the stateful session pair
+(GST + TWS), whose cross-batch timer/evict semantics need crafted
+STREAMS, not a batch corpus — tests/test_streaming.py's dedicated
+harnesses cover those edges with per-batch replay.
 """
 
 from __future__ import annotations
@@ -91,6 +102,13 @@ _QUERY_NAMES = [
     "mr_whole_text_files_wc",
     "udtf_sentence_stats",
     "txt_quality_profile",
+    # multimodal: blobs derive deterministically from the text column, so
+    # NULL/unicode texts drive the binarize -> Arrow decode path directly
+    "mm_blob_features",
+    "mm_image_features",
+    "mm_resize_grid",
+    "mm_audio_features",
+    "mm_frame_sample_counts",
 ]
 
 
@@ -182,6 +200,9 @@ _EVENT_QUERY_NAMES = [
     "stream_dedup_exact",
     "stream_interval_join_attrib",
     "rel_pit_join_scd2",
+    "sink_merge_upsert",
+    "sink_dpp_join_pruned",  # facts = events, hive-partitioned by type
+    "stream_stateful_user_totals",  # GST replay over the staged corpus
 ]
 
 
@@ -469,6 +490,14 @@ _REL_QUERY_NAMES = [
     # merely the estimate — is exactly what this gate would catch
     "agg_approx_distinct",
     "agg_approx_quantiles",
+    # sink/scan roundtrips: write the adversarial rows through the real
+    # sink paths (partitioned/bucketed/DPP/CSV/JSON/ORC) and re-scan —
+    # NULL measures and absent lookup keys must survive the roundtrip
+    "sink_partitioned_roundtrip",
+    "scan_csv_json_roundtrip",
+    "sink_bucketed_join_roundtrip",
+    "scan_orc_roundtrip",
+    "sink_bucket_pruned_lookup",
 ]
 
 
