@@ -226,3 +226,74 @@ def test_weighted_mean_cancellation_is_order_independent(spark, perm):
     wm = weighted_mean()
     out = df.groupBy("g").agg(wm("v", "w").alias("m")).collect()
     assert out[0]["m"] is None
+
+
+# ---------------------------------------------------------------------------
+# cross-engine fuzz (r11): hypothesis-generated events corpora vs the
+# registered oracles — the adversarial gate generalized from one crafted
+# corpus to shrinkable random ones. Queries chosen for tie/NULL-heavy
+# semantics (argmax ties, struct min/max, grouped sums over NULL keys).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+import duckdb as _duckdb
+
+_FUZZ_QUERIES = (
+    "rel_cdc_latest_state",
+    "fn_ohlc_hourly",
+    "stream_user_totals_batch",
+    "agg_grouped_mode_argmax",
+    "pipe_keep_latest_k",
+)
+
+_TS_DOMAIN = [
+    _dt.datetime(2024, 1, 1, 0, 0, 0),
+    _dt.datetime(2024, 1, 1, 0, 0, 0),   # deliberate tie weight
+    _dt.datetime(2024, 1, 1, 0, 30, 0),
+    _dt.datetime(2024, 1, 1, 1, 0, 0),
+    _dt.datetime(2024, 1, 3, 23, 59, 59),
+    _dt.datetime(2024, 2, 1, 12, 0, 0),
+]
+
+_EVENT_ROW = st.tuples(
+    st.sampled_from(_TS_DOMAIN),
+    st.sampled_from([None, 1, 2, 3]),                       # user_id
+    st.sampled_from([None, "open", "view", "pay"]),          # event_type
+    st.sampled_from([None, 0.0, -1.5, 2.25, 100.5, 1e12]),   # value
+    st.sampled_from([None, "{}", '{"k": 1}', "not json"]),   # props
+)
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=0, max_size=12))
+@settings(max_examples=5, deadline=None)
+def test_event_queries_match_oracle_on_random_corpora(spark, rows):
+    """Spark result == DuckDB oracle on ARBITRARY small events tables
+    (NULL keys/types/values, timestamp ties, malformed JSON, empty
+    corpus). event_id is the enumeration index, so every tie-break the
+    queries rely on stays unique — exactly the fixture contract."""
+    import tempfile
+
+    import mapreduce_system_spark.queries  # noqa: F401
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    s = _get_spark(spark)
+    d = tempfile.mkdtemp(prefix="fuzz_events_")
+    data = [
+        Row(event_id=i, ts=ts, user_id=u, event_type=et, value=v, props=p)
+        for i, (ts, u, et, v, p) in enumerate(rows, start=1)
+    ]
+    s.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    for name in _FUZZ_QUERIES:
+        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert got == want, (name, rows, got[:4], want[:4])
