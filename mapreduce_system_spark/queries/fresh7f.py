@@ -140,12 +140,30 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_moments_profile — statistical moment aggregates
 # ---------------------------------------------------------------------------
 
+# corr is spelled covar/(sd·sd) over PAIRWISE-complete rows with a nullif'd
+# denominator instead of corr(): under ANSI Spark's corr ABORTS THE JOB with
+# DIVIDE_BY_ZERO on a zero-variance group (two identical rows suffice —
+# found by the r11 random-corpus fuzz) while DuckDB's returns NULL; the
+# explicit algebra is the same Pearson estimator, NULLs the degenerate
+# group on both engines, and keeps every expression mirrored.
 _MOMENTS_SQL = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
        round(stddev_samp(l_extendedprice), 4) AS sd_price,
        round(var_samp(l_discount), 6) AS var_disc,
-       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(
+         covar_samp(l_quantity, l_extendedprice)
+           / nullif(
+               stddev_samp(CASE WHEN l_quantity IS NOT NULL
+                                 AND l_extendedprice IS NOT NULL
+                            THEN l_quantity END)
+               * stddev_samp(CASE WHEN l_quantity IS NOT NULL
+                                   AND l_extendedprice IS NOT NULL
+                              THEN l_extendedprice END),
+               0
+             ),
+         6
+       ) AS corr_qty_price,
        round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
 FROM lineitem
 GROUP BY l_returnflag
@@ -169,13 +187,27 @@ def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem",
         columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
     )
+    # Pearson spelled covar/(sd·sd) over pairwise-complete rows with a
+    # nullif'd denominator, NOT F.corr: under ANSI, corr() aborts the
+    # whole job with DIVIDE_BY_ZERO on any zero-variance group (two
+    # identical rows suffice — r11 random-corpus fuzz), and at 100 TB one
+    # constant-valued group anywhere would kill the query; DuckDB's corr
+    # NULLs it. The explicit algebra NULLs it on both engines and stays
+    # expression-mirrored with the oracle.
+    pair_ok = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    sd_q = F.stddev_samp(F.when(pair_ok, F.col("l_quantity")))
+    sd_p = F.stddev_samp(F.when(pair_ok, F.col("l_extendedprice")))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
             F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice")
+                / F.nullif(sd_q * sd_p, F.lit(0.0)),
+                6,
+            ).alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
                 "covar_qty_price"
             ),

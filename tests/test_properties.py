@@ -297,3 +297,59 @@ def test_event_queries_match_oracle_on_random_corpora(spark, rows):
         got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
         want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
         assert got == want, (name, rows, got[:4], want[:4])
+
+
+_LI_ROW = st.tuples(
+    st.sampled_from([None, "A", "N", "R"]),                      # l_returnflag
+    st.sampled_from([None, 0.0, 1.0, 2.5, 2.5, 99.75, 1e9]),     # l_extendedprice
+    st.sampled_from([None, 1.0, 3.0, 50.0]),                     # l_quantity
+)
+
+_LI_FUZZ_QUERIES = (
+    "agg_quantiles",
+    "agg_mad_outliers",
+    "agg_approx_quantiles",
+    "agg_moments_profile",
+)
+
+
+@given(rows=st.lists(_LI_ROW, min_size=0, max_size=14))
+@settings(max_examples=5, deadline=None)
+def test_rank_family_matches_oracle_on_random_corpora(spark, rows):
+    """The rank-selection / robust-stats family on ARBITRARY lineitem
+    corpora: NULL group keys, NULL measures, all-NULL groups, duplicate
+    values on rank boundaries, extreme magnitudes, empty corpus — the
+    exact classes behind this round's eqNullSafe and all-NULL-group
+    fixes, re-proved continuously instead of on one crafted corpus."""
+    import tempfile
+
+    import mapreduce_system_spark.queries  # noqa: F401
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    s = _get_spark(spark)
+    d = tempfile.mkdtemp(prefix="fuzz_li_")
+    data = [
+        Row(
+            l_orderkey=i, l_partkey=i % 5, l_suppkey=i % 3, l_linenumber=1,
+            l_quantity=q, l_extendedprice=px, l_discount=0.05, l_tax=0.02,
+            l_returnflag=fl, l_linestatus="F",
+            l_shipdate=_dt.datetime(2024, 3, 1 + (i % 20)),
+        )
+        for i, (fl, px, q) in enumerate(rows, start=1)
+    ]
+    s.createDataFrame(
+        data,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    for name in _LI_FUZZ_QUERIES:
+        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert got == want, (name, rows, got[:4], want[:4])
