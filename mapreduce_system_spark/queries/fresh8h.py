@@ -137,6 +137,11 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_grouped_linreg — per-group least squares from algebraic aggregates
 # ---------------------------------------------------------------------------
 
+# r² is spelled covar²/(var_x·var_y) over PAIRWISE-complete rows with a
+# nullif'd denominator instead of corr()²: under ANSI Spark's corr ABORTS
+# THE JOB with DIVIDE_BY_ZERO on any zero-variance group (the
+# agg_moments_profile class, r11 fuzz) — one constant-valued brand at
+# 100 TB would kill the whole fit; DuckDB's corr NULLs it.
 _LINREG_SQL = """
 SELECT p.p_brand AS brand,
        CAST(count(*) AS BIGINT) AS n,
@@ -146,8 +151,17 @@ SELECT p.p_brand AS brand,
              - covar_samp(l.l_quantity, l.l_extendedprice)
                / nullif(var_samp(l.l_quantity), 0)
                * avg(l.l_quantity), 4) AS intercept,
-       round(corr(l.l_quantity, l.l_extendedprice)
-             * corr(l.l_quantity, l.l_extendedprice), 6) AS r2
+       round(covar_samp(l.l_quantity, l.l_extendedprice)
+             * covar_samp(l.l_quantity, l.l_extendedprice)
+             / nullif(
+                 var_samp(CASE WHEN l.l_quantity IS NOT NULL
+                                AND l.l_extendedprice IS NOT NULL
+                           THEN l.l_quantity END)
+                 * var_samp(CASE WHEN l.l_quantity IS NOT NULL
+                                  AND l.l_extendedprice IS NOT NULL
+                             THEN l.l_extendedprice END),
+                 0
+               ), 6) AS r2
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY 1
 ORDER BY 1
@@ -184,6 +198,15 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     slope = _linreg_slope(x, y)  # nullif-guarded (see helper docstring)
+    # r² = covar²/(var·var) over pairwise-complete rows, NOT F.corr()²:
+    # under ANSI corr aborts the job on a zero-variance group (the
+    # agg_moments_profile class — r11 fuzz); the explicit algebra NULLs
+    # it on both engines and stays expression-mirrored with the oracle
+    pair_ok = x.isNotNull() & y.isNotNull()
+    cov = F.covar_samp(x, y)
+    r2 = (cov * cov) / F.nullif(
+        F.var_samp(F.when(pair_ok, x)) * F.var_samp(F.when(pair_ok, y)), F.lit(0.0)
+    )
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"))
@@ -191,7 +214,7 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(slope, 4).alias("slope"),
             F.round(F.avg(y) - slope * F.avg(x), 4).alias("intercept"),
-            F.round(F.corr(x, y) * F.corr(x, y), 6).alias("r2"),
+            F.round(r2, 6).alias("r2"),
         )
         .orderBy("brand")
     )

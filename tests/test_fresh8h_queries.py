@@ -269,3 +269,65 @@ def test_bfs_seed_duplicates_do_not_double_count(spark):
     seeds = spark.createDataFrame([("a",), ("a",), ("a",)], ["node"])
     rows = bfs_hops(e, seeds, max_hops=2).collect()
     assert sorted((r.node, r.hop) for r in rows) == [("a", 0), ("b", 1)]
+
+
+def test_grouped_linreg_r2_survives_zero_variance_group_under_ansi(spark, tmp_path):
+    """The r11 fuzz class applied here: r² spelled with F.corr()² ABORTS
+    the whole job under ANSI on a zero-variance group (two identical
+    quantities in one brand suffice); the covar²/nullif(var·var)
+    respelling must instead yield NULL on BOTH engines — end-to-end
+    through the registered query and its oracle."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    li = [
+        # brand 0: constant quantity (var = 0) — the would-be job killer
+        Row(l_orderkey=1, l_partkey=0, l_suppkey=0, l_linenumber=1,
+            l_quantity=5.0, l_extendedprice=100.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="F", l_shipdate=dt.datetime(2024, 1, 1)),
+        Row(l_orderkey=2, l_partkey=0, l_suppkey=0, l_linenumber=1,
+            l_quantity=5.0, l_extendedprice=200.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="F", l_shipdate=dt.datetime(2024, 1, 1)),
+        # brand 1: a real 3-point fit
+        Row(l_orderkey=3, l_partkey=1, l_suppkey=0, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=10.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="F", l_shipdate=dt.datetime(2024, 1, 1)),
+        Row(l_orderkey=4, l_partkey=1, l_suppkey=0, l_linenumber=1,
+            l_quantity=2.0, l_extendedprice=19.5, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="F", l_shipdate=dt.datetime(2024, 1, 1)),
+        Row(l_orderkey=5, l_partkey=1, l_suppkey=0, l_linenumber=1,
+            l_quantity=3.0, l_extendedprice=31.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="F", l_shipdate=dt.datetime(2024, 1, 1)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [Row(p_partkey=0, p_name="p0", p_brand="Brand#0",
+             p_type="T", p_size=1, p_retailprice=1.0),
+         Row(p_partkey=1, p_name="p1", p_brand="Brand#1",
+             p_type="T", p_size=1, p_retailprice=1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    got = sorted(
+        tuple(r) for r in QUERIES["agg_grouped_linreg"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.execute(ORACLE_SQL["agg_grouped_linreg"]).fetchall())
+    assert got == want
+    deg = next(r for r in got if r[0] == "Brand#0")
+    assert deg[2] is None and deg[4] is None  # slope and r2 both NULL
