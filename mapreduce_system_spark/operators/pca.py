@@ -114,6 +114,8 @@ def pca_topk(
     prev: DataFrame | None = None
     prev_ids: set[int] = set()
     round_ids: set[int] = set()
+    ref_nrm: DataFrame | None = None  # component 0's final norm (one row)
+    ref_ids: set[int] = set()
     for ci in range(k):
         # uniform unit start (the fresh8m convention), deflated up front.
         # math.sqrt, not d**0.5: sqrt is IEEE correctly-rounded in both
@@ -122,7 +124,9 @@ def pca_topk(
         # (the parity class registry.py documents for computed doubles)
         v = positions.select("pos", F.lit(1.0 / math.sqrt(d)).alias("v"))
         v = _project_out(v, prev)
-        for _ in range(rounds):
+        nrm = None
+        nrm_ids: set[int] = set()
+        for r in range(rounds):
             s = (
                 comp.join(F.broadcast(v), "pos")
                 .groupBy("id")
@@ -135,6 +139,14 @@ def pca_topk(
             )
             w = _project_out(w, prev)
             nrm = w.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+            if r == rounds - 1:
+                # the FINAL norm outlives the round (the exhaustion guard
+                # and the ci=0 reference read it after this round's input
+                # blocks are released) — checkpoint the one row so its
+                # lineage is self-contained
+                before_n = persistent_rdd_ids(spark)
+                nrm = nrm.localCheckpoint(eager=True)
+                nrm_ids = persistent_rdd_ids(spark) - before_n
             # nullif: an iterate orthogonal to the residual spectrum
             # (measure-zero) must go NULL, not abort under ANSI
             v = w.crossJoin(F.broadcast(nrm)).select(
@@ -150,8 +162,34 @@ def pca_topk(
             if round_ids:
                 unpersist_rdd_ids(spark, round_ids)
             round_ids = new_round_ids
-        new_dir = v.select(
-            F.lit(ci).alias("component"), "pos", F.col("v").alias("loading")
+        if ci == 0:
+            # the guard's reference rides component 0's already-
+            # checkpointed final norm (no second checkpoint); its blocks
+            # are exempt from the per-component release below
+            ref_nrm = nrm.select(F.col("nrm").alias("ref_nrm"))
+            ref_ids = set(nrm_ids)
+        # SPECTRUM-EXHAUSTION GUARD (r11 embeddings fuzz): when k exceeds
+        # the corpus's effective rank, the deflated iterate is zero in
+        # exact arithmetic and its computed norm is pure round-off
+        # (~eps x data scale); normalizing that amplifies engine-specific
+        # last ulps into an arbitrary unit vector — Spark and DuckDB
+        # emitted DIFFERENT garbage directions on a rank-1 corpus. A
+        # component whose final norm collapses below 1e-9 of component
+        # 0's is exhausted: emit NULL loadings (both engines compute
+        # their own ~eps norms, both fall far below the threshold, so
+        # the CASE agrees cross-engine; the registered oracle mirrors
+        # it). λ_k/λ_1 genuinely at 1e-9 is below what double-precision
+        # power iteration can resolve anyway.
+        new_dir = (
+            v.crossJoin(F.broadcast(nrm))
+            .crossJoin(F.broadcast(ref_nrm))
+            .select(
+                F.lit(ci).alias("component"),
+                "pos",
+                F.when(
+                    F.col("nrm") >= F.lit(1e-9) * F.col("ref_nrm"), F.col("v")
+                ).alias("loading"),
+            )
         )
         before = persistent_rdd_ids(spark)
         prev = (
@@ -161,10 +199,18 @@ def pca_topk(
         if prev_ids:
             unpersist_rdd_ids(spark, prev_ids)
         prev_ids = step_ids
+        if nrm_ids:
+            # the final-norm row is baked into prev's blocks now —
+            # release, but never the ci=0 reference the guard still reads
+            unpersist_rdd_ids(spark, nrm_ids - ref_ids)
     if round_ids:
         # the last round's iterate blocks — prev is checkpointed on its
         # own blocks, so these are release-now garbage, not a dependency
         unpersist_rdd_ids(spark, round_ids)
+    if ref_ids:
+        # the one-row guard reference (component 0's final norm) is baked
+        # into prev's checkpointed blocks — release-now garbage
+        unpersist_rdd_ids(spark, ref_ids)
     if prev_ids:
         track_rdd_ids(spark, prev_ids)
     return prev.orderBy("component", "pos")

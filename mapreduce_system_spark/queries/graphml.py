@@ -163,7 +163,16 @@ b_d2 AS (SELECT sum(b_w2.w * v1.v) AS dot FROM b_w2 JOIN v1 USING (pos)),
 b_p2 AS (SELECT b_w2.pos, b_w2.w - b_d2.dot * v1.v AS w
          FROM b_w2 JOIN v1 USING (pos) CROSS JOIN b_d2),
 b_n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM b_p2),
-v2 AS (SELECT pos, w / nullif(nrm, 0) AS v FROM b_p2 CROSS JOIN b_n2)
+-- spectrum-exhaustion guard, mirroring operators/pca.py: when k exceeds
+-- the corpus's effective rank the deflated iterate is zero in exact
+-- arithmetic and the computed norm is pure round-off; normalizing that
+-- amplifies engine-specific ulps into DIFFERENT garbage directions per
+-- engine (r11 embeddings fuzz, rank-1 corpus). Both engines' ~eps norms
+-- fall far below 1e-9 of component 0's, so the CASE agrees.
+v2 AS (SELECT pos,
+              CASE WHEN b_n2.nrm >= 1e-9 * a_n2.nrm
+                   THEN w / nullif(b_n2.nrm, 0) END AS v
+       FROM b_p2 CROSS JOIN b_n2 CROSS JOIN a_n2)
 SELECT 0 AS component, pos, round(v, 6) AS loading FROM v1
 UNION ALL
 SELECT 1 AS component, pos, round(v, 6) AS loading FROM v2

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 
@@ -454,3 +455,61 @@ def test_fixture_documents_have_no_dotted_capital_i(spark):
         docs = load_table(s, sf, "documents", columns=["text"])
         n = docs.where(F.col("text").contains("İ")).count()
         assert n == 0, sf
+
+
+# components on a power-of-two grid: every dot product / norm argument is
+# EXACT in double regardless of summation order, so a cross-engine
+# mismatch here is a semantic divergence, never float noise
+_VEC_COMPONENT = st.sampled_from([-2.0, -1.0, -0.5, 0.0, 0.25, 0.5, 1.0, 2.0])
+_EMB_VECTOR = st.one_of(
+    st.none(), st.lists(_VEC_COMPONENT, min_size=8, max_size=8)
+)
+
+_EMB_FUZZ_QUERIES = (
+    "emb_int8_quantize_error",
+    "emb_centroid_outliers",
+    "emb_hof_vector_stats",
+    "emb_centroid_distance_matrix",
+    "emb_pca_power_iteration",
+    "emb_pca_topk_deflation",
+)
+
+
+@given(vecs=st.lists(_EMB_VECTOR, min_size=0, max_size=10))
+@settings(max_examples=5, deadline=None)
+def test_embedding_queries_match_oracle_on_random_corpora(spark, vecs):
+    """Random d=8 embedding corpora (zero vectors, NULL embeddings,
+    antipodal/duplicate rows, mixed magnitudes — all on the exact grid)
+    must hash-match the registered oracles for the embedding-statistics
+    and PCA family."""
+    import tempfile
+
+    import mapreduce_system_spark.queries  # noqa: F401
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    s = _get_spark(spark)
+    d = tempfile.mkdtemp(prefix="fuzz_emb_")
+    data = [
+        Row(vec_id=i, embedding=v, label=i % 3)
+        for i, v in enumerate(vecs)
+    ]
+    s.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    no_vectors = not any(v is not None for v in vecs)
+    for name in _EMB_FUZZ_QUERIES:
+        if name == "emb_pca_topk_deflation" and no_vectors:
+            # pca_topk's documented contract: a corpus with no vector
+            # components raises loudly instead of emitting directions
+            # (operators/pca.py) — pin the contract, skip the compare
+            with pytest.raises(Exception, match="no vector components"):
+                QUERIES[name](s, d).collect()
+            continue
+        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert got == want, (name, vecs, got[:4], want[:4])
