@@ -513,3 +513,80 @@ def test_embedding_queries_match_oracle_on_random_corpora(spark, vecs):
         got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
         want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
         assert got == want, (name, vecs, got[:4], want[:4])
+
+
+_ORDER_ROW = st.tuples(
+    st.sampled_from([None, 1, 2, 3, 4]),                      # o_custkey
+    st.sampled_from([None, 900.0, 1000.25, 1000.25, 5000.5]), # o_totalprice (tie weight)
+    st.sampled_from([None, _dt.datetime(2024, 1, 5),
+                     _dt.datetime(2024, 1, 5),                # date tie weight
+                     _dt.datetime(2024, 2, 10),
+                     _dt.datetime(2024, 3, 1)]),              # o_orderdate
+    st.sampled_from(["1-URGENT", "2-HIGH"]),                  # o_orderpriority
+)
+
+_ORD_FUZZ_QUERIES = (
+    "rel_topk_per_group",
+    "rel_running_agg",
+    "rel_window_lag_rank",
+    "rel_window_cume_ntile",
+    "rel_histogram_equi_depth",
+    "fn_date_trunc_monthly",
+)
+
+
+_CUST_ROW = st.tuples(
+    st.sampled_from([0, 1, 2]),                                # c_nationkey
+    st.sampled_from([None, -50.0, 0.0, 100.25, 100.25, 900.0]),  # c_acctbal (ties)
+    st.sampled_from(["AUTOMOBILE", "BUILDING"]),               # c_mktsegment
+)
+
+
+@given(
+    rows=st.lists(_ORDER_ROW, min_size=0, max_size=12),
+    cust=st.lists(_CUST_ROW, min_size=0, max_size=8),
+)
+@settings(max_examples=5, deadline=None)
+def test_window_rank_queries_match_oracle_on_random_corpora(spark, rows, cust):
+    """The window/rank family on ARBITRARY orders/customer corpora: NULL
+    keys, NULL order dates riding ascending windows (the asc_nulls_last
+    pin class), NULL measures on rank boundaries, duplicate
+    dates/prices/balances on tie-breaks, empty corpus. The enumeration
+    index keys keep every deterministic tie-break unique."""
+    import tempfile
+
+    import mapreduce_system_spark.queries  # noqa: F401
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    s = _get_spark(spark)
+    d = tempfile.mkdtemp(prefix="fuzz_ord_")
+    data = [
+        Row(o_orderkey=i, o_custkey=c, o_orderstatus="O",
+            o_totalprice=p, o_orderdate=dt_, o_orderpriority=pr)
+        for i, (c, p, dt_, pr) in enumerate(rows, start=1)
+    ]
+    s.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    cdata = [
+        Row(c_custkey=i, c_name=f"c{i}", c_nationkey=nk, c_acctbal=ab,
+            c_mktsegment=seg)
+        for i, (nk, ab, seg) in enumerate(cust, start=1)
+    ]
+    s.createDataFrame(
+        cdata,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    con = _duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    for name in _ORD_FUZZ_QUERIES:
+        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert got == want, (name, rows, got[:4], want[:4])
