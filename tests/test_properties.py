@@ -590,3 +590,76 @@ def test_window_rank_queries_match_oracle_on_random_corpora(spark, rows, cust):
         got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
         want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
         assert got == want, (name, rows, got[:4], want[:4])
+
+
+_ASOF_EVENT = st.tuples(
+    st.sampled_from([_dt.datetime(2024, 1, 1, h, m)
+                     for h, m in [(0, 0), (0, 0), (6, 30), (12, 0), (23, 59)]]),
+    st.sampled_from([None, 10, 11, 12]),
+)
+_ASOF_ORDER = st.tuples(
+    st.sampled_from([None, 10, 11, 12, 13]),
+    st.sampled_from([None,
+                     _dt.datetime(2024, 1, 1, 0, 0),
+                     _dt.datetime(2024, 1, 1, 0, 0),
+                     _dt.datetime(2024, 1, 1, 6, 30),
+                     _dt.datetime(2024, 1, 2, 0, 0)]),
+    st.sampled_from([None, 100.0, 250.5]),
+)
+
+_ASOF_FUZZ_QUERIES = (
+    "asof_join_events_orders",
+    "asof_join_salted_events",
+    "asof_join_nearest",
+)
+
+
+@given(
+    evs=st.lists(_ASOF_EVENT, min_size=0, max_size=10),
+    ords=st.lists(_ASOF_ORDER, min_size=0, max_size=10),
+)
+@settings(max_examples=5, deadline=None)
+def test_asof_queries_match_native_asof_on_random_corpora(spark, evs, ords):
+    """The as-of family vs DuckDB's NATIVE ASOF JOIN on arbitrary
+    events×orders corpora — two genuinely independent implementations
+    (union+window vs DuckDB's dedicated operator) agreeing on random
+    NULL keys, NULL/duplicate timestamps on the boundary, equal-time
+    matches, and users with no history. The salted rewrite rides the
+    same oracle, so its semantic invisibility is fuzzed too."""
+    import tempfile
+
+    import mapreduce_system_spark.queries  # noqa: F401
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    s = _get_spark(spark)
+    d = tempfile.mkdtemp(prefix="fuzz_asof_")
+    edata = [
+        Row(event_id=i, ts=ts, user_id=u, event_type="open",
+            value=1.0, props=None)
+        for i, (ts, u) in enumerate(evs, start=1)
+    ]
+    s.createDataFrame(
+        edata,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    odata = [
+        Row(o_orderkey=i, o_custkey=c, o_orderstatus="O",
+            o_totalprice=p, o_orderdate=dt_, o_orderpriority="1-URGENT")
+        for i, (c, dt_, p) in enumerate(ords, start=1)
+    ]
+    s.createDataFrame(
+        odata,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    con = _duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    for name in _ASOF_FUZZ_QUERIES:
+        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert got == want, (name, evs, ords, got[:4], want[:4])
