@@ -20,7 +20,16 @@ Spark-first shape, audited for 100 TB:
   documents the same trade);
 - item counts are a dimension-sized relation broadcast into the rule
   join; the basket total is a ONE-ROW aggregate cross-joined broadcast
-  (never a driver value);
+  (never a driver value). The explicit ``F.broadcast`` hints therefore
+  carry an ITEM-CARDINALITY BOUND: the marginals relation is one row
+  per distinct item, so the hints are safe while the item dimension
+  fits the broadcast budget (~tens of millions of items at the default
+  8 GiB driver/executor memory — true for parts/SKU/vocab-sized
+  dimensions at any corpus size, since item count grows with the
+  CATALOG, not the 100 TB of baskets). For an open-ended item space
+  (e.g. items = raw n-grams), drop the hints and let AQE pick the
+  join strategy from the measured marginal size — the rule join is a
+  plain equi-join either way;
 - rules are pair-set-sized — the whole point of ``min_pair_count`` is
   that the output is the interesting tail, not the cross product.
 

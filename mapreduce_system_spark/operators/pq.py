@@ -178,7 +178,13 @@ def pq_encode(
     out_col: str = "codes",
 ) -> DataFrame:
     """Encode each vector to its m nearest-sub-centroid codes — one
-    map-only Arrow pass (the index-build write). Ties → lowest code."""
+    map-only Arrow pass (the index-build write). Ties → lowest code.
+
+    Output cardinality contract: rows whose ``vec_col`` is NULL are
+    DROPPED, not errored — the result has one row per non-NULL input
+    vector, so a caller joining codes back by ``id_col`` and expecting
+    every input id must outer-join (or pre-filter its own side the same
+    way). NULL-free corpora are unaffected."""
     import numpy as np
 
     from mapreduce_system_spark.pyfiles import ensure_package_on_executors

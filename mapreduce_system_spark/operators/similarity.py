@@ -610,7 +610,12 @@ def random_projection(
     ``keep_input=True`` carries ``vec_col`` through to the output (needed
     when downstream expressions reference both the original and projected
     vectors, e.g. norm-preservation profiling); default drops it, since at
-    scale the whole point is to shed the wide column before the shuffle."""
+    scale the whole point is to shed the wide column before the shuffle.
+
+    Output cardinality contract: rows whose ``vec_col`` is NULL are
+    DROPPED, not errored — one output row per non-NULL input vector, so
+    callers that rejoin by id and expect every input id must outer-join
+    or mirror the filter. NULL-free corpora are unaffected."""
     import numpy as np
 
     from mapreduce_system_spark.pyfiles import ensure_package_on_executors

@@ -4,11 +4,11 @@ Importing this package registers every domain query (relational, text/LLM
 pipeline, temporal, streaming-parity, multimodal) into
 ``mapreduce_system_spark.registry.QUERIES`` / ``ORACLE_SQL``. The
 MapReduce-core workloads (the reference's own surface) live in
-``mrcore.py`` and import LAST again this round (r09 driver rows; they
-lead the r12 window — hard deadline per the rotation ledger). Since the
-r10 self-review, registration order is a pure function of THIS import
-list from every entry point — see registry.py's bottom-import comment
-for the mechanism.
+``mrcore.py`` and import FIRST this round — their r09 driver rows hit the
+rotation ledger's hard deadline, so the reference's own flagship queries
+lead the r12 window. Since the r10 self-review, registration order is a
+pure function of THIS import list from every entry point — see
+registry.py's bottom-import comment for the mechanism.
 
 IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep covers the
 first 50 registered queries in registration order. Modules whose queries
@@ -16,80 +16,82 @@ are NEW this round, changed this round, or carry the catalog's oldest
 driver evidence are imported first; everything pushed past the window
 has a fresh driver-green row from a recent CORRECTNESS_r*.json.
 
-Round-11 window (50 slots), executing VERDICT.md r10 #1/#2 — the two
-staged debuts, the entire 22-row r07 evidence tail, the late-r10-changed
-modules, and the r08 streaming/fresh cohort:
+Round-12 window (50 slots), executing VERDICT.md r11 #1 — the entire
+r08 evidence tail (mrcore/pipeline/textstats2/fresh7b/fresh8b), the
+oldest r09 rows, and the r11-changed module:
 
-- graphml (NEW ``graph_pagerank_weighted`` + ``emb_pca_topk_deflation``,
-  operators staged r10) → 1-2;
-- relational2 (6, r07 rows) → 3-8;
-- textstats (7, r07 rows) → 9-15;
-- fresh7b2 (2, r07 rows) → 16-17;
-- fresh7 (1, r07 row) → 18;
-- fresh7c (2, r07 rows) → 19-20;
-- fresh7e (1, r07 row) → 21;
-- fresh7f (3, r07 rows) → 22-24;
-- multimodal (5, r09 rows; JPEG decoder gained chroma + bomb bounds
-  late-r10 — changed code re-enters the window) → 25-29;
-- streaming (8, r08 rows) → 30-37;
-- fresh (4, r08 rows; includes the two r10 bench movers-on-watch
-  ``sim_recall_at_k`` + ``asof_join_salted_events``) → 38-41;
-- fresh8e (2, r08 rows; oracles changed late-r10) → 42-43;
-- fresh8c (3, r08 rows; dedup_containment_pairs hardened late-r10)
-  → 44-46;
-- fresh8a (2, r08 rows; merge-sink try/finally reworked late-r10)
-  → 47-48;
-- fresh7d (1, r08 row; graph_pagerank — the unweighted twin of this
-  round's debut) → 49;
-- temporal2 (first query ``fn_math_scalar_profile`` → 50;
-  ``fn_json_map_props`` stays r09-green just past the line).
+- mrcore (9, r09 rows — the reference's own flagship word-count lineage,
+  README.MD:25-53; ledgered hard deadline) → 1-9;
+- pipeline (8, r08 rows — clean/decontaminate/pack/quota cohort) → 10-17;
+- textstats2 (2, r08 rows — BM25/KL cohort) → 18-19;
+- fresh7b (3, r08 rows) → 20-22;
+- fresh8b (4, r08 rows — the UDF/UDTF cohort incl.
+  ``udf_grouped_map_zscore`` + ``udtf_sentence_stats``) → 23-26;
+- fresh8d (4, r09 rows) → 27-30;
+- fresh8f (5, r09 rows) → 31-35;
+- fresh8g (4, r09 rows) → 36-39;
+- fresh8h (6, r09 rows) → 40-45;
+- fresh8l (2, r09 rows; ``agg_mad_outliers``'s NULL-group join was
+  reworked in r11 — changed code re-enters the window) → 46-47;
+- fresh8j (3, r09 rows) → 48-50.
 
-Round-12 window DRAFT (slot arithmetic sums to 50 — VERDICT r10 #6):
-mrcore 9 (slots 1-9, the hard deadline: the reference's own flagship
-queries) + pipeline 8 (10-17, r08) + textstats2 2 (18-19, r08) +
-fresh7b 3 (20-22, r08) + fresh8b 4 (23-26, r08) + fresh8d 4 (27-30) +
-fresh8f 5 (31-35) + fresh8g 4 (36-39) + fresh8h 6 (40-45) + fresh8l 2
-(46-47 — agg_mad_outliers' NULL-group join changed in r11, so changed
-code re-enters) + fresh8j 3 (48-50). That clears every row ≤ r08, the
-r11 change, and the oldest r09 rows; the r13 window then takes the
-remaining r09 tail (fresh8i, fresh8k, fresh8m, temporal2's second
-query) plus whatever r12 changes — rotation debt stays bounded at two
-rounds for everything except the explicitly-ledgered overflow.
+Round-13 window DRAFT (slot arithmetic — VERDICT r11 #2): the staged
+debuts graphml2 2 (slots 1-2: ``graph_pagerank_personalized`` +
+``basket_association_rules``, operators staged r11, queries registered
+r12 past the line) + the remaining r09 tail: fresh8i 4 (3-6) + fresh8k 2
+(7-8) + fresh8m 3 (9-11) + temporal2 2 (12-13, ``fn_json_map_props``'s
+r09 row plus ``fn_math_scalar_profile`` riding along) + the r11 tail now
+two rounds old: graphml 2 (14-15) + relational2 6 (16-21) + textstats 7
+(22-28) + fresh7b2 2 (29-30) + fresh7 1 (31) + fresh7c 2 (32-33) +
+fresh7e 1 (34) + fresh7f 3 (35-37) + multimodal 5 (38-42) + any
+r12-changed modules and new debuts in the remaining 8 slots (streaming's
+8 r11 rows become the r14 lead). Sums to 42 + 8 free = 50.
 
-Catalog growth this round is exactly the 2 in-window debuts (multi-batch
-growth stays paused until the r12 draft's math clears — VERDICT r10 #9).
-The OPERATOR halves of two r13 debut candidates are staged and
-pytest-pinned with their future oracles already drafted (the same
-pattern that staged this round's debuts in r10): personalized PageRank
-(``operators/graph.py::pagerank(seeds=...)``,
-tests/test_graph.py::test_personalized_pagerank_matches_unrolled_duckdb_recurrence)
-and market-basket association rules (``operators/basket.py``,
-tests/test_basket.py::test_association_rules_match_unrolled_duckdb) —
-the r13 batch wires registered queries + oracles into the ~35 free
-slots left after the r09-tail rotation.
+Catalog growth this round is exactly the two staged r13 debuts wired
+into registered queries PAST the window (graphml2 — the stage-in-N,
+wire-in-N+1, driver-green-in-N+1 pattern that worked for r10→r11):
+``graph_pagerank_personalized`` (operators/graph.py::pagerank(seeds=...))
+and ``basket_association_rules`` (operators/basket.py). Both carry
+adversarial-corpus rows and exact DuckDB oracles at birth; they take the
+r13 window's lead slots for their first driver rows.
 """
 
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    graphml,       # NEW r11 debuts: weighted PageRank + top-k PCA (window 1-2)
-    relational2,   # r07 rows (window 3-8)
-    textstats,     # r07 rows (window 9-15)
-    fresh7b2,      # r07 rows (window 16-17)
-    fresh7,        # r07 row (window 18)
-    fresh7c,       # r07 rows (window 19-20)
-    fresh7e,       # r07 row (window 21)
-    fresh7f,       # r07 rows (window 22-24)
-    multimodal,    # r09 rows, JPEG chroma landed r10 (window 25-29)
-    streaming,     # r08 rows (window 30-37)
-    fresh,         # r08 rows incl. the two bench movers-on-watch (window 38-41)
-    fresh8e,       # r08 rows, oracles changed late-r10 (window 42-43)
-    fresh8c,       # r08 rows, containment hardened late-r10 (window 44-46)
-    fresh8a,       # r08 rows, merge sink reworked late-r10 (window 47-48)
-    fresh7d,       # r08 row, graph_pagerank (window 49)
-    temporal2,     # fn_math_scalar_profile (window 50); fn_json_map_props r09
-    # --- out of window from here (all driver-green r09/r10, re-verified
-    # at HEAD in bench_runs/verify_full_r11.json at round close) ---
+    mrcore,        # §2a mr-core, r09 rows — HARD DEADLINE (window 1-9)
+    pipeline,      # r08 rows (window 10-17)
+    textstats2,    # r08 rows (window 18-19)
+    fresh7b,       # r08 rows (window 20-22)
+    fresh8b,       # r08 rows, UDF/UDTF cohort (window 23-26)
+    fresh8d,       # r09 rows (window 27-30)
+    fresh8f,       # r09 rows (window 31-35)
+    fresh8g,       # r09 rows (window 36-39)
+    fresh8h,       # r09 rows (window 40-45)
+    fresh8l,       # r09 rows, agg_mad_outliers reworked r11 (window 46-47)
+    fresh8j,       # r09 rows (window 48-50)
+    # --- out of window from here (all driver-green r09/r10/r11,
+    # re-verified at HEAD in bench_runs/verify_full_r12.json at close) ---
+    graphml2,      # NEW r12 registrations — r13 window lead (debut pattern)
+    fresh8i,       # r09 rows — r13 window
+    fresh8k,       # r09 rows — r13 window
+    fresh8m,       # r09 rows — r13 window
+    temporal2,     # fn_json_map_props r09 — r13 window
+    graphml,       # r11 rows — r13 window
+    relational2,   # r11 rows — r13 window
+    textstats,     # r11 rows — r13 window
+    fresh7b2,      # r11 rows — r13 window
+    fresh7,        # r11 row — r13 window
+    fresh7c,       # r11 rows — r13 window
+    fresh7e,       # r11 row — r13 window
+    fresh7f,       # r11 rows — r13 window
+    multimodal,    # r11 rows — r13 window
+    streaming,     # r11 rows — r14 lead
+    fresh,         # r11 rows
+    fresh8e,       # r11 rows
+    fresh8c,       # r11 rows
+    fresh8a,       # r11 rows
+    fresh7d,       # r11 row
     temporal,      # r10 rows
     advanced,      # r10 rows
     similarity,    # r10 rows
@@ -98,18 +100,4 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     sinks,         # r10 rows
     fresh6,        # r10 rows (stateful GST + TWS pair)
     multimodal2,   # r10 row (mm_image_rgb_stats)
-    pipeline,      # r08 rows — r12 window (slots 10-17)
-    textstats2,    # r08 rows — r12 window
-    fresh7b,       # r08 rows — r12 window
-    fresh8b,       # r08 rows — r12 window
-    fresh8d,       # r09 rows — r12 window
-    fresh8f,       # r09 rows — r12 window
-    fresh8g,       # r09 rows — r12 window
-    fresh8h,       # r09 rows — r12 window
-    fresh8i,       # r09 rows — r12 window
-    fresh8j,       # r09 rows — r12 window (first query) / r13
-    fresh8k,       # r09 rows — r13
-    fresh8l,       # r09 rows (agg_mad_outliers NULL-group fix r11) — r13
-    fresh8m,       # r09 rows — r13
-    mrcore,        # §2a mr-core — r09 rows; LEADS the r12 window (1-9)
 )

@@ -8,8 +8,9 @@ suite re-runs a representative slice of the registered documents-only
 queries against their OWN registered oracle SQL on a crafted corpus of
 exactly those edges, comparing full result rows.
 
-Coverage census (r11): every registered query with a corpus-portable
-oracle is in some list below. The principled exclusions are the
+Coverage census (r11, extended r12 with the two graphml2 registrations
+at birth): every registered query with a corpus-portable oracle is in
+some list below. The principled exclusions are the
 SF_BOUND export-pattern queries (their oracles read side tables the
 Spark query exports under fixture-sf-keyed paths —
 registry.SF_BOUND_ORACLES), cosine-RANKING queries on zero-bearing
@@ -425,6 +426,28 @@ def adversarial_rel_dir(spark, tmp_path_factory):
         )
         for i in range(1, 61)
     ]
+    # repeated co-purchases: parts 101/102 share baskets 25–27 so the
+    # min_pair_count>=2 rule miner (basket_association_rules) has a
+    # non-empty result on this corpus — the i-indexed rows above give
+    # every part pair exactly one co-occurrence, which would reduce that
+    # gate row to empty-vs-empty (r12)
+    li += [
+        Row(
+            l_orderkey=bk,
+            l_partkey=pk,
+            l_suppkey=(bk + pk) % 5,
+            l_linenumber=3,
+            l_quantity=2.0,
+            l_extendedprice=float(950 + bk + pk),
+            l_discount=0.05,
+            l_tax=0.02,
+            l_returnflag="N",
+            l_linestatus="F",
+            l_shipdate=dt.datetime(2024, 2, 1 + (bk % 25)),
+        )
+        for bk in (25, 26, 27)
+        for pk in (101, 102)
+    ]
     spark.createDataFrame(
         li,
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
@@ -482,6 +505,14 @@ _REL_QUERY_NAMES = [
     "graph_pagerank_dangling",
     "graph_triangle_count",
     "graph_degree_distribution",
+    # r12 registrations, rows at birth: the seeded restart rides NULL
+    # o_custkey nodes (dangling on both engines — NOT EXISTS vs
+    # left_anti) with BUILDING seeds present in the customer slice; the
+    # rule miner sees NULL-free but REPEATED co-purchases (parts 101/102,
+    # baskets 25-27) so its >= 2 cut keeps a non-empty rule set, plus
+    # tests/test_basket.py's NULL/duplicate-membership corpus
+    "graph_pagerank_personalized",
+    "basket_association_rules",
     "rel_bloom_join_pruned",
     "skew_salted_join",
     "fn_linear_interpolate_daily",

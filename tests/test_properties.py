@@ -459,7 +459,18 @@ def test_fixture_documents_have_no_dotted_capital_i(spark):
 
 # components on a power-of-two grid: every dot product / norm argument is
 # EXACT in double regardless of summation order, so a cross-engine
-# mismatch here is a semantic divergence, never float noise
+# mismatch here is a semantic divergence, never float noise.
+#
+# HALF-POINT CONSTRAINT for any future score-bearing corpus (ADVICE r11):
+# Spark's F.round(double) half-ups on the SHORTEST DECIMAL REPR while
+# DuckDB's round(DOUBLE) is scaled-binary, so a score landing EXACTLY on
+# a decimal half-point at the rounding digit (e.g. 0.5000005 at 6) is the
+# documented measure-zero residual where the engines legitimately differ
+# (similarity.SCORE_DIGITS). Keep fuzz/adversarial values off such grid
+# half-points — dyadic component grids like this one are safe because
+# cosine scores pass through sqrt and cannot be decimal half-points —
+# rather than "fixing" a failure that is the contract working as
+# documented.
 _VEC_COMPONENT = st.sampled_from([-2.0, -1.0, -0.5, 0.0, 0.25, 0.5, 1.0, 2.0])
 _EMB_VECTOR = st.one_of(
     st.none(), st.lists(_VEC_COMPONENT, min_size=8, max_size=8)

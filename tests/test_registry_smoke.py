@@ -38,30 +38,25 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle entries without a registered query: {dangling}"
 
 
-def test_r11_driver_window_composition():
+def test_r12_driver_window_composition():
     """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
-    correctness gate covers the FIRST 50 registered queries. Pin the r11
+    correctness gate covers the FIRST 50 registered queries. Pin the r12
     window EXACTLY (module granularity per the rotation plan in the
     package docstring) so an accidental import reorder — or a module
     gaining a query — can't silently rotate evidence-stale or brand-new
     queries out of the gate. Update deliberately with each rotation."""
     expected_modules = [
-        ("graphml", 2),      # r11 debuts
-        ("relational2", 6),  # r07 evidence tail from here
-        ("textstats", 7),
-        ("fresh7b2", 2),
-        ("fresh7", 1),
-        ("fresh7c", 2),
-        ("fresh7e", 1),
-        ("fresh7f", 3),
-        ("multimodal", 5),   # JPEG chroma changed late-r10
-        ("streaming", 8),    # r08 rows from here
-        ("fresh", 4),
-        ("fresh8e", 2),
-        ("fresh8c", 3),
-        ("fresh8a", 2),
-        ("fresh7d", 1),
-        ("temporal2", 1),    # first query only (fn_math_scalar_profile)
+        ("mrcore", 9),       # the reference's flagship queries — hard deadline
+        ("pipeline", 8),     # r08 evidence tail from here
+        ("textstats2", 2),
+        ("fresh7b", 3),
+        ("fresh8b", 4),      # UDF/UDTF cohort
+        ("fresh8d", 4),      # oldest r09 rows from here
+        ("fresh8f", 5),
+        ("fresh8g", 4),
+        ("fresh8h", 6),
+        ("fresh8l", 2),      # agg_mad_outliers reworked r11
+        ("fresh8j", 3),
     ]
     assert sum(c for _, c in expected_modules) == 50
     names = list(QUERIES)
@@ -73,9 +68,13 @@ def test_r11_driver_window_composition():
             got_modules.append([mod, 0])
         got_modules[-1][1] += 1
     assert [tuple(m) for m in got_modules] == expected_modules, got_modules
-    # this round's debuts lead the window
-    assert window[:2] == ["graph_pagerank_weighted", "emb_pca_topk_deflation"]
-    # mr-core leads the r12 window (hard deadline) — still 9 strong past
-    # the line, none inside it
-    assert all(not n.startswith("mr_") for n in window)
-    assert sum(n.startswith("mr_") for n in names[50:]) == 9
+    # mr-core leads the window: all 9 mr_ queries inside it, none past
+    assert all(n.startswith("mr_") for n in window[:9])
+    assert sum(n.startswith("mr_") for n in names[50:]) == 0
+    # this round's registrations sit just PAST the line (the stage-in-N,
+    # wire-in-N+1 debut pattern): first driver rows come with the r13
+    # window lead, not by silently displacing rotation debt from r12
+    assert names[50:52] == [
+        "graph_pagerank_personalized",
+        "basket_association_rules",
+    ]
