@@ -78,7 +78,10 @@ tri AS (
   SELECT CAST(count(*) AS BIGINT) AS n_triangles
   FROM w JOIN pr ON pr.u = w.a AND pr.v = w.b
 ),
-wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+-- coalesce: sum() over an EMPTY degree table is NULL, but the operator's
+-- documented empty-graph contract is n_wedges = 0 / transitivity = 0.0
+-- (tests/test_graph.py pins it; the r12 graph fuzz found the divergence)
+wed AS (SELECT CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT) AS n_wedges FROM deg)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_edges,
        tri.n_triangles AS n_triangles,

@@ -674,3 +674,170 @@ def test_asof_queries_match_native_asof_on_random_corpora(spark, evs, ords):
         got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
         want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
         assert got == want, (name, evs, ords, got[:4], want[:4])
+
+
+# ---------------------------------------------------------------------------
+# cross-engine fuzz, seventh family (r12): ITERATIVE GRAPH queries on
+# random topologies — PageRank x4 (plain / dangling-redistribute /
+# weighted / seeded-personalized), multi-source BFS, triangles, degree
+# census. The one oracle class the first six families never fuzzed: the
+# unrolled-CTE / WITH RECURSIVE oracles were only ever exercised on the
+# fixture's purchase graph and one crafted corpus, while their edge
+# cases are TOPOLOGICAL (self-contained cycles, all-dangling graphs,
+# NULL-key nodes, disconnected components, empty seed cohorts).
+# ---------------------------------------------------------------------------
+
+_GRAPH_FUZZ_QUERIES = (
+    "graph_pagerank",
+    "graph_pagerank_dangling",
+    "graph_pagerank_weighted",
+    "graph_pagerank_personalized",
+    "graph_bfs_reachability",
+    "graph_triangle_count",
+    "graph_degree_distribution",
+)
+
+# small key domains force collision-rich topologies: shared suppliers,
+# repeated parts (triangles), dangling orders (l_orderkey 5/6 may have no
+# order row), NULL custkeys (NULL-labeled nodes: dangling on both engines,
+# never equi-joined), NULL suppkeys, NULL quantities (filtered by the
+# weighted edge predicate on both engines)
+_GRAPH_ORDER = st.sampled_from([None, 1, 2, 3])                 # o_custkey
+_GRAPH_LI_ROW = st.tuples(
+    st.sampled_from([1, 2, 3, 4, 5, 6]),                        # l_orderkey
+    st.sampled_from([None, 1, 2]),                              # l_suppkey
+    st.sampled_from([1, 2, 3, 4]),                              # l_partkey
+    st.sampled_from([None, 1.0, 3.0]),                          # l_quantity
+)
+_GRAPH_CUST = st.sampled_from(["AUTOMOBILE", "BUILDING"])       # c_mktsegment
+_GRAPH_SUPP = st.sampled_from([0, 1])                           # s_nationkey
+
+
+@given(
+    ocust=st.lists(_GRAPH_ORDER, min_size=0, max_size=5),
+    li=st.lists(_GRAPH_LI_ROW, min_size=0, max_size=10),
+    segs=st.lists(_GRAPH_CUST, min_size=0, max_size=3),
+    snat=st.lists(_GRAPH_SUPP, min_size=2, max_size=2),
+)
+@settings(max_examples=5, deadline=None)
+def test_graph_queries_match_oracle_on_random_graphs(spark, ocust, li, segs, snat):
+    """Spark's iterative loops (localCheckpoint rank vectors, frontier
+    BFS, oriented triangle join) == DuckDB's unrolled-CTE / WITH
+    RECURSIVE oracles on ARBITRARY small purchase graphs. The seeded
+    query's documented contract — an empty effective seed cohort raises
+    instead of dividing by zero — is pinned on exactly the corpora that
+    produce it."""
+    import tempfile
+
+    import mapreduce_system_spark.queries  # noqa: F401
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    s = _get_spark(spark)
+    d = tempfile.mkdtemp(prefix="fuzz_graph_")
+    s.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=c) for i, c in enumerate(ocust, start=1)],
+        "o_orderkey long, o_custkey long",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    s.createDataFrame(
+        [
+            Row(l_orderkey=ok, l_suppkey=sk, l_partkey=pk, l_quantity=q)
+            for ok, sk, pk, q in li
+        ],
+        "l_orderkey long, l_suppkey long, l_partkey long, l_quantity double",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    s.createDataFrame(
+        [Row(c_custkey=i, c_mktsegment=seg) for i, seg in enumerate(segs, start=1)],
+        "c_custkey long, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    s.createDataFrame(
+        [Row(s_suppkey=i, s_nationkey=nk) for i, nk in enumerate(snat, start=1)],
+        "s_suppkey long, s_nationkey int",
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    s.createDataFrame(
+        [Row(n_nationkey=0, n_name="NATION_0"), Row(n_nationkey=1, n_name="NATION_1")],
+        "n_nationkey int, n_name string",
+    ).write.mode("overwrite").parquet(f"{d}/nation.parquet")
+
+    con = _duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+
+    # effective personalized seeds = BUILDING customers whose custkey is a
+    # graph node (has >= 1 order matched by >= 1 lineitem row) — computed
+    # from the generated rows so the raise-contract is asserted on exactly
+    # the corpora that trigger it
+    orderkeys_with_li = {ok for ok, _, _, _ in li}
+    cust_nodes = {
+        c
+        for i, c in enumerate(ocust, start=1)
+        if c is not None and i in orderkeys_with_li
+    }
+    building = {i for i, seg in enumerate(segs, start=1) if seg == "BUILDING"}
+    has_seeds = bool(cust_nodes & building)
+    # an EMPTY graph short-circuits to an empty result before seed
+    # validation (operators/graph.py n == 0 return) — the raise contract
+    # applies only to a non-empty graph with no effective seed
+    has_edges = any(ok <= len(ocust) for ok, _, _, _ in li)
+
+    for name in _GRAPH_FUZZ_QUERIES:
+        if name == "graph_pagerank_personalized" and has_edges and not has_seeds:
+            with pytest.raises(Exception, match="no seed id"):
+                QUERIES[name](s, d).collect()
+            continue
+        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert got == want, (name, ocust, li, segs, snat, got[:4], want[:4])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.sampled_from([1, 2, 3, 4, 5, 6]), st.sampled_from([1, 2, 3, 4, 5, 6])
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_connected_components_match_recursive_closure_on_random_graphs(spark, edges):
+    """operators/dedup.py::connected_components (iterative min-label
+    propagation) == DuckDB's WITH RECURSIVE reachability closure on
+    ARBITRARY pair graphs — the survivorship oracle fuzzed on random
+    topologies (long chains at the convergence bound, cycles, self-loops,
+    disconnected singletons) instead of the registered query's shallow
+    shingle clusters. Survivor = min id reachable through the UNDIRECTED
+    closure on both engines."""
+    from mapreduce_system_spark.operators.dedup import connected_components
+
+    s = _get_spark(spark)
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    df = s.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in pairs] or [], "id_a long, id_b long"
+    )
+    got = sorted(
+        (r.id, r.survivor_id)
+        for r in connected_components(df, max_iter=30).collect()
+    )
+    if not pairs:
+        assert got == []
+        return
+    con = _duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    want = sorted(
+        con.execute(
+            f"""
+WITH RECURSIVE p(a, b) AS (SELECT * FROM (VALUES {vals}) v(a, b)),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach AS (
+  SELECT a AS id, a AS r FROM e
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
+)
+SELECT id, min(r) AS survivor_id FROM reach GROUP BY id
+"""
+        ).fetchall()
+    )
+    assert got == want, (pairs, got[:6], want[:6])
