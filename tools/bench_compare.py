@@ -30,6 +30,21 @@ import json
 import re
 import sys
 
+# Documented bimodal queries (VERDICT r11 "what's wrong" #2): their
+# SWEEP medians oscillate with unchanged code — graph_triangle_count's
+# full-catalog sweep readings ranged 4.2–6.2 s across r10/r11 while its
+# ISOLATED median-of-3 stayed flat (5.0–5.3 s; suspect GC/AQE
+# interaction with whichever query precedes it in registration order,
+# which every rotation reshuffles). Protocol: a sweep-to-sweep move on
+# these queries inside BAND is reported as a protocol row, NOT a
+# regression; confirm any suspicion with
+# ``SPARK_GRAFT_BENCH_RUNS=3 python bench.py <query>`` (isolated) before
+# chasing it. Moves BEYOND the band are real regressions even here —
+# the band is the measured oscillation envelope (6.2/4.2 ≈ 1.48), not a
+# blanket exemption.
+ISOLATED_MEDIAN_QUERIES = {"graph_triangle_count"}
+ISOLATED_MEDIAN_BAND = 1.6
+
 
 def load(path: str) -> dict:
     raw = open(path).read()
@@ -76,6 +91,10 @@ def moves(old: dict, new: dict, threshold: float) -> list[tuple]:
         if a < 0.5 and b <= 2.0:
             continue
         r = b / a
+        if name in ISOLATED_MEDIAN_QUERIES and 1.0 / ISOLATED_MEDIAN_BAND <= r <= ISOLATED_MEDIAN_BAND:
+            # inside the documented oscillation envelope: a protocol row,
+            # not a move (see ISOLATED_MEDIAN_QUERIES)
+            continue
         if r > threshold or r < 1.0 / threshold:
             out.append((name, a, b, r))
     return sorted(out, key=lambda x: -x[3])
@@ -90,6 +109,19 @@ def print_table(old: dict, new: dict, threshold: float) -> bool:
     """
     oq, nq = old["queries"], new["queries"]
     rows = moves(old, new, threshold)
+    # the bimodal set's in-band moves are suppressed from `rows` by
+    # protocol, but the table must still SHOW them (a silently-omitted
+    # row is the r8 hole this mode exists to close) — as protocol rows
+    # that don't flip the exit code
+    protocol = []
+    for name in sorted(ISOLATED_MEDIAN_QUERIES & set(oq) & set(nq)):
+        a, b = oq[name], nq[name]
+        if a and b and a > 0 and b > 0:
+            r = b / a
+            if (r > threshold or r < 1.0 / threshold) and (
+                1.0 / ISOLATED_MEDIAN_BAND <= r <= ISOLATED_MEDIAN_BAND
+            ):
+                protocol.append((name, a, b, r))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     failed = sorted(
@@ -100,11 +132,16 @@ def print_table(old: dict, new: dict, threshold: float) -> bool:
     print(
         f"| query | old s | new s | ratio | direction |\n|---|---|---|---|---|"
     )
-    if not (rows or removed or failed):
+    if not (rows or protocol or removed or failed):
         print(f"| _none_ | — | — | — | no move beyond {threshold}x |")
     for name, a, b, r in rows:
         d = "REGRESSION" if r > 1 else "improvement"
         print(f"| `{name}` | {a:.2f} | {b:.2f} | {r:.2f}x | {d} |")
+    for name, a, b, r in protocol:
+        print(
+            f"| `{name}` | {a:.2f} | {b:.2f} | {r:.2f}x | "
+            f"bimodal — isolated-median protocol (tools/bench_compare.py) |"
+        )
     for name in failed:
         print(f"| `{name}` | {oq[name]:.2f} | — | — | **FAILED** |")
     for name in removed:
