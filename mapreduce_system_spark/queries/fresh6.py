@@ -202,7 +202,8 @@ ORDER BY user_id, session_start
 
 
 def _run_session_stream(
-    spark: SparkSession, sf_dir: str, family: str, sessionize
+    spark: SparkSession, sf_dir: str, family: str, sessionize,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Shared harness for the two sessionization twins: stage the events
     fixture as a replay-ordered file stream, run ``sessionize(stream)``
@@ -300,6 +301,18 @@ def _run_session_stream(
         )
     try:
         q.awaitTermination()
+        if stats is not None:
+            # per-micro-batch engine metrics for the scale probe
+            # (tools/scale_probe.py --stream): stateOperators carries
+            # numRowsTotal (open sessions in the store) and the
+            # provider's size metrics — captured here so the probe
+            # measures THIS harness's replay, not a private copy of it
+            import json as _json
+
+            stats["progress"] = [
+                _json.loads(p.json) if hasattr(p, "json") else dict(p)
+                for p in q.recentProgress
+            ]
         out = (
             spark.read.parquet(sink)
             .where(F.col("user_id") >= 0)

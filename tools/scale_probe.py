@@ -30,6 +30,7 @@ Usage::
     python tools/scale_probe.py --sim [--out NAME] [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --pca [--out NAME] [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --asof [--out NAME] [reps] [src_sf_dir] [hot_pct]
+    python tools/scale_probe.py --stream [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -620,11 +621,16 @@ def main() -> int:
     asof_mode = "--asof" in args
     if asof_mode:
         args.remove("--asof")
+    stream_mode = "--stream" in args
+    if stream_mode:
+        args.remove("--stream")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
         20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
+    if stream_mode:
+        return stream_main(reps, src, out_name)
     if asof_mode:
         # third positional = hot_pct (share of cloned rows on ONE user)
         return asof_main(reps, src, organic_pct, out_name)
@@ -1065,6 +1071,156 @@ def asof_main(reps: int, src: str, hot_pct: int, out_name: str | None = None) ->
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if record["parity_at_sf1"]["equal"] else 1
+
+
+# ---------------------------------------------------------------------------
+# --stream (VERDICT r11 #6): stateful-sessionization state growth at 10x
+# keys x 10x events under RocksDB. Construction: replica r of every event
+# keeps its timestamp and offsets user_id by r*_OFFSET — 10x keys, 10x
+# events, per-replica session structure identical to the fixture's, so the
+# closed-session count must scale EXACTLY reps x (asserted, the probe's
+# parity check) while the state store's open-session rows scale with KEYS.
+# Claims under test: (1) wall tracks total per-group work (keys x batches +
+# closed-session flushes), not superlinearly; (2) the RocksDB store's row
+# count peaks at O(live keys), the eviction bound user_sessions_stateful
+# documents — measured from the harness's own stateOperators progress
+# (queries/fresh6.py::_run_session_stream stats capture), not a re-derived
+# replay.
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def build_scaled_stream_events(spark, src: str, dst: str, reps: int) -> None:
+    """Write the reps× keys/events table under dst: replica r offsets
+    user_id by r*_OFFSET with timestamps unchanged (NULL user ids stay
+    NULL — one shared group, same as the fixture)."""
+    ev = load_table(spark, src, "events", columns=["user_id", "ts"])
+    parts = [ev]
+    for r in range(1, reps):
+        parts.append(
+            ev.select((F.col("user_id") + r * _OFFSET).alias("user_id"), "ts")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+
+def _state_metrics(progress: list[dict]) -> dict:
+    """Fold the harness's per-micro-batch stateOperators telemetry into
+    the probe record: peak store rows (open sessions), total rows
+    updated/removed, and the provider's peak size metrics."""
+    peak_rows = 0
+    updated = removed = 0
+    peak_bytes = 0
+    for p in progress:
+        for op in p.get("stateOperators") or []:
+            peak_rows = max(peak_rows, int(op.get("numRowsTotal") or 0))
+            updated += int(op.get("numRowsUpdated") or 0)
+            removed += int(op.get("numRowsRemoved") or 0)
+            cm = op.get("customMetrics") or {}
+            size = int(
+                cm.get("rocksdbTotalMemoryUsageBytes")
+                or cm.get("rocksdbSstFileSize")
+                or op.get("stateOnCurrentVersionSizeBytes")
+                or 0
+            )
+            peak_bytes = max(peak_bytes, size)
+    return {
+        "peak_state_rows": peak_rows,
+        "rows_updated": updated,
+        "rows_removed": removed,
+        "peak_state_bytes": peak_bytes,
+        "n_batches": len(progress),
+    }
+
+
+def stream_main(reps: int, src: str, out_name: str | None = None) -> int:
+    import statistics
+
+    from mapreduce_system_spark.queries import fresh6
+    from mapreduce_system_spark.streaming import stateful as ST
+
+    dst = "/tmp/spark_graft_scale/stream_sf1"
+    spark = get_spark("scale_probe_stream")
+    print(
+        f"# building {reps}x keys/events at {dst} from {src}", file=sys.stderr
+    )
+    build_scaled_stream_events(spark, src, dst, reps)
+
+    def run_once(d: str, tag: str) -> tuple[float, int, dict]:
+        stats: dict = {}
+        t0 = time.time()
+        with fresh6._pinned_conf(
+            spark, "spark.sql.streaming.stateStore.providerClass",
+            _ROCKSDB_PROVIDER,
+        ):
+            out = fresh6._run_session_stream(
+                spark, d, f"probe_stream_{tag}",
+                lambda s: ST.user_sessions_stateful(s, gap_s=fresh6._GAP_S),
+                stats=stats,
+            )
+            closed = out.count()
+        wall = time.time() - t0
+        caches.release()
+        return wall, int(closed), _state_metrics(stats.get("progress", []))
+
+    # untimed warm-up (JVM + Python pool + RocksDB JNI load)
+    run_once(src, "warm")
+
+    record: dict = {
+        "mode": "stream", "reps": reps, "src": src,
+        "provider": "rocksdb", "gap_s": fresh6._GAP_S, "scales": {},
+    }
+    closed_counts: dict[str, int] = {}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, metrics, closed = [], None, None
+        for i in range(3):
+            w, c, m = run_once(d, f"{label}_{i}")
+            walls.append(w)
+            closed, metrics = c, m  # identical across runs (asserted below)
+            if closed_counts.get(label, c) != c:
+                print(f"# NONDETERMINISM: {label} closed {closed_counts[label]} vs {c}", file=sys.stderr)
+                return 1
+            closed_counts[label] = c
+        ev = load_table(spark, d, "events", columns=["user_id"])
+        record["scales"][label] = {
+            "rows": int(ev.count()),
+            "keys": int(ev.select("user_id").distinct().count()),
+            "closed_sessions": closed,
+            "wall_s": round(statistics.median(walls), 2),
+            **metrics,
+        }
+        print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
+
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    # parity: replicas are independent copies of the fixture's session
+    # structure, so the closed-session census must scale exactly reps x
+    record["closed_exact_scale"] = b["closed_sessions"] == reps * a["closed_sessions"]
+    for k in ("rows", "keys", "closed_sessions", "wall_s", "peak_state_rows",
+              "peak_state_bytes"):
+        record[f"{k}_ratio"] = round(b[k] / a[k], 2) if a[k] else None
+    print("| scale | rows | keys | closed | wall s | peak state rows | peak state bytes |")
+    print("|---|---|---|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(
+            f"| {label} | {sc['rows']} | {sc['keys']} | {sc['closed_sessions']} | "
+            f"{sc['wall_s']} | {sc['peak_state_rows']} | {sc['peak_state_bytes']} |"
+        )
+    print(
+        f"| ratio | {record['rows_ratio']} | {record['keys_ratio']} | "
+        f"{record['closed_sessions_ratio']} | **{record['wall_s_ratio']}** | "
+        f"{record['peak_state_rows_ratio']} | {record['peak_state_bytes_ratio']} |"
+    )
+    out = _record_out(out_name, "scale_probe_stream_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if record["closed_exact_scale"] else 1
 
 
 if __name__ == "__main__":
