@@ -1,0 +1,116 @@
+"""Approximate join-cardinality estimation — diagnose before you join.
+
+``rel_skew_profile`` (queries/fresh8h.py) answers "is this key skewed?";
+this operator answers the planner question one step earlier: HOW BIG
+would ``A JOIN B ON k`` be, without executing it. Two mechanisms, both
+pure relational algebra over per-key COUNT relations (the row-level
+join is never materialized):
+
+- ``join_cardinality_exact``: |A ⋈ B| = Σ_k cA(k)·cB(k) — two
+  map-side-combinable aggregates plus one join of KEY-dimension-sized
+  count relations. Already far cheaper than the join itself (the output
+  of a skewed join can be orders of magnitude larger than either input;
+  the count-relation join never is), but still touches every key.
+- ``join_cardinality_estimate``: the coordinated (correlated) KEY-hash
+  sample estimator — both sides keep exactly the keys with
+  ``md5_bucket32(key) % 100 < sample_pct`` (functions/hashing.py, the
+  repo's one deterministic-sampling primitive), per-key counts are taken
+  on the sampled rows only, and the estimate is
+  ``(100 / sample_pct) · Σ_{sampled k} cA(k)·cB(k)``. Sampling KEYS
+  coordinately (not rows independently) keeps each sampled key's
+  product term EXACT — the estimator the join-synopsis literature
+  prefers for join size, because row-Bernoulli sampling squares the
+  variance on exactly the heavy keys that dominate |A ⋈ B|. With
+  ``100 % sample_pct == 0`` the scale factor is an exact integer, so
+  the estimate is an exact BIGINT and an unrolled SQL oracle matches
+  it bit-for-bit (no float in the pipeline at all).
+
+100 TB posture: the sampled per-key aggregates push the md5 filter to
+both scans (p% of keys survive), partials combine map-side, and the
+final count-relation join is (p% of key dimension)-sized — the whole
+estimator is sublinear in the fact tables' key dimension and never
+shuffles a fact row. Determinism: md5 of the key string — no RNG, no
+seed state, same subset on any engine (the pipe_hash_split discipline).
+
+Reference contrast: the reference's one-shot map→reduce (worker.go:
+104-165) can produce per-key counts but cannot join the two count
+relations — cardinality estimation needs two aggregated relations met
+on the key, the same shape association_rules (operators/basket.py)
+needs for its marginals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.functions.hashing import md5_bucket32
+
+
+def _key_counts(df: DataFrame, key: str, pred: Column | None) -> DataFrame:
+    """(key k, cnt) per non-NULL key — NULL keys never join, so they
+    contribute nothing to |A ⋈ B| on either engine and are excluded
+    symmetrically."""
+    out = df.where(F.col(key).isNotNull())
+    if pred is not None:
+        out = out.where(pred)
+    return out.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+
+
+def join_cardinality_exact(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """One row: (cardinality BIGINT) = |left ⋈ right| on the key, from
+    the count-relation product — the join's size without its rows."""
+    ca = _key_counts(left, left_key, None)
+    cb = _key_counts(right, right_key, None)
+    return (
+        ca.alias("a")
+        .join(cb.alias("b"), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("a.cnt") * F.col("b.cnt")), F.lit(0))
+            .cast("long")
+            .alias("cardinality")
+        )
+    )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    sample_pct: int = 10,
+) -> DataFrame:
+    """One row: (est_cardinality BIGINT) — the coordinated key-sample
+    estimate of |left ⋈ right|. ``sample_pct`` must divide 100 so the
+    inverse-probability scale factor is an exact integer (the property
+    that makes the estimate itself an exact BIGINT both engines agree
+    on). Keys are sampled by ``md5_bucket32(CAST(key AS STRING))``, so
+    both sides keep the SAME key subset deterministically."""
+    if not (0 < sample_pct <= 100) or 100 % sample_pct:
+        raise ValueError(
+            f"sample_pct must divide 100 (got {sample_pct}) — a non-integer "
+            f"scale factor would put a float in an otherwise-exact pipeline"
+        )
+    scale = 100 // sample_pct
+
+    def sampled(key: str) -> Column:
+        return (
+            md5_bucket32(F.col(key).cast("string")) % 100 < F.lit(sample_pct)
+        )
+
+    ca = _key_counts(left, left_key, sampled(left_key))
+    cb = _key_counts(right, right_key, sampled(right_key))
+    return (
+        ca.alias("a")
+        .join(cb.alias("b"), "k")
+        .agg(
+            (
+                F.coalesce(F.sum(F.col("a.cnt") * F.col("b.cnt")), F.lit(0))
+                * F.lit(scale)
+            )
+            .cast("long")
+            .alias("est_cardinality")
+        )
+    )

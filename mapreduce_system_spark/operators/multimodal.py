@@ -666,17 +666,299 @@ def _jpeg_decode(blob: bytes, pixels: bool, rgb: bool = False):
         return None
 
 
+# ---------------------------------------------------------------------------
+# GIF — real codec #3 through the image adapter seam (staged r12 for the
+# r13 registered query, the PNG/JPEG staging pattern)
+# ---------------------------------------------------------------------------
+
+# decode-bomb bound, the PNG discipline: a GIF header is 13 bytes and can
+# DECLARE any dimensions — cap the pixel plane before allocating anything
+_GIF_MAX_PIXELS = 16 * 1024 * 1024  # 4096 x 4096
+
+
+def _gif_subblocks(buf: bytes, pos: int):
+    """Reassemble a GIF length-prefixed sub-block chain starting at
+    ``pos``: ``(joined bytes, position after the 0 terminator) | None``
+    on truncation."""
+    parts = []
+    n_buf = len(buf)
+    while True:
+        if pos >= n_buf:
+            return None
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > n_buf:
+            return None
+        parts.append(buf[pos : pos + n])
+        pos += n
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW: variable code width (min+1 → 12 bits, LSB-first
+    bit packing), CLEAR resets the dictionary, EOI ends the stream, and
+    the ``code == next_entry`` case is the standard KwKwK construction.
+    Returns the index bytes or None on a corrupt stream; output is capped
+    at ``max_pixels`` (a stream cannot allocate past the declared frame)."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    d = list(roots)
+    size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + size <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << size) - 1)
+        bitpos += size
+        if code == clear:
+            d = list(roots)
+            size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(d):
+                return None
+            entry = d[code]
+        elif code < len(d):
+            entry = d[code]
+            d.append(prev + entry[:1])
+        elif code == len(d):
+            entry = prev + prev[:1]  # KwKwK
+            d.append(entry)
+        else:
+            return None
+        out += entry
+        if len(out) >= max_pixels:
+            return bytes(out[:max_pixels])
+        prev = entry
+        if len(d) == (1 << size) and size < 12:
+            size += 1
+    # missing EOI: tolerate (many real encoders truncate), return what
+    # decoded — the caller checks the pixel count against the frame
+    return bytes(out)
+
+
+# interlaced GIFs store rows in four passes; for the mean-luma seam the
+# row PERMUTATION is irrelevant (a mean is order-free), but the pass
+# structure is parsed so the flag is honestly supported, not ignored
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_interlace_order(height: int) -> list[int]:
+    """The source-row order an interlaced GIF stores: row indices by the
+    four-pass schedule. Shared by the encoder (which must WRITE rows in
+    this order) and any pixel-order-sensitive consumer."""
+    return [
+        r
+        for start, step in _GIF_INTERLACE_PASSES
+        for r in range(start, height, step)
+    ]
+
+
+def _gif_parse_first_frame(blob: bytes):
+    """Walk the GIF container to the FIRST image descriptor:
+    ``(width, height, palette bytes, index bytes) | None``. Scope
+    (documented, None otherwise → per-blob stand-in fallback, the PNG
+    discipline): GIF87a/89a, a first frame covering the full logical
+    screen, global or local color table present. Later frames of an
+    animated GIF are ignored by design — curation features describe the
+    poster frame. Transparency (GCE) is parsed and skipped: for corpus
+    statistics the transparent index's palette color is as deterministic
+    a choice as any compositing rule, and needs no background state."""
+    if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(blob[6:8], "little")
+    sh = int.from_bytes(blob[8:10], "little")
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        if pos + n > len(blob):
+            return None
+        gct = blob[pos : pos + n]
+        pos += n
+    if sw * sh > _GIF_MAX_PIXELS or sw == 0 or sh == 0:
+        return None
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer before any image
+            return None
+        if b0 == 0x21:  # extension: label + sub-blocks, skipped
+            if pos >= len(blob):
+                return None
+            pos += 1
+            sub = _gif_subblocks(blob, pos)
+            if sub is None:
+                return None
+            pos = sub[1]
+            continue
+        if b0 != 0x2C:  # unknown block type: corrupt
+            return None
+        if pos + 9 > len(blob):
+            return None
+        left = int.from_bytes(blob[pos : pos + 2], "little")
+        top = int.from_bytes(blob[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(blob[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(blob[pos + 6 : pos + 8], "little")
+        ipacked = blob[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            if pos + n > len(blob):
+                return None
+            pal = blob[pos : pos + n]
+            pos += n
+        if (left, top, fw, fh) != (0, 0, sw, sh) or pal is None:
+            return None  # partial-screen frame / no palette: out of scope
+        if pos >= len(blob):
+            return None
+        min_code = blob[pos]
+        pos += 1
+        sub = _gif_subblocks(blob, pos)
+        if sub is None:
+            return None
+        idx = _gif_lzw_decode(sub[0], min_code, fw * fh)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        return fw, fh, pal, idx
+    return None
+
+
+def decode_image_gif(blob: bytes):
+    """REAL codec #3 for the image adapter seam: stdlib-only GIF decode —
+    container walk, global/local color table, and a full GIF-variant LZW
+    decompressor (variable code width, CLEAR/EOI, KwKwK) — the third
+    format a curation corpus actually contains, through the exact seam
+    PNG and JPEG already ship (``bytes -> (width, height, mean_value,
+    name) | None``).
+
+    ``mean_value`` is the mean ITU-R 601-2 integer luma of the
+    palette-mapped pixels — ``(299R+587G+114B)//1000``, the one luma
+    spelling every decoder in this module shares (decode_image_png).
+    Interlaced frames decode identically here because a mean is
+    row-order-free; the pass schedule itself is exported
+    (``gif_interlace_order``) and round-trip-tested so the support is
+    real, not vacuous. Scope: first full-screen frame (animated GIFs →
+    poster frame), 2–256-color palettes; anything else returns None and
+    the caller's per-blob stand-in takes over — one bad blob never fails
+    the Spark stage."""
+    parsed = _gif_parse_first_frame(blob)
+    if parsed is None:
+        return None
+    w, h, pal, idx = parsed
+    n_colors = len(pal) // 3
+    luma = [
+        (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2]) // 1000
+        for i in range(n_colors)
+    ]
+    try:
+        total = 0
+        for i in idx[: w * h]:
+            total += luma[i]
+    except IndexError:  # index beyond palette: corrupt stream
+        return None
+    return (w, h, total / (w * h), "gif")
+
+
+def _pack_lzw_codes(codes: list[int], width: int) -> bytes:
+    """LSB-first fixed-width bit packing (the encoder never grows the
+    code width — see encode_image_gif); also the test harness's tool for
+    hand-crafting variable-width streams one fixed-width segment at a
+    time."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_image_gif(
+    pixels: list[list[int]],
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
+    """Minimal GIF89a encoder — the encode half of the GIF seam and the
+    deterministic blob source for the decoder's tests (the
+    encode_image_jpeg_baseline pattern): one full-screen frame of
+    palette indices, global color table, and the classic
+    "uncompressed LZW" stream (a CLEAR before every pixel code keeps the
+    dictionary at its roots, so every code is min_code_size+1 bits wide —
+    a valid stream any conformant decoder accepts). ``interlace=True``
+    writes rows in the four-pass schedule and sets the flag."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    if w == 0 or h == 0:
+        raise ValueError("encode_image_gif: empty image")
+    if any(len(r) != w for r in pixels):
+        raise ValueError("encode_image_gif: ragged rows")
+    n_colors = len(palette)
+    if not 2 <= n_colors <= 256:
+        raise ValueError("encode_image_gif: palette must have 2-256 colors")
+    # GCT size field stores 2^(n+1) entries — round up and zero-pad
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    gct_n = 1 << gct_bits
+    min_code = max(2, gct_bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (gct_bits - 1))  # GCT present, size field
+    out += b"\x00\x00"  # bg index, aspect
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x00\x00\x00" * (gct_n - n_colors)
+    out.append(0x2C)  # image descriptor, full screen
+    out += b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code)
+    rows = gif_interlace_order(h) if interlace else range(h)
+    codes: list[int] = []
+    for r in rows:
+        for px in pixels[r]:
+            codes += [clear, px]
+    codes.append(eoi)
+    data = _pack_lzw_codes(codes, min_code + 1)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _default_image_decoder(blob: bytes):
     """Default decode chain: PIL when importable (absent here) → the
-    stdlib PNG decoder → the stdlib DC-only JPEG decoder → None (caller
-    falls back to the deterministic stand-in). Text-fixture blobs never
-    carry the PNG/JPEG signatures, so the registered query's
-    fake-decoder oracle is unaffected by the chain."""
+    stdlib PNG decoder → the stdlib DC-only JPEG decoder → the stdlib
+    GIF decoder → None (caller falls back to the deterministic
+    stand-in). Text-fixture blobs never carry the PNG/JPEG/GIF
+    signatures, so the registered query's fake-decoder oracle is
+    unaffected by the chain."""
     out = _decode_image_real(blob)
     if out is None:
         out = decode_image_png(blob)
     if out is None:
         out = decode_image_jpeg_dc(blob)
+    if out is None:
+        out = decode_image_gif(blob)
     return out
 
 

@@ -1,0 +1,116 @@
+"""GIF codec (operators/multimodal.py) — staged r12 for the r13 debut
+query; real codec #3 through the image adapter seam."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_system_spark.operators.multimodal import (
+    _gif_lzw_decode,
+    _pack_lzw_codes,
+    decode_image_gif,
+    encode_image_gif,
+    gif_interlace_order,
+    _default_image_decoder,
+)
+
+_PAL4 = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+_LUMA4 = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in _PAL4]
+
+
+def _mean(pixels):
+    flat = [p for row in pixels for p in row]
+    return sum(_LUMA4[i] for i in flat) / len(flat)
+
+
+def test_gif_roundtrip_known_mean():
+    px = [[0, 1, 2, 3, 0], [1, 1, 2, 0, 3], [3, 2, 1, 0, 0]]
+    blob = encode_image_gif(px, _PAL4)
+    got = decode_image_gif(blob)
+    assert got is not None
+    w, h, mean, name = got
+    assert (w, h, name) == (5, 3, "gif")
+    assert mean == pytest.approx(_mean(px), abs=1e-12)
+
+
+def test_gif_interlaced_roundtrip_same_mean_and_schedule():
+    px = [[(r + c) % 4 for c in range(4)] for r in range(9)]
+    plain = decode_image_gif(encode_image_gif(px, _PAL4))
+    inter = decode_image_gif(encode_image_gif(px, _PAL4, interlace=True))
+    assert plain is not None and inter is not None
+    assert plain == inter  # a mean is row-order-free
+    # the schedule itself: 4-pass order, a permutation of all rows
+    order = gif_interlace_order(9)
+    assert order == [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    assert sorted(order) == list(range(9))
+
+
+def test_gif_animated_takes_poster_frame():
+    px1 = [[1, 1], [1, 1]]
+    px2 = [[0, 0], [0, 0]]
+    b1 = encode_image_gif(px1, _PAL4)
+    b2 = encode_image_gif(px2, _PAL4)
+    # splice frame 2's image descriptor before frame 1's trailer
+    animated = b1[:-1] + b2[13 + 3 * 4 :]
+    got = decode_image_gif(animated)
+    assert got is not None
+    assert got[2] == pytest.approx(_LUMA4[1])  # frame 1's all-white mean
+
+
+def test_gif_lzw_dictionary_growth_and_kwkwk():
+    # hand-built variable-width stream, min_code=2: CLEAR 0 1 2 grows the
+    # dict to 8 entries as code 2 is processed, so code 3 and everything
+    # after (code 6 = the b'\x00\x01' entry added earlier, then EOI) are
+    # already read at width 4 — the GIF "next assignable code needs more
+    # bits" rule the fixed-width encoder never exercises
+    bits = []
+    for c, w in [(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (6, 4), (5, 4)]:
+        bits += [(c >> i) & 1 for i in range(w)]
+    acc = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        acc.append(byte)
+    out = _gif_lzw_decode(bytes(acc), 2, 100)
+    assert out == bytes([0, 1, 2, 3, 0, 1])
+    # KwKwK: CLEAR 0 6 EOI at width 3 -> entry 6 is prev+prev[0]
+    data = _pack_lzw_codes([4, 0, 6, 5], 3)
+    assert _gif_lzw_decode(data, 2, 100) == bytes([0, 0, 0])
+
+
+def test_gif_rejects_out_of_scope_blobs():
+    px = [[0, 1], [2, 3]]
+    good = encode_image_gif(px, _PAL4)
+    assert decode_image_gif(b"") is None
+    assert decode_image_gif(b"GIF89a") is None
+    assert decode_image_gif(good[:-4]) is None          # truncated
+    assert decode_image_gif(b"PNG" + good) is None      # wrong signature
+    assert decode_image_gif(good.replace(b"GIF89a", b"GIF90a")) is None
+    # declared-dimensions bomb: 65535x65535 header, no pixel data read
+    bomb = bytearray(good)
+    bomb[6:10] = b"\xff\xff\xff\xff"
+    assert decode_image_gif(bytes(bomb)) is None
+    # partial-screen frame (left/top offset) is out of scope, not wrong
+    part = bytearray(good)
+    di = part.index(0x2C, 13)
+    part[di + 1] = 1  # left = 1
+    assert decode_image_gif(bytes(part)) is None
+
+
+def test_gif_through_seam_and_default_chain(spark):
+    from mapreduce_system_spark.operators.multimodal import extract_image_features
+
+    px = [[0, 1], [2, 3]]
+    gif = encode_image_gif(px, _PAL4)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"not an image"))],
+        "id long, blob binary",
+    )
+    rows = {r.id: r for r in extract_image_features(df).collect()}
+    assert rows[1].decoder == "gif"
+    assert (rows[1].width, rows[1].height) == (2, 2)
+    assert rows[1].mean_value == pytest.approx(_mean(px))
+    assert rows[2].decoder == "fake"
+    # chain order: PNG/JPEG signatures never reach the GIF branch
+    assert _default_image_decoder(gif)[3] == "gif"
