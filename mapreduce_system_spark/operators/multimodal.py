@@ -914,6 +914,12 @@ def encode_image_gif(
     n_colors = len(palette)
     if not 2 <= n_colors <= 256:
         raise ValueError("encode_image_gif: palette must have 2-256 colors")
+    if any(not 0 <= px < n_colors for row in pixels for px in row):
+        # an out-of-palette index would silently encode a wrong blob (a
+        # zero-padded GCT slot reads as black) or an undecodable one (a
+        # code past EOI) — as the decoder tests' blob source this must
+        # fail at encode time like the shape checks above
+        raise ValueError("encode_image_gif: pixel index outside the palette")
     # GCT size field stores 2^(n+1) entries — round up and zero-pad
     gct_bits = max(1, (n_colors - 1).bit_length())
     gct_n = 1 << gct_bits

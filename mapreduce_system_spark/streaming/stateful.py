@@ -19,7 +19,8 @@ asserted by the probe), peak store rows track KEYS exactly (1,500 →
 row-count artifact), wall grows only 3.24x (5.96 → 19.29 s: the
 ~2.3 ms/group-call floor and per-batch fixed costs amortize across 10x
 more groups per batch), and the RocksDB store grows 6.99x in bytes
-(~100 B/open session at 15 k keys, block overheads amortizing). Scale
+(~100 B/open session at 1.5 k keys amortizing to ~70 B at 15 k as the
+store's fixed blocks spread over more sessions). Scale
 knobs, in the order they bind: (1) state rows are OPEN sessions only —
 size the cluster for peak concurrent sessions, not event volume;
 (2) group-calls per micro-batch ≈ live keys in that batch, so at fixed

@@ -96,6 +96,13 @@ def test_gif_rejects_out_of_scope_blobs():
     di = part.index(0x2C, 13)
     part[di + 1] = 1  # left = 1
     assert decode_image_gif(bytes(part)) is None
+    # encoder guards its blob-source role: an out-of-palette index would
+    # silently encode black (zero-padded GCT slot) or an undecodable
+    # stream — it must fail at encode time (r12 self-review finding)
+    with pytest.raises(ValueError, match="outside the palette"):
+        encode_image_gif([[3, 3], [3, 3]], _PAL4[:3])
+    with pytest.raises(ValueError, match="outside the palette"):
+        encode_image_gif([[7]], _PAL4)
 
 
 def test_gif_through_seam_and_default_chain(spark):

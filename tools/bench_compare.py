@@ -75,15 +75,21 @@ def load(path: str) -> dict:
     return json.loads(re.search(r'\{"metric".*\}', txt).group(0))
 
 
-def moves(old: dict, new: dict, threshold: float) -> list[tuple]:
-    """Every shared query whose ratio leaves [1/threshold, threshold].
+def moves(old: dict, new: dict, threshold: float) -> tuple[list[tuple], list[tuple]]:
+    """(moves, protocol): every shared query whose ratio leaves
+    [1/threshold, threshold] — except that a bimodal query's in-band
+    move (ISOLATED_MEDIAN_QUERIES) lands in ``protocol`` instead of
+    ``moves``. ONE band evaluation feeds both lists so the suppression
+    and the re-surfacing can never drift apart (the r8 silent-omission
+    class).
 
     Skips sub-0.5 s baselines (documented host noise) unless the new
     time is over 2 s — a formerly-trivial query that grew big is exactly
     the move the table exists to surface.
     """
     oq, nq = old["queries"], new["queries"]
-    out = []
+    out: list[tuple] = []
+    protocol: list[tuple] = []
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if a is None or b is None or a <= 0 or b <= 0:
@@ -91,13 +97,13 @@ def moves(old: dict, new: dict, threshold: float) -> list[tuple]:
         if a < 0.5 and b <= 2.0:
             continue
         r = b / a
-        if name in ISOLATED_MEDIAN_QUERIES and 1.0 / ISOLATED_MEDIAN_BAND <= r <= ISOLATED_MEDIAN_BAND:
-            # inside the documented oscillation envelope: a protocol row,
-            # not a move (see ISOLATED_MEDIAN_QUERIES)
-            continue
         if r > threshold or r < 1.0 / threshold:
-            out.append((name, a, b, r))
-    return sorted(out, key=lambda x: -x[3])
+            in_band = 1.0 / ISOLATED_MEDIAN_BAND <= r <= ISOLATED_MEDIAN_BAND
+            if name in ISOLATED_MEDIAN_QUERIES and in_band:
+                protocol.append((name, a, b, r))
+            else:
+                out.append((name, a, b, r))
+    return sorted(out, key=lambda x: -x[3]), sorted(protocol, key=lambda x: -x[3])
 
 
 def print_table(old: dict, new: dict, threshold: float) -> bool:
@@ -108,20 +114,10 @@ def print_table(old: dict, new: dict, threshold: float) -> bool:
     because fewer ran"), so those are printed as explicit rows too.
     """
     oq, nq = old["queries"], new["queries"]
-    rows = moves(old, new, threshold)
-    # the bimodal set's in-band moves are suppressed from `rows` by
-    # protocol, but the table must still SHOW them (a silently-omitted
-    # row is the r8 hole this mode exists to close) — as protocol rows
-    # that don't flip the exit code
-    protocol = []
-    for name in sorted(ISOLATED_MEDIAN_QUERIES & set(oq) & set(nq)):
-        a, b = oq[name], nq[name]
-        if a and b and a > 0 and b > 0:
-            r = b / a
-            if (r > threshold or r < 1.0 / threshold) and (
-                1.0 / ISOLATED_MEDIAN_BAND <= r <= ISOLATED_MEDIAN_BAND
-            ):
-                protocol.append((name, a, b, r))
+    # one band evaluation: in-band bimodal moves come back as `protocol`
+    # rows — still printed (a silently-omitted row is the r8 hole this
+    # mode exists to close) but never flipping the exit code
+    rows, protocol = moves(old, new, threshold)
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     failed = sorted(
@@ -175,7 +171,7 @@ def main() -> int:
     oq, nq = old["queries"], new["queries"]
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
-    regressions = [m for m in moves(old, new, threshold) if m[3] > 1]
+    regressions = [m for m in moves(old, new, threshold)[0] if m[3] > 1]
     print(
         f"old: {old['value']}s/{len(oq)}q  new: {new['value']}s/{len(nq)}q  "
         f"(failures {old.get('failures', '?')} -> {new.get('failures', '?')})"
