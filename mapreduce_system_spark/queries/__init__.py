@@ -35,17 +35,25 @@ oldest r09 rows, and the r11-changed module:
   reworked in r11 — changed code re-enters the window) → 46-47;
 - fresh8j (3, r09 rows) → 48-50.
 
-Round-13 window DRAFT (slot arithmetic — VERDICT r11 #2): the staged
-debuts graphml2 2 (slots 1-2: ``graph_pagerank_personalized`` +
-``basket_association_rules``, operators staged r11, queries registered
-r12 past the line) + the remaining r09 tail: fresh8i 4 (3-6) + fresh8k 2
-(7-8) + fresh8m 3 (9-11) + temporal2 2 (12-13, ``fn_json_map_props``'s
-r09 row plus ``fn_math_scalar_profile`` riding along) + the r11 tail now
-two rounds old: graphml 2 (14-15) + relational2 6 (16-21) + textstats 7
-(22-28) + fresh7b2 2 (29-30) + fresh7 1 (31) + fresh7c 2 (32-33) +
-fresh7e 1 (34) + fresh7f 3 (35-37) + multimodal 5 (38-42) + any
-r12-changed modules and new debuts in the remaining 8 slots (streaming's
-8 r11 rows become the r14 lead). Sums to 42 + 8 free = 50.
+Round-13 window DRAFT (slot arithmetic — VERDICT r11 #2): the r12
+registrations graphml2 2 (slots 1-2: ``graph_pagerank_personalized`` +
+``basket_association_rules``, first driver rows) + the remaining r09
+tail: fresh8i 4 (3-6) + fresh8k 2 (7-8) + fresh8m 3 (9-11) + temporal2 2
+(12-13, ``fn_json_map_props``'s r09 row plus ``fn_math_scalar_profile``
+riding along) + the r12-CHANGED module fresh6 3 (14-16: the
+``_run_session_stream`` stats hook landed r12, so changed code
+re-enters) + the r11 tail now two rounds old: graphml 2 (17-18) +
+relational2 6 (19-24) + textstats 7 (25-31) + fresh7b2 2 (32-33) +
+fresh7 1 (34) + fresh7c 2 (35-36) + fresh7e 1 (37) + fresh7f 3 (38-40) +
+multimodal 5 (41-45: the GIF branch joined the default decode chain in
+r12). Sums to 45, leaving 5 free slots for the r13 debuts whose
+OPERATOR halves are staged with drafted oracles (the r12 pattern):
+join-cardinality estimation (``operators/cardinality.py``,
+tests/test_cardinality.py) and a GIF-blob multimodal query
+(``operators/multimodal.py::decode_image_gif``, tests/test_gif.py).
+fresh8f also changed in r12 (triangle-oracle empty-graph fix) but sits
+INSIDE the r12 window, so its fresh row covers the change; streaming's
+8 r11 rows become the r14 lead.
 
 Catalog growth this round is exactly the two staged r13 debuts wired
 into registered queries PAST the window (graphml2 — the stage-in-N,

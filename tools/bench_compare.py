@@ -33,15 +33,21 @@ import sys
 # Documented bimodal queries (VERDICT r11 "what's wrong" #2): their
 # SWEEP medians oscillate with unchanged code — graph_triangle_count's
 # full-catalog sweep readings ranged 4.2–6.2 s across r10/r11 while its
-# ISOLATED median-of-3 stayed flat (5.0–5.3 s; suspect GC/AQE
-# interaction with whichever query precedes it in registration order,
-# which every rotation reshuffles). Protocol: a sweep-to-sweep move on
-# these queries inside BAND is reported as a protocol row, NOT a
-# regression; confirm any suspicion with
+# ISOLATED median-of-3 stayed flat. ROOT-CAUSED r12 (measured, not the
+# r11 GC/AQE guess): the immediate predecessor is irrelevant — running
+# triangle after emb_hof_vector_stats / rel_table_profile /
+# dedup_minhash_lsh / nothing gives overlapping 4.0–5.1 s spreads — but
+# its COLD run costs ~2x (9.0 s first execution in a fresh session vs
+# 4.1–4.9 warm): the query's generated-code compilation is unusually
+# heavy, and a full-catalog sweep is exactly the regime where 160 other
+# queries age its compiled classes out between sweeps, so each sweep
+# re-pays a rotation-dependent fraction of the JIT cost. Protocol: a
+# sweep-to-sweep move on these queries inside BAND is a protocol row,
+# NOT a regression; confirm any suspicion with
 # ``SPARK_GRAFT_BENCH_RUNS=3 python bench.py <query>`` (isolated) before
 # chasing it. Moves BEYOND the band are real regressions even here —
-# the band is the measured oscillation envelope (6.2/4.2 ≈ 1.48), not a
-# blanket exemption.
+# the band is the measured oscillation envelope (6.2/4.2 ≈ 1.48, and the
+# cold/warm ratio ~2.0 bounds the worst case), not a blanket exemption.
 ISOLATED_MEDIAN_QUERIES = {"graph_triangle_count"}
 ISOLATED_MEDIAN_BAND = 1.6
 
