@@ -461,3 +461,55 @@ def test_pca_projection_objects_ride_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_basket_pair_generation_has_no_all_pairs_join(spark):
+    """basket_association_rules' pair generator is a within-basket
+    equi-self-join on the basket key (quadratic only in basket size) —
+    a refactor degrading it to cartesian would pass fixture-value checks
+    while exploding at corpus scale, the exact class this suite pins.
+    The one-row basket total must ride a broadcast, never a shuffle."""
+    from mapreduce_system_spark.operators.basket import association_rules
+
+    li = load_table(spark, SF_DIR, "lineitem", columns=["l_orderkey", "l_partkey"])
+    df = association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the intentional one-row cross join (basket total) is the ONLY
+    # nested-loop shape allowed, and it must be the broadcast form —
+    # formatted plans print each node twice (tree + details), so one
+    # node = 2 textual occurrences
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_personalized_pagerank_seed_semi_join_is_equi(spark):
+    """The seeded teleport construction (seeds ∩ nodes + the per-node tp
+    left join) must stay equi-join-shaped: at graph scale the node list
+    is corpus-sized and any nested-loop against it is O(n·|S|)."""
+    from mapreduce_system_spark.queries.graphml2 import (
+        q_graph_pagerank_personalized,
+    )
+
+    _assert_equi_join_only(q_graph_pagerank_personalized(spark, SF_DIR))
+
+
+def test_join_cardinality_estimate_pushes_sample_filter_to_scan(spark):
+    """The coordinated-key sample predicate must reach both scans (the
+    sublinearity claim): a post-aggregation filter would count every
+    key before discarding 90% of the work."""
+    from mapreduce_system_spark.operators.cardinality import (
+        join_cardinality_estimate,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders", columns=["o_custkey"])
+    cust = load_table(spark, SF_DIR, "customer", columns=["c_custkey"])
+    df = join_cardinality_estimate(orders, cust, "o_custkey", "c_custkey")
+    plan = formatted_plan(df)
+    _assert_equi_join_only(df)
+    # the md5 sample predicate appears in both sides' Filter nodes below
+    # the first aggregate (conv(substring(md5(...)))); two scans → two
+    # filtered sides
+    assert plan.count("conv(substring(md5(") >= 2, plan
