@@ -121,3 +121,64 @@ def test_gif_through_seam_and_default_chain(spark):
     assert rows[2].decoder == "fake"
     # chain order: PNG/JPEG signatures never reach the GIF branch
     assert _default_image_decoder(gif)[3] == "gif"
+
+
+# ---------------------------------------------------------------------------
+# properties (r12): the self-review differential-tested the LZW decoder
+# offline; these make that evidence durable — random images round-trip
+# bit-derived-exactly, and arbitrary/mutated bytes can never crash the
+# per-blob contract (None or a tuple, exceptions never escape into the
+# Spark stage)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PAL8 = [
+    (0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0),
+    (0, 0, 255), (128, 64, 32), (10, 200, 90), (77, 77, 77),
+]
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    n_colors=st.integers(2, 8),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_any_shape_any_palette(w, h, n_colors, interlace, data):
+    pal = _PAL8[:n_colors]
+    px = [
+        [data.draw(st.integers(0, n_colors - 1)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    got = decode_image_gif(encode_image_gif(px, pal, interlace=interlace))
+    assert got is not None
+    gw, gh, mean, name = got
+    assert (gw, gh, name) == (w, h, "gif")
+    luma = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in pal]
+    want = sum(luma[i] for row in px for i in row) / (w * h)
+    assert mean == pytest.approx(want, abs=1e-12)
+
+
+@given(blob=st.binary(max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_gif_decoder_never_raises_on_arbitrary_bytes(blob):
+    out = decode_image_gif(blob)
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
+    # GIF-prefixed garbage exercises the container walk, not just the
+    # signature check
+    out2 = decode_image_gif(b"GIF89a" + blob)
+    assert out2 is None or (isinstance(out2, tuple) and len(out2) == 4)
+
+
+@given(pos=st.integers(0, 10_000), val=st.integers(0, 255))
+@settings(max_examples=50, deadline=None)
+def test_gif_decoder_never_raises_on_mutated_valid_blob(pos, val):
+    px = [[(r * 5 + c) % 4 for c in range(6)] for r in range(5)]
+    blob = bytearray(encode_image_gif(px, _PAL4))
+    blob[pos % len(blob)] = val
+    out = decode_image_gif(bytes(blob))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
