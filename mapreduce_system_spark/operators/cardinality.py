@@ -26,11 +26,26 @@ join is never materialized):
   it bit-for-bit (no float in the pipeline at all).
 
 100 TB posture: the sampled per-key aggregates push the md5 filter to
-both scans (p% of keys survive), partials combine map-side, and the
-final count-relation join is (p% of key dimension)-sized — the whole
+both scans (p% of keys survive, plan-guarded in
+tests/test_plan_guards.py), partials combine map-side, and the final
+count-relation join is (p% of key dimension)-sized — the whole
 estimator is sublinear in the fact tables' key dimension and never
 shuffles a fact row. Determinism: md5 of the key string — no RNG, no
 seed state, same subset on any engine (the pipe_hash_split discipline).
+
+MEASURED (r12 probe, ``tools/scale_probe.py --card``, record
+``bench_runs/scale_probe_r12_card.json``): on orders ⋈ customer at
+sf0.1 and a disjoint-replica 10x, the exact mechanism matches the
+materialized join's count at both scales, and the 10% coordinated
+estimate lands at −2.3% / −0.8% relative error (tightening as key
+coverage grows). Honest regime note: at fixture scale the materialized
+join itself counts FASTER (0.2-0.3 s vs the estimator's 0.5-0.7 s —
+three aggregates vs one AQE-broadcast join); the estimator's advantage
+is the regime the fixture cannot show — inputs too large to want a
+second full scan pair, or skewed keys whose join OUTPUT (Σ cA·cB ≫
+|A|+|B|) is exactly what you are trying not to materialize. The probe
+records the mechanism's correctness and scale shape, not a toy-scale
+win.
 
 Reference contrast: the reference's one-shot map→reduce (worker.go:
 104-165) can produce per-key counts but cannot join the two count

@@ -31,6 +31,8 @@ Usage::
     python tools/scale_probe.py --pca [--out NAME] [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --asof [--out NAME] [reps] [src_sf_dir] [hot_pct]
     python tools/scale_probe.py --stream [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --rules [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --card [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -624,6 +626,12 @@ def main() -> int:
     stream_mode = "--stream" in args
     if stream_mode:
         args.remove("--stream")
+    rules_mode = "--rules" in args
+    if rules_mode:
+        args.remove("--rules")
+    card_mode = "--card" in args
+    if card_mode:
+        args.remove("--card")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
@@ -631,6 +639,10 @@ def main() -> int:
     )
     if stream_mode:
         return stream_main(reps, src, out_name)
+    if rules_mode:
+        return rules_main(reps, src, out_name)
+    if card_mode:
+        return card_main(reps, src, out_name)
     if asof_mode:
         # third positional = hot_pct (share of cloned rows on ONE user)
         return asof_main(reps, src, organic_pct, out_name)
@@ -1221,6 +1233,163 @@ def stream_main(reps: int, src: str, out_name: str | None = None) -> int:
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if record["closed_exact_scale"] else 1
+
+
+# ---------------------------------------------------------------------------
+# --rules / --card (r12): 10x probes for the two staged r13 operators, so
+# their registered debuts land with measured scale evidence already on
+# record (the as-of/stream precedent). Constructions are disjoint-replica
+# (basket ids / join keys offset per replica), so the expected growth is
+# EXACT and asserted, not eyeballed.
+# ---------------------------------------------------------------------------
+
+
+def rules_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Association rules at 1x vs reps x: replica r offsets BOTH
+    l_orderkey and l_partkey by r*_OFFSET — fully disjoint shards with
+    identical per-replica co-occurrence structure (offsetting baskets
+    alone would multiply every pair's co-occurrence count by reps and
+    push sub-threshold pairs over min_pair_count: rule rows jumped 34x
+    at reps=3 in the first dry run, a real threshold semantics, not a
+    bug — but useless as a parity check). Disjoint, qualifying pairs and
+    rule rows must scale EXACTLY reps x with per-rule counts unchanged;
+    wall is then the free variable and pair generation stays quadratic
+    only in basket size."""
+    import statistics
+
+    from mapreduce_system_spark.operators.basket import association_rules
+
+    dst = "/tmp/spark_graft_scale/rules_sf1"
+    spark = get_spark("scale_probe_rules")
+    li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
+    parts = [li]
+    for r in range(1, reps):
+        parts.append(
+            li.select(
+                (F.col("l_orderkey") + r * _OFFSET).alias("l_orderkey"),
+                (F.col("l_partkey") + r * _OFFSET).alias("l_partkey"),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(8).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+
+    def run(d: str):
+        ev = load_table(spark, d, "lineitem", columns=["l_orderkey", "l_partkey"])
+        t0 = time.time()
+        out = association_rules(
+            ev, basket_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+        )
+        n = out.count()
+        wall = time.time() - t0
+        caches.release()
+        return wall, int(n)
+
+    run(src)  # untimed warm-up
+    record: dict = {"mode": "rules", "reps": reps, "src": src, "scales": {}}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, n = [], None
+        for _ in range(3):
+            w, n = run(d)
+            walls.append(w)
+        record["scales"][label] = {
+            "rule_rows": n, "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["rules_exact_scale"] = b["rule_rows"] == reps * a["rule_rows"]
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2)
+    print("| scale | rule rows | wall s |")
+    print("|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['rule_rows']} | {sc['wall_s']} |")
+    print(f"| ratio | {b['rule_rows'] / a['rule_rows']:.2f} | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_rules_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if record["rules_exact_scale"] else 1
+
+
+def card_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Join-cardinality estimation at 1x vs reps x (orders ⋈ customer on
+    custkey, both sides replica-offset so |join| scales EXACTLY reps x):
+    records the estimator's wall AGAINST the materialized join's count
+    wall (the claim under test: estimating is cheaper than joining) and
+    its relative error at both scales (coordinated key sampling keeps
+    per-key products exact, so the error is key-coverage noise and must
+    not grow with corpus size)."""
+    import statistics
+
+    from mapreduce_system_spark.operators.cardinality import (
+        join_cardinality_estimate,
+        join_cardinality_exact,
+    )
+
+    dst = "/tmp/spark_graft_scale/card_sf1"
+    spark = get_spark("scale_probe_card")
+    orders = load_table(spark, src, "orders", columns=["o_custkey"])
+    cust = load_table(spark, src, "customer", columns=["c_custkey"])
+    for name, df, col in (("orders", orders, "o_custkey"), ("customer", cust, "c_custkey")):
+        parts = [df]
+        for r in range(1, reps):
+            parts.append(df.select((F.col(col) + r * _OFFSET).alias(col)))
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(8).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+    def run(d: str):
+        o = load_table(spark, d, "orders", columns=["o_custkey"])
+        c = load_table(spark, d, "customer", columns=["c_custkey"])
+        t0 = time.time()
+        est = join_cardinality_estimate(o, c, "o_custkey", "c_custkey", 10).collect()[0][0]
+        w_est = time.time() - t0
+        t0 = time.time()
+        exact = join_cardinality_exact(o, c, "o_custkey", "c_custkey").collect()[0][0]
+        w_exact = time.time() - t0
+        t0 = time.time()
+        joined = o.join(c, o.o_custkey == c.c_custkey).count()
+        w_join = time.time() - t0
+        caches.release()
+        return est, exact, joined, w_est, w_exact, w_join
+
+    run(src)  # untimed warm-up
+    record: dict = {"mode": "card", "reps": reps, "src": src, "sample_pct": 10, "scales": {}}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        ws = {"est": [], "exact": [], "join": []}
+        est = exact = joined = None
+        for _ in range(3):
+            est, exact, joined, a, b, c_ = run(d)
+            ws["est"].append(a); ws["exact"].append(b); ws["join"].append(c_)
+        record["scales"][label] = {
+            "estimate": int(est), "exact": int(exact), "join_count": int(joined),
+            "rel_error": round((est - exact) / exact, 4),
+            "est_wall_s": round(statistics.median(ws["est"]), 2),
+            "exact_wall_s": round(statistics.median(ws["exact"]), 2),
+            "join_wall_s": round(statistics.median(ws["join"]), 2),
+        }
+        print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["exact_matches_join"] = (
+        a["exact"] == a["join_count"] and b["exact"] == b["join_count"]
+    )
+    record["exact_scales"] = b["exact"] == reps * a["exact"]
+    print("| scale | estimate | exact | rel err | est wall | exact wall | join wall |")
+    print("|---|---|---|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(
+            f"| {label} | {sc['estimate']} | {sc['exact']} | {sc['rel_error']} | "
+            f"{sc['est_wall_s']} | {sc['exact_wall_s']} | {sc['join_wall_s']} |"
+        )
+    out = _record_out(out_name, "scale_probe_card_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if (record["exact_matches_join"] and record["exact_scales"]) else 1
 
 
 if __name__ == "__main__":
