@@ -63,7 +63,20 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
-    df.write.mode(mode).csv(path, header=header)
+    """CSV sink, option-matched to ``text.read_csv`` (see its docstring
+    for the measured roundtrip classes and the one documented ``'\\N'``
+    sentinel residual): the writer's whitespace-stripping defaults are
+    OFF (they corrupt ' padded ' values), quotes escape RFC-4180 style,
+    and NULL/'' write distinguishably."""
+    (
+        df.write.mode(mode)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(path, header=header)
+    )
 
 
 def write_bucketed(

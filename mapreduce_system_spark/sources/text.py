@@ -49,11 +49,39 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    multiline: bool = True,
 ) -> DataFrame:
-    """CSV scan with an explicit schema (StructType or DDL string —
-    no inference pass)."""
-    return spark.read.csv(path, schema=schema, header=header)
+    """CSV scan with an explicit schema (StructType or DDL string — no
+    inference pass), option-matched to ``sinks.write_csv`` so the pair
+    ROUNDTRIPS faithfully (r12 probe: the engine defaults silently
+    corrupt four value classes — embedded newlines/CRs split records,
+    leading/trailing whitespace is stripped by the WRITER, and empty
+    strings read back as NULL):
+
+    - ``escape='"'`` — RFC-4180 doubled-quote escaping, matching the
+      writer;
+    - ``nullValue='\\N'`` / ``emptyValue=''`` — NULL and '' are distinct
+      on the way back (the MySQL/Hive text-table convention). The ONE
+      in-band residual: a literal string ``'\\N'`` reads back as NULL —
+      inherent to any sentinel (quoteAll does not help: the reader
+      applies nullValue after unquoting), documented rather than hidden;
+    - ``multiLine=True`` — embedded newlines in quoted fields parse as
+      data, not record breaks. SCALE KNOB: multiLine files are NOT
+      byte-range splittable (one task per file); callers with
+      newline-free columns pass ``multiline=False`` to keep splittable
+      scans — correctness is the seam's default, splittability the
+      opt-in."""
+    return (
+        spark.read.option("multiLine", multiline)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .csv(path, schema=schema, header=header)
+    )
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:

@@ -841,3 +841,61 @@ SELECT id, min(r) AS survivor_id FROM reach GROUP BY id
         ).fetchall()
     )
     assert got == want, (pairs, got[:6], want[:6])
+
+
+# ---------------------------------------------------------------------------
+# cross-engine fuzz, eighth family (r12): TEXT-SINK roundtrips on random
+# string corpora. The r12 probe showed Spark's DEFAULT csv options
+# silently corrupt four value classes (embedded newlines/CRs split
+# records, the WRITER strips padded whitespace, '' reads back as NULL) —
+# the seam now pins faithful options (sources/text.py::read_csv), and
+# this family holds the line: random customer corpora whose group key
+# carries exactly those classes must aggregate identically through
+# Spark's csv+json (and orc) write→scan→agg and DuckDB's direct read of
+# the source parquet. The literal string '\\N' is the documented in-band
+# sentinel residual and stays out of the alphabet (the U+0130 pattern:
+# a measured contract, not an oversight).
+# ---------------------------------------------------------------------------
+
+_SEG_DOMAIN = [
+    None, "", "plain", 'has"quote', "has,comma", "has\nnewline",
+    "has\rret", "has\\backslash", "café 中文 \U0001f600", "tab\there",
+    " padded ", '""', "=formula", "BUILDING",
+]
+
+_SINK_FUZZ_QUERIES = ("scan_csv_json_roundtrip", "scan_orc_roundtrip")
+
+_CUST_FUZZ_ROW = st.tuples(
+    st.sampled_from(_SEG_DOMAIN),                       # c_mktsegment
+    st.sampled_from([0, 1, 2]),                         # c_nationkey
+    st.sampled_from([None, -50.0, 0.0, 100.25, 1e12]),  # c_acctbal
+)
+
+
+@given(rows=st.lists(_CUST_FUZZ_ROW, min_size=0, max_size=12))
+@settings(max_examples=5, deadline=None)
+def test_sink_roundtrip_queries_match_oracle_on_random_corpora(spark, rows):
+    import tempfile
+
+    import mapreduce_system_spark.queries  # noqa: F401
+    from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
+
+    s = _get_spark(spark)
+    d = tempfile.mkdtemp(prefix="fuzz_sink_")
+    data = [
+        Row(c_custkey=i, c_nationkey=nk, c_acctbal=bal, c_mktsegment=seg)
+        for i, (seg, nk, bal) in enumerate(rows, start=1)
+    ]
+    s.createDataFrame(
+        data,
+        "c_custkey long, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{d}/customer.parquet/*.parquet')"
+    )
+    for name in _SINK_FUZZ_QUERIES:
+        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert got == want, (name, rows, got[:4], want[:4])
