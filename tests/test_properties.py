@@ -875,7 +875,10 @@ _CUST_FUZZ_ROW = st.tuples(
 @given(rows=st.lists(_CUST_FUZZ_ROW, min_size=0, max_size=12))
 @settings(max_examples=5, deadline=None)
 def test_sink_roundtrip_queries_match_oracle_on_random_corpora(spark, rows):
+    import glob
+    import shutil
     import tempfile
+    from pathlib import Path
 
     import mapreduce_system_spark.queries  # noqa: F401
     from mapreduce_system_spark.registry import ORACLE_SQL, QUERIES
@@ -895,7 +898,20 @@ def test_sink_roundtrip_queries_match_oracle_on_random_corpora(spark, rows):
         "CREATE VIEW customer AS SELECT * FROM "
         f"read_parquet('{d}/customer.parquet/*.parquet')"
     )
-    for name in _SINK_FUZZ_QUERIES:
-        got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
-        want = sorted(repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall())
-        assert got == want, (name, rows, got[:4], want[:4])
+    try:
+        for name in _SINK_FUZZ_QUERIES:
+            got = sorted(repr(tuple(r)) for r in QUERIES[name](s, d).collect())
+            want = sorted(
+                repr(tuple(r)) for r in con.execute(ORACLE_SQL[name]).fetchall()
+            )
+            assert got == want, (name, rows, got[:4], want[:4])
+    finally:
+        # the queries stage through /tmp/spark_graft_{scan,orc}_<sf-dir
+        # basename>_<app> — the basename here is a unique mkdtemp name
+        # that no LATER run's 48h reap prefix can ever match (unlike the
+        # fixture/gate basenames, which repeat), so remove them here
+        # along with the corpus (r12 review)
+        base = Path(d).name
+        for p in glob.glob(f"/tmp/spark_graft_*_{base}_*"):
+            shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)

@@ -637,11 +637,22 @@ def main() -> int:
     organic_pct = int(args[2]) if len(args) > 2 else (
         20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
-    if stream_mode:
-        return stream_main(reps, src, out_name)
-    if rules_mode:
-        return rules_main(reps, src, out_name)
-    if card_mode:
+    if stream_mode or rules_mode or card_mode:
+        if len(args) > 2:
+            # these modes take no third positional — silently swallowing
+            # one into the unused organic_pct would let e.g.
+            # `--card 10 DIR 20` run with the hard-coded sample_pct=10
+            # while recording nothing about the ignored 20 (r12 review)
+            print(
+                f"# --stream/--rules/--card take [reps] [src_sf_dir] only; "
+                f"unexpected extra arg(s): {args[2:]}",
+                file=sys.stderr,
+            )
+            return 2
+        if stream_mode:
+            return stream_main(reps, src, out_name)
+        if rules_mode:
+            return rules_main(reps, src, out_name)
         return card_main(reps, src, out_name)
     if asof_mode:
         # third positional = hot_pct (share of cloned rows on ONE user)
@@ -1105,20 +1116,35 @@ _ROCKSDB_PROVIDER = (
 )
 
 
-def build_scaled_stream_events(spark, src: str, dst: str, reps: int) -> None:
-    """Write the reps× keys/events table under dst: replica r offsets
-    user_id by r*_OFFSET with timestamps unchanged (NULL user ids stay
-    NULL — one shared group, same as the fixture)."""
-    ev = load_table(spark, src, "events", columns=["user_id", "ts"])
-    parts = [ev]
+def _write_replicated(spark, df, offset_cols: list[str], reps: int, dst: str) -> None:
+    """THE plain disjoint-replica construction shared by the stream/
+    rules/card probes (r12 review: three inline copies of the same
+    select/union/write fold had already accumulated): replica r offsets
+    every column in ``offset_cols`` by ``r * _OFFSET`` and keeps the
+    rest verbatim (NULL keys stay NULL — one shared group, same as the
+    fixture). The bespoke builders (organic collisions, hot-key
+    rerouting, jitter) keep their own constructions above."""
+    parts = [df]
     for r in range(1, reps):
         parts.append(
-            ev.select((F.col("user_id") + r * _OFFSET).alias("user_id"), "ts")
+            df.select(
+                *[
+                    (F.col(c) + r * _OFFSET).alias(c) if c in offset_cols else c
+                    for c in df.columns
+                ]
+            )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.repartition(8).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    out.repartition(8).write.mode("overwrite").parquet(dst)
+
+
+def build_scaled_stream_events(spark, src: str, dst: str, reps: int) -> None:
+    """Write the reps× keys/events table under dst: replica r offsets
+    user_id with timestamps unchanged."""
+    ev = load_table(spark, src, "events", columns=["user_id", "ts"])
+    _write_replicated(spark, ev, ["user_id"], reps, f"{dst}/events.parquet")
 
 
 def _state_metrics(progress: list[dict]) -> dict:
@@ -1262,18 +1288,9 @@ def rules_main(reps: int, src: str, out_name: str | None = None) -> int:
     dst = "/tmp/spark_graft_scale/rules_sf1"
     spark = get_spark("scale_probe_rules")
     li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
-    parts = [li]
-    for r in range(1, reps):
-        parts.append(
-            li.select(
-                (F.col("l_orderkey") + r * _OFFSET).alias("l_orderkey"),
-                (F.col("l_partkey") + r * _OFFSET).alias("l_partkey"),
-            )
-        )
-    big = parts[0]
-    for p in parts[1:]:
-        big = big.unionByName(p)
-    big.repartition(8).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+    _write_replicated(
+        spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
+    )
 
     def run(d: str):
         ev = load_table(spark, d, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -1299,13 +1316,19 @@ def rules_main(reps: int, src: str, out_name: str | None = None) -> int:
         print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
     a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
     record["rules_exact_scale"] = b["rule_rows"] == reps * a["rule_rows"]
-    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2)
+    # zero-guard (r12 review): a src whose pairs never reach
+    # min_pair_count yields 0 rules — the record must still be WRITTEN
+    # (a ZeroDivisionError after six timed runs would lose everything)
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
     print("| scale | rule rows | wall s |")
     print("|---|---|---|")
     for label in ("sf0.1", "sf1"):
         sc = record["scales"][label]
         print(f"| {label} | {sc['rule_rows']} | {sc['wall_s']} |")
-    print(f"| ratio | {b['rule_rows'] / a['rule_rows']:.2f} | **{record['wall_ratio']}** |")
+    rows_ratio = (
+        f"{b['rule_rows'] / a['rule_rows']:.2f}" if a["rule_rows"] else "n/a (0 rules)"
+    )
+    print(f"| ratio | {rows_ratio} | **{record['wall_ratio']}** |")
     out = _record_out(out_name, "scale_probe_rules_latest.json")
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
@@ -1333,13 +1356,7 @@ def card_main(reps: int, src: str, out_name: str | None = None) -> int:
     orders = load_table(spark, src, "orders", columns=["o_custkey"])
     cust = load_table(spark, src, "customer", columns=["c_custkey"])
     for name, df, col in (("orders", orders, "o_custkey"), ("customer", cust, "c_custkey")):
-        parts = [df]
-        for r in range(1, reps):
-            parts.append(df.select((F.col(col) + r * _OFFSET).alias(col)))
-        big = parts[0]
-        for p in parts[1:]:
-            big = big.unionByName(p)
-        big.repartition(8).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        _write_replicated(spark, df, [col], reps, f"{dst}/{name}.parquet")
 
     def run(d: str):
         o = load_table(spark, d, "orders", columns=["o_custkey"])
@@ -1366,7 +1383,8 @@ def card_main(reps: int, src: str, out_name: str | None = None) -> int:
             ws["est"].append(a); ws["exact"].append(b); ws["join"].append(c_)
         record["scales"][label] = {
             "estimate": int(est), "exact": int(exact), "join_count": int(joined),
-            "rel_error": round((est - exact) / exact, 4),
+            # zero-guard (r12 review): disjoint key spaces give exact=0
+            "rel_error": round((est - exact) / exact, 4) if exact else None,
             "est_wall_s": round(statistics.median(ws["est"]), 2),
             "exact_wall_s": round(statistics.median(ws["exact"]), 2),
             "join_wall_s": round(statistics.median(ws["join"]), 2),
