@@ -47,10 +47,13 @@ relational2 6 (19-24) + textstats 7 (25-31) + fresh7b2 2 (32-33) +
 fresh7 1 (34) + fresh7c 2 (35-36) + fresh7e 1 (37) + fresh7f 3 (38-40) +
 multimodal 5 (41-45: the GIF branch joined the default decode chain in
 r12). Sums to 45, leaving 5 free slots for the r13 debuts whose
-OPERATOR halves are staged with drafted oracles (the r12 pattern):
-join-cardinality estimation (``operators/cardinality.py``,
-tests/test_cardinality.py) and a GIF-blob multimodal query
-(``operators/multimodal.py::decode_image_gif``, tests/test_gif.py).
+OPERATOR halves are staged with drafted oracles and 10x probes (the r12
+pattern): join-cardinality estimation (``operators/cardinality.py``,
+tests/test_cardinality.py, ``scale_probe_r12_card.json``), a GIF-blob
+multimodal query (``operators/multimodal.py::decode_image_gif``,
+tests/test_gif.py), and sketch-verified frequent items
+(``operators/sketch.py``, tests/test_sketch.py — the frequency leg of
+the approximate-aggregate family).
 fresh8f also changed in r12 (triangle-oracle empty-graph fix) but sits
 INSIDE the r12 window, so its fresh row covers the change; streaming's
 8 r11 rows become the r14 lead.
