@@ -49,11 +49,13 @@ multimodal 5 (41-45: the GIF branch joined the default decode chain in
 r12). Sums to 45, leaving 5 free slots for the r13 debuts whose
 OPERATOR halves are staged with drafted oracles and 10x probes (the r12
 pattern): join-cardinality estimation (``operators/cardinality.py``,
-tests/test_cardinality.py, ``scale_probe_r12_card.json``), a GIF-blob
+tests/test_cardinality.py, ``scale_probe_r12_card.json``) and a GIF-blob
 multimodal query (``operators/multimodal.py::decode_image_gif``,
-tests/test_gif.py), and sketch-verified frequent items
-(``operators/sketch.py``, tests/test_sketch.py — the frequency leg of
-the approximate-aggregate family).
+tests/test_gif.py). A third candidate (sketch-verified frequent items)
+was drafted and WITHDRAWN in-round: ``txt_heavy_hitters``
+(queries/textstats2.py) already ships exactly that freqItems-verified
+algebra — grep the catalog for the pattern before staging a "new"
+operator.
 fresh8f also changed in r12 (triangle-oracle empty-graph fix) but sits
 INSIDE the r12 window, so its fresh row covers the change; streaming's
 8 r11 rows become the r14 lead.

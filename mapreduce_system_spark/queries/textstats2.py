@@ -97,6 +97,13 @@ def q_udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_SUPPORT = 0.033
 _HH_CAND_SUPPORT = 0.02
 
+# CAST(.. AS DOUBLE) in the HAVING: a bare 0.033 literal is DECIMAL to
+# DuckDB (exact 33n/1000) while the Spark side multiplies an IEEE double
+# — on a corpus where some count lands EXACTLY on the boundary (n a
+# multiple of 1000) the two thresholds straddle it (0.7*90 ==
+# 62.99999999999999 in double is the canonical example, r12 review).
+# Casting makes both engines compute the identical double product, so
+# the comparison is bit-for-bit the same by construction.
 _HEAVY_HITTERS_SQL = rf"""
 WITH t AS (
   SELECT unnest({_TOKS}) AS token FROM documents
@@ -106,7 +113,7 @@ WITH t AS (
 SELECT token, count(*) AS cnt
 FROM t, tot
 GROUP BY token, n
-HAVING count(*) > {_HH_SUPPORT} * n
+HAVING count(*) > CAST({_HH_SUPPORT} AS DOUBLE) * n
 ORDER BY token
 """
 
