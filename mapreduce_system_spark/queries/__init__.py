@@ -51,11 +51,16 @@ OPERATOR halves are staged with drafted oracles and 10x probes (the r12
 pattern): join-cardinality estimation (``operators/cardinality.py``,
 tests/test_cardinality.py, ``scale_probe_r12_card.json``) and a GIF-blob
 multimodal query (``operators/multimodal.py::decode_image_gif``,
-tests/test_gif.py). A third candidate (sketch-verified frequent items)
+tests/test_gif.py), plus re-aggregatable HLL sketch rollup
+(``operators/hll.py`` — the PERSISTED-sketch-table merge path
+``approx_count_distinct`` cannot express; band-checked because
+DataSketches HIP estimates are measured order-dependent,
+tests/test_hll.py). A fourth candidate (sketch-verified frequent items)
 was drafted and WITHDRAWN in-round: ``txt_heavy_hitters``
 (queries/textstats2.py) already ships exactly that freqItems-verified
 algebra — grep the catalog for the pattern before staging a "new"
-operator.
+operator (the hll staging did: one-shot approx_count_distinct exists,
+mergeable sketch state does not).
 fresh8f also changed in r12 (triangle-oracle empty-graph fix) but sits
 INSIDE the r12 window, so its fresh row covers the change; streaming's
 8 r11 rows become the r14 lead.
