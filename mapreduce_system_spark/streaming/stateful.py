@@ -293,6 +293,24 @@ def _tws_session_processor(gap_s: int):
     return SessionProcessor()
 
 
+def read_group_state(spark, checkpoint: str) -> DataFrame:
+    """Offline state-store audit: read a stateful query's CHECKPOINTED
+    per-key state as a DataFrame (Spark's ``statestore`` reader format),
+    flattened to one row per key with the state fields as top-level
+    columns. The ops half of the stateful contract: what the operators
+    above PROMISE about their stores ("state is O(open sessions)",
+    "idle keys evict") becomes directly observable from the checkpoint
+    — no running query, no instrumentation, no trust in progress
+    metrics. tests/test_streaming.py pins both directions: the
+    running-totals store holds exactly the batch-computed per-user
+    aggregates, and the sessionization store is EMPTY after the
+    watermark flushes every session (the eviction bound observed, not
+    inferred). At scale the read is partition-parallel over the
+    checkpoint files — an audit job, not a driver loop."""
+    raw = spark.read.format("statestore").load(checkpoint)
+    return raw.select("key.*", "value.*", "partition_id")
+
+
 def user_sessions_tws(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """``user_sessions_stateful`` on ``transformWithStateInPandas`` —
     the API a new Spark 4.x engine standardizes on (typed state

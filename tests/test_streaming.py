@@ -709,3 +709,121 @@ def test_pbshim_error_names_the_pip_remedy(spark, monkeypatch):
         with pbshim.tws_protobuf_env(spark):
             pass  # pragma: no cover — must raise before yielding
     assert dict(spark.sparkContext.environment) == env_before
+
+
+# ---------------------------------------------------------------------------
+# offline state-store audit (r12): the checkpointed state READ BACK as a
+# DataFrame — the stateful operators' contracts observed directly from
+# disk instead of inferred from progress metrics
+# ---------------------------------------------------------------------------
+
+
+def _totals_checkpoint(spark, tmp_path, rows):
+    """Run user_running_totals over a one-batch file stream and return
+    the (kept) checkpoint plus the input as a batch frame."""
+    import os
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        ST.user_running_totals(stream)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ck, df
+
+
+def test_state_audit_totals_store_equals_batch_aggregates(spark, tmp_path):
+    """read_group_state on the running-totals checkpoint returns EXACTLY
+    the per-user aggregates a plain batch groupBy computes — the state
+    store's contents verified value-for-value, including the NULL-value
+    bookkeeping (n counts every row, n_vals/total skip NULLs)."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 2.5),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), None),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 2), 4.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 3), 6.0),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 4), None),
+    ]
+    ck, df = _totals_checkpoint(spark, tmp_path, rows)
+    state = {
+        r.user_id: (r.n, r.n_vals, r.total)
+        for r in ST.read_group_state(spark, ck).select(
+            "user_id", "groupState.*"
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.n_vals, r.total)
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("value").alias("n_vals"),
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("total"),
+        )
+        .collect()
+    }
+    assert state == batch and set(state) == {1, 2, 3}
+
+
+def test_state_audit_session_store_empty_after_full_flush(spark, tmp_path):
+    """The eviction bound observed from disk: after the sentinel pushes
+    the watermark past every session's timer, the sessionization store
+    holds ZERO keys — state is open sessions only, and a fully-flushed
+    stream has none (the claim the r12 scale probe measured via metrics,
+    now read directly from the checkpoint)."""
+    import os
+
+    src = tmp_path / "src"
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    base_es = 1_700_000_000
+
+    def stage(rows, name, mtime):
+        # the file-stream source lists FILES: write to a scratch dir and
+        # move the single part file in (the fresh6 harness discipline)
+        scratch = tmp_path / f"tmp_{name}"
+        spark.createDataFrame(rows, "user_id long, es long").select(
+            "user_id", F.timestamp_seconds("es").alias("ts"), "es"
+        ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = next(p for p in scratch.iterdir() if p.name.endswith(".parquet"))
+        dst = src / f"{name}.parquet"
+        part.rename(dst)
+        os.utime(dst, (mtime, mtime))
+
+    stage([(u, base_es + i) for i, u in enumerate([1, 1, 2])],
+          "chunk-1", 1_700_000_000)
+    # the sentinel far beyond last_es + gap flushes every real timer
+    stage([(-1, base_es + 10_000)], "chunk-2", 1_700_000_100)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, es long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        ST.user_sessions_stateful(stream, gap_s=60)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    audited = ST.read_group_state(spark, ck)
+    # the sentinel user may hold the one still-open session (its own
+    # timer sits beyond the final watermark); every REAL key is evicted
+    left = [r.user_id for r in audited.select("user_id").collect()]
+    assert all(u == -1 for u in left), left
