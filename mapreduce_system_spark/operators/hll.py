@@ -11,14 +11,16 @@ Spark 4 ships the public DataSketches surface for exactly this:
 ``hll_sketch_agg`` (build, binary column), ``hll_union_agg`` (merge),
 ``hll_sketch_estimate`` (read).
 
-MEASURED ENGINE CONTRACT (r12 probe — why the obvious invariant is NOT
+MEASURED ENGINE CONTRACT (r12 probe, committed record
+``bench_runs/hll_probe_r12.json`` — why the obvious invariant is NOT
 asserted): DataSketches HLL uses an HIP (historical inverse probability)
 estimator whose value depends on the INSERTION ORDER of the stream, and
 a union discards HIP state for the composite estimator — so
 ``estimate(union(per-group sketches))`` and ``estimate(sketch(whole))``
-legitimately differ on the SAME value set (observed 1500 vs 1504 on the
-sf0.1 fixture's 1,500 users), and neither is bit-stable across
-re-partitionings. This is unlike ``approx_count_distinct``'s
+legitimately differ on the SAME value set, and neither is bit-stable
+across re-partitionings: the sf0.1 fixture's 1,500 users estimate to
+1488 via the daily-sketch merge and 1506/1508/1498 via whole-corpus
+sketches under repartition(1/8/32). This is unlike ``approx_count_distinct``'s
 register-only HLL++, whose estimate is a pure function of the value set
 (why ``agg_approx_distinct`` can anchor a 3% band). Everything here is
 therefore ERROR-BAND-checked against exact counts (band default 5%,
@@ -36,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from mapreduce_system_spark.caches import tracked_cache
 
 TOTAL_SENTINEL = "TOTAL"
 
@@ -67,9 +71,16 @@ def distinct_sketch_rollup(
         )
         .where(F.col("v").isNotNull())
     )
-    dm = base.distinct()
-    per_group = dm.groupBy("grp").agg(
-        F.count("v").alias("exact"), F.hll_sketch_agg("v").alias("sk")
+    # cached: three aggregation branches fan out of the distinct input
+    # (per-group, merged-total, exact-total) — uncached, each re-scans
+    # and re-shuffles the raw relation (r12 review); per_group is cached
+    # too (group-cardinality-sized) because both the per-group output
+    # and the merge read it
+    dm = tracked_cache(base.distinct())
+    per_group = tracked_cache(
+        dm.groupBy("grp").agg(
+            F.count("v").alias("exact"), F.hll_sketch_agg("v").alias("sk")
+        )
     )
     groups = per_group.select(
         "grp",

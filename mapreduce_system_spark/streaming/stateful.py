@@ -293,7 +293,7 @@ def _tws_session_processor(gap_s: int):
     return SessionProcessor()
 
 
-def read_group_state(spark, checkpoint: str) -> DataFrame:
+def read_group_state(spark, checkpoint: str, state_var: str | None = None) -> DataFrame:
     """Offline state-store audit: read a stateful query's CHECKPOINTED
     per-key state as a DataFrame (Spark's ``statestore`` reader format),
     flattened to one row per key with the state fields as top-level
@@ -306,9 +306,22 @@ def read_group_state(spark, checkpoint: str) -> DataFrame:
     aggregates, and the sessionization store is EMPTY after the
     watermark flushes every session (the eviction bound observed, not
     inferred). At scale the read is partition-parallel over the
-    checkpoint files — an audit job, not a driver loop."""
-    raw = spark.read.format("statestore").load(checkpoint)
-    return raw.select("key.*", "value.*", "partition_id")
+    checkpoint files — an audit job, not a driver loop.
+
+    ``state_var`` selects a named state variable for
+    ``transformWithStateInPandas`` checkpoints (the reader requires it
+    for TWS — e.g. ``"open"`` for ``user_sessions_tws``); GST
+    (applyInPandasWithState) checkpoints omit it, and their
+    ``groupState`` wrapper struct is unwrapped here so both APIs come
+    back in the same shape. Key/state field-name collisions surface as
+    Spark's ambiguous-column error — rename in the updater, not here."""
+    reader = spark.read.format("statestore")
+    if state_var is not None:
+        reader = reader.option("stateVarName", state_var)
+    raw = reader.load(checkpoint)
+    value_fields = [f.name for f in raw.schema["value"].dataType.fields]
+    inner = "value.groupState.*" if "groupState" in value_fields else "value.*"
+    return raw.select("key.*", inner, "partition_id")
 
 
 def user_sessions_tws(events: DataFrame, gap_s: int = 1800) -> DataFrame:

@@ -628,11 +628,13 @@ def test_tws_sessions_close_on_gap_and_timeout(spark, tmp_path):
             .parquet(src)
             .withWatermark("ts", "0 seconds")
         )
+        ck = str(tmp_path / "tws-ck")
         q = (
             ST.user_sessions_tws(stream, gap_s=600)
             .writeStream.format("memory")
             .queryName("t_tws_sessions")
             .outputMode("append")
+            .option("checkpointLocation", ck)
             .start()
         )
         try:
@@ -649,6 +651,21 @@ def test_tws_sessions_close_on_gap_and_timeout(spark, tmp_path):
                 r.user_id: (r.session_start, r.n_events, r.dur_s)
                 for r in spark.table("t_tws_sessions").collect()
             }
+            # offline audit of the TWS checkpoint (reader requires the
+            # state-var name): exactly u9's final 11:00 session is still
+            # open — every closed key was evicted from the store
+            open_state = {
+                r.user_id: (r.start_es, r.last_es, r.n)
+                for r in ST.read_group_state(spark, ck, state_var="open")
+                .select("user_id", "start_es", "last_es", "n")
+                .collect()
+            }
+            es11 = int(
+                t("2024-01-01T11:00:00")
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp()
+            )
+            assert open_state == {9: (es11, es11, 1)}, open_state
         finally:
             q.stop()
             shutil.rmtree(src, ignore_errors=True)
@@ -721,8 +738,6 @@ def test_pbshim_error_names_the_pip_remedy(spark, monkeypatch):
 def _totals_checkpoint(spark, tmp_path, rows):
     """Run user_running_totals over a one-batch file stream and return
     the (kept) checkpoint plus the input as a batch frame."""
-    import os
-
     src = str(tmp_path / "src")
     ck = str(tmp_path / "ck")
     df = spark.createDataFrame(
@@ -761,9 +776,9 @@ def test_state_audit_totals_store_equals_batch_aggregates(spark, tmp_path):
     ck, df = _totals_checkpoint(spark, tmp_path, rows)
     state = {
         r.user_id: (r.n, r.n_vals, r.total)
-        for r in ST.read_group_state(spark, ck).select(
-            "user_id", "groupState.*"
-        ).collect()
+        for r in ST.read_group_state(spark, ck)
+        .select("user_id", "n", "n_vals", "total")
+        .collect()
     }
     batch = {
         r.user_id: (r.n, r.n_vals, r.total)
