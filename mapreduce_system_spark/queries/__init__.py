@@ -55,7 +55,10 @@ tests/test_gif.py), plus re-aggregatable HLL sketch rollup
 (``operators/hll.py`` — the PERSISTED-sketch-table merge path
 ``approx_count_distinct`` cannot express; band-checked because
 DataSketches HIP estimates are measured order-dependent,
-tests/test_hll.py). A fourth candidate (sketch-verified frequent items)
+tests/test_hll.py). ``streaming/stateful.py::read_group_state`` (the
+offline state-store audit, r12) is also query-ready: a registered
+``stream_state_audit`` whose oracle is the plain batch aggregate the
+store must equal. A fourth candidate (sketch-verified frequent items)
 was drafted and WITHDRAWN in-round: ``txt_heavy_hitters``
 (queries/textstats2.py) already ships exactly that freqItems-verified
 algebra — grep the catalog for the pattern before staging a "new"
