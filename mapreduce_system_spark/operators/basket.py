@@ -18,18 +18,16 @@ Spark-first shape, audited for 100 TB:
   corpus takes a basket-size cap exactly like the dedup family's
   stop-shingle DF cap, queries/_graphshared.py::copurchase_pairs
   documents the same trade);
-- item counts are a dimension-sized relation broadcast into the rule
+- item counts are a dimension-sized relation equi-joined into the rule
   join; the basket total is a ONE-ROW aggregate cross-joined broadcast
-  (never a driver value). The explicit ``F.broadcast`` hints therefore
-  carry an ITEM-CARDINALITY BOUND: the marginals relation is one row
-  per distinct item, so the hints are safe while the item dimension
-  fits the broadcast budget (~tens of millions of items at the default
-  8 GiB driver/executor memory — true for parts/SKU/vocab-sized
-  dimensions at any corpus size, since item count grows with the
-  CATALOG, not the 100 TB of baskets). For an open-ended item space
-  (e.g. items = raw n-grams), drop the hints and let AQE pick the
-  join strategy from the measured marginal size — the rule join is a
-  plain equi-join either way;
+  (never a driver value). The marginals joins carry NO explicit
+  ``F.broadcast`` hint (ADVICE r12 #1): one row per distinct item is
+  broadcast-sized for parts/SKU/vocab dimensions (item count grows with
+  the CATALOG, not the 100 TB of baskets) and AQE broadcasts it from
+  the MEASURED size — but for an open-ended item space (items = raw
+  n-grams) a hard hint would force a driver OOM where unhinted AQE
+  degrades gracefully to a shuffle join. The rule join is a plain
+  equi-join under either physical choice;
 - rules are pair-set-sized — the whole point of ``min_pair_count`` is
   that the output is the interesting tail, not the cross product.
 
@@ -98,9 +96,16 @@ def association_rules(
     )
     ante = ic.select(F.col("item").alias("antecedent"), F.col("item_count").alias("ante_count"))
     cons = ic.select(F.col("item").alias("consequent"), F.col("item_count").alias("cons_count"))
+    # no explicit broadcast hint on the marginals (ADVICE r12 #1): a hint
+    # FORCES the build side driver-resident even when the item dimension
+    # outgrows the broadcast budget (open-ended item spaces — raw n-grams
+    # — would OOM the driver); unhinted, AQE broadcasts from the MEASURED
+    # marginal size below the threshold and degrades to a shuffle join
+    # above it. The one-row basket total keeps its hint — its size is a
+    # constant, not a cardinality bet.
     out = (
-        directed.join(F.broadcast(ante), "antecedent")
-        .join(F.broadcast(cons), "consequent")
+        directed.join(ante, "antecedent")
+        .join(cons, "consequent")
         .crossJoin(F.broadcast(nb))
     )
     pc = F.col("pair_count").cast("double")

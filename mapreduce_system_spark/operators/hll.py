@@ -53,8 +53,11 @@ def distinct_sketch_rollup(
     the total). ``exact`` anchors the band check exactly like
     ``agg_approx_distinct``; NULL values are ignored (the
     count_distinct/HLL convention) while a NULL GROUP is a group.
-    Caller contract: group values must not collide with the
-    ``'TOTAL'`` sentinel (the registered query uses dates).
+    Caller contract, ENFORCED (ADVICE r12): a group value equal to the
+    ``'TOTAL'`` sentinel raises at execution time (``raise_error`` on
+    the group-cardinality-sized relation — one comparison per GROUP,
+    not per row) instead of silently emitting two indistinguishable
+    rows; the registered query uses dates, which can never collide.
 
     Plan shape: one pre-distinct feeds both the exact count and the
     sketch per group (HLL is multiplicity-blind, and a mixed
@@ -77,10 +80,25 @@ def distinct_sketch_rollup(
     # too (group-cardinality-sized) because both the per-group output
     # and the merge read it
     dm = tracked_cache(base.distinct())
-    per_group = tracked_cache(
-        dm.groupBy("grp").agg(
-            F.count("v").alias("exact"), F.hll_sketch_agg("v").alias("sk")
+    # sentinel collision guard rides the group-cardinality-sized
+    # aggregate output (cheapest placement): NULL != 'TOTAL' is NULL →
+    # coalesce keeps NULL groups alive
+    grp_checked = F.when(
+        F.coalesce(F.col("grp") != F.lit(TOTAL_SENTINEL), F.lit(True)),
+        F.col("grp"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"distinct_sketch_rollup: group value collides with the "
+                f"{TOTAL_SENTINEL!r} rollup sentinel — rename or prefix "
+                f"the group column"
+            )
         )
+    )
+    per_group = tracked_cache(
+        dm.groupBy("grp")
+        .agg(F.count("v").alias("exact"), F.hll_sketch_agg("v").alias("sk"))
+        .select(grp_checked.alias("grp"), "exact", "sk")
     )
     groups = per_group.select(
         "grp",

@@ -730,8 +730,12 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
             entry = d[code]
         elif code < len(d):
             entry = d[code]
-            d.append(prev + entry[:1])
-        elif code == len(d):
+            if len(d) < 4096:  # spec: table is full at 4096 — a
+                # conformant encoder stops adding too, so growth past it
+                # would only buy unreachable (>12-bit) entries at
+                # stream-length memory cost (ADVICE r12)
+                d.append(prev + entry[:1])
+        elif code == len(d) and len(d) < 4096:
             entry = prev + prev[:1]  # KwKwK
             d.append(entry)
         else:

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import shutil
 import uuid
-from contextlib import contextmanager
+from contextlib import contextmanager, nullcontext
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -290,7 +290,21 @@ def _run_session_stream(
         .parquet(str(src))
         .withWatermark("ts", "0 seconds")
     )
-    with _stream_shuffle(spark):
+    # the recentProgress ring buffer holds only the LAST
+    # numRecentProgressUpdates (default 100) micro-batches; a stats
+    # replay with more batches would silently truncate the early ones
+    # and undercount rows_updated / n_batches (ADVICE r12). The buffer
+    # is trimmed at every progress post, so the raised retention must
+    # hold for the stream's whole life — pin it around start AND
+    # awaitTermination, not just start.
+    prog_pin = (
+        _pinned_conf(
+            spark, "spark.sql.streaming.numRecentProgressUpdates", "10000"
+        )
+        if stats is not None
+        else nullcontext()
+    )
+    with _stream_shuffle(spark), prog_pin:
         q = (
             sessionize(stream)
             .writeStream.foreachBatch(persist_appends)
@@ -299,8 +313,16 @@ def _run_session_stream(
             .trigger(availableNow=True)
             .start()
         )
+        try:
+            q.awaitTermination()
+        except Exception:
+            try:
+                q.stop()
+            except Exception:
+                pass
+            shutil.rmtree(base, ignore_errors=True)
+            raise
     try:
-        q.awaitTermination()
         if stats is not None:
             # per-micro-batch engine metrics for the scale probe
             # (tools/scale_probe.py --stream): stateOperators carries

@@ -182,3 +182,69 @@ def test_gif_decoder_never_raises_on_mutated_valid_blob(pos, val):
     blob[pos % len(blob)] = val
     out = decode_image_gif(bytes(blob))
     assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+
+def _lzw_encode_growing(data: bytes, min_code: int) -> bytes:
+    """A REAL greedy GIF-LZW compressor (growing dictionary, deferred
+    width bump, 4096-entry cap with NO clear — the conformant encoder
+    the module's CLEAR-per-pixel fixture encoder deliberately is not).
+    Exists to drive the decoder through the full-table regime the
+    4096 cap governs (ADVICE r12)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    d = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    size = min_code + 1
+    out: list[tuple[int, int]] = [(clear, size)]
+
+    def emit(code: int) -> None:
+        out.append((code, size))
+
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in d:
+            w = wc
+            continue
+        emit(d[w])
+        if next_code < 4096:
+            d[wc] = next_code
+            # deferred bump: the decoder is one entry behind the
+            # encoder, so width grows when the JUST-ASSIGNED code hits
+            # the width boundary, not the next assignable one
+            if next_code == (1 << size) and size < 12:
+                size += 1
+            next_code += 1
+        w = bytes([ch])
+    if w:
+        emit(d[w])
+    emit(eoi)
+    acc = 0
+    nbits = 0
+    buf = bytearray()
+    for code, width in out:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("min_code", [2, 8])
+def test_gif_lzw_full_table_differential(min_code):
+    """Compress enough low-entropy data to FILL the 4096-entry table and
+    keep going: decode must stay byte-exact through the table-full
+    regime (both sides stop adding at 4096 — the decoder's cap is the
+    ADVICE r12 fix; an uncapped decoder desyncs nothing but grows
+    without bound, a capped-at-the-wrong-point one desyncs here)."""
+    import random
+
+    rng = random.Random(20260816 + min_code)
+    n_sym = 1 << min_code
+    data = bytes(rng.randrange(n_sym) for _ in range(40000))
+    stream = _lzw_encode_growing(data, min_code)
+    got = _gif_lzw_decode(stream, min_code, len(data) + 10)
+    assert got == data

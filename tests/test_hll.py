@@ -128,3 +128,18 @@ def test_rollup_band_holds_on_fixture_daily_users(spark):
     ]
     tot = [r for r in out if r.grp == "TOTAL"]
     assert len(tot) == 1 and tot[0].exact > 0
+
+
+def test_rollup_sentinel_collision_raises(spark):
+    """A group value equal to the 'TOTAL' rollup sentinel must raise at
+    execution (ADVICE r12) — silently emitting two indistinguishable
+    rows would corrupt any consumer keying on the sentinel."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("TOTAL", 1), ("d1", 2)], "grp string, v long"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        distinct_sketch_rollup(df, "grp", "v").collect()
+    assert "rollup sentinel" in str(ei.value)

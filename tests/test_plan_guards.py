@@ -468,7 +468,10 @@ def test_basket_pair_generation_has_no_all_pairs_join(spark):
     equi-self-join on the basket key (quadratic only in basket size) —
     a refactor degrading it to cartesian would pass fixture-value checks
     while exploding at corpus scale, the exact class this suite pins.
-    The one-row basket total must ride a broadcast, never a shuffle."""
+    The one-row basket total must ride a broadcast, never a shuffle;
+    the item-marginal joins carry NO broadcast hint (ADVICE r12 #1 —
+    AQE picks from the measured size, so an unbounded item dimension
+    degrades to a shuffle join instead of a driver OOM)."""
     from mapreduce_system_spark.operators.basket import association_rules
 
     li = load_table(spark, SF_DIR, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -483,6 +486,12 @@ def test_basket_pair_generation_has_no_all_pairs_join(spark):
     # node = 2 textual occurrences
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert plan.count("BroadcastExchange") >= 2, plan
+    # the marginal joins must be UNHINTED: the logical plan carries no
+    # join hint at all (the one-row total's hint lives on a relation AQE
+    # never needs to re-plan)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("UnresolvedHint") == 0, logical
+    assert logical.lower().count("broadcast") <= 1, logical
 
 
 def test_personalized_pagerank_seed_semi_join_is_equi(spark):

@@ -1215,15 +1215,23 @@ def stream_main(reps: int, src: str, out_name: str | None = None) -> int:
     }
     closed_counts: dict[str, int] = {}
     for label, d in [("sf0.1", src), ("sf1", dst)]:
-        walls, metrics, closed = [], None, None
+        walls, per_run, closed = [], [], None
         for i in range(3):
             w, c, m = run_once(d, f"{label}_{i}")
             walls.append(w)
-            closed, metrics = c, m  # identical across runs (asserted below)
+            per_run.append(m)
+            closed = c  # identical across runs (asserted just below)
             if closed_counts.get(label, c) != c:
                 print(f"# NONDETERMINISM: {label} closed {closed_counts[label]} vs {c}", file=sys.stderr)
                 return 1
             closed_counts[label] = c
+        # the closed-session CENSUS is deterministic (asserted above);
+        # store metrics are NOT guaranteed to be (RocksDB compaction
+        # timing, micro-batch coalescing) — record the per-run values
+        # and fold peaks as max / counters as the per-run max too, so a
+        # nondeterministic store shows up in the record instead of
+        # silently keeping whichever run came last (ADVICE r12)
+        metrics = {k: max(m[k] for m in per_run) for k in per_run[0]}
         ev = load_table(spark, d, "events", columns=["user_id"])
         record["scales"][label] = {
             "rows": int(ev.count()),
@@ -1231,6 +1239,7 @@ def stream_main(reps: int, src: str, out_name: str | None = None) -> int:
             "closed_sessions": closed,
             "wall_s": round(statistics.median(walls), 2),
             **metrics,
+            "state_metrics_per_run": per_run,
         }
         print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
 
