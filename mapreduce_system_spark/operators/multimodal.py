@@ -876,6 +876,57 @@ def decode_image_gif(blob: bytes):
     return (w, h, total / (w * h), "gif")
 
 
+GIF_PLANES_SCHEMA = (
+    "id long, width int, height int, pal_luma array<int>, idx array<int>"
+)
+
+
+def decode_image_gif_planes(
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched GIF decode to palette-INDEXED planes: blob →
+    (id, width, height, per-slot palette lumas, storage-order index
+    plane). The GIF counterpart of ``decode_image_rgb_planes``: decode
+    is the ONLY Python step, and consumers derive statistics
+    RELATIONALLY by indexing ``pal_luma`` with ``idx`` (JVM array
+    folds; the registered query exports these planes so its SQL oracle
+    recomputes the same stats). ``idx`` is in STORAGE row order — for
+    interlaced frames that is the four-pass schedule
+    (``gif_interlace_order``), a pure row permutation, so order-free
+    statistics (means, histograms, distinct-color counts) need no
+    de-interlace. Undecodable blobs are dropped (the per-blob triage
+    contract every decoder in this module shares); luma is the shared
+    ITU-R 601-2 integer spelling (``decode_image_png``)."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "pal_luma": [], "idx": []}
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                parsed = _gif_parse_first_frame(bytes(blob))
+                if parsed is None:
+                    continue
+                w, h, pal, idx = parsed
+                n_colors = len(pal) // 3
+                luma = [
+                    (299 * pal[3 * j] + 587 * pal[3 * j + 1] + 114 * pal[3 * j + 2])
+                    // 1000
+                    for j in range(n_colors)
+                ]
+                if any(px >= n_colors for px in idx[: w * h]):
+                    continue  # index beyond palette: corrupt stream
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pal_luma"].append(luma)
+                out["idx"].append(list(idx[: w * h]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        extract, schema=GIF_PLANES_SCHEMA
+    )
+
+
 def _pack_lzw_codes(codes: list[int], width: int) -> bytes:
     """LSB-first fixed-width bit packing (the encoder never grows the
     code width — see encode_image_gif); also the test harness's tool for

@@ -9,8 +9,10 @@ queries against their OWN registered oracle SQL on a crafted corpus of
 exactly those edges, comparing full result rows.
 
 Coverage census (r11, extended r12 with the two graphml2 registrations
-at birth): every registered query with a corpus-portable oracle is in
-some list below. The principled exclusions are the
+at birth, r13 with four of the five fresh9 debuts — the fifth,
+``mm_image_gif_stats``, is SF_BOUND/export-pattern and its codec edges
+live in tests/test_gif.py's fuzz families): every registered query with
+a corpus-portable oracle is in some list below. The principled exclusions are the
 SF_BOUND export-pattern queries (their oracles read side tables the
 Spark query exports under fixture-sf-keyed paths —
 registry.SF_BOUND_ORACLES), cosine-RANKING queries on zero-bearing
@@ -204,6 +206,11 @@ _EVENT_QUERY_NAMES = [
     "sink_merge_upsert",
     "sink_dpp_join_pruned",  # facts = events, hive-partitioned by type
     "stream_stateful_user_totals",  # GST replay over the staged corpus
+    # r13 gate expansion, debuts at birth: the sketch-table rollup's
+    # band/sentinel algebra over NULL users + day gaps, and the offline
+    # state-store audit replaying the same staged corpus
+    "agg_distinct_sketch_rollup",
+    "stream_state_audit",
 ]
 
 
@@ -607,6 +614,9 @@ _JOIN_QUERY_NAMES = [
     "asof_join_salted_events",
     "asof_join_nearest",
     "stream_static_enrich",
+    # r13 debut at birth: NULL o_custkey rows are exactly the keys the
+    # coordinated sample must exclude SYMMETRICALLY on both engines
+    "rel_join_cardinality_sampled",
 ]
 
 
@@ -743,6 +753,9 @@ _STAR_QUERY_NAMES = [
     # supplier — a frontier edge whose nation join must drop identically
     # on both engines
     "graph_bfs_reachability",
+    # r13 debut at birth: count-relation product vs DuckDB materializing
+    # the join, on a warehouse with repeated keys and NULL measures
+    "rel_join_cardinality_exact",
 ]
 
 

@@ -248,3 +248,36 @@ def test_gif_lzw_full_table_differential(min_code):
     stream = _lzw_encode_growing(data, min_code)
     got = _gif_lzw_decode(stream, min_code, len(data) + 10)
     assert got == data
+
+
+def test_gif_planes_decoder_roundtrips_indices_and_interlace(spark):
+    """decode_image_gif_planes returns the EXACT encoded index plane in
+    storage order: plain frames row-major, interlaced frames in the
+    four-pass schedule (applying gif_interlace_order recovers the
+    source rows) — and pal_luma is the shared 601-2 integer luma of
+    every palette slot."""
+    from mapreduce_system_spark.operators.multimodal import (
+        decode_image_gif_planes,
+    )
+
+    pixels = [[(x + y) % 4 for x in range(5)] for y in range(6)]
+    rows = [
+        (0, encode_image_gif(pixels, _PAL4, interlace=False)),
+        (1, encode_image_gif(pixels, _PAL4, interlace=True)),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r.id: r for r in decode_image_gif_planes(df).collect()}
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert (r.width, r.height) == (5, 6)
+        assert list(r.pal_luma) == _LUMA4
+    flat = [p for row in pixels for p in row]
+    assert list(got[0].idx) == flat
+    # interlaced storage order: rows permuted by the four-pass schedule
+    order = gif_interlace_order(6)
+    stored = [p for ri in order for p in pixels[ri]]
+    assert list(got[1].idx) == stored
+    recovered = [None] * 6
+    for slot, ri in enumerate(order):
+        recovered[ri] = list(got[1].idx)[slot * 5 : (slot + 1) * 5]
+    assert recovered == pixels

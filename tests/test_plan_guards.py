@@ -505,6 +505,24 @@ def test_personalized_pagerank_seed_semi_join_is_equi(spark):
     _assert_equi_join_only(q_graph_pagerank_personalized(spark, SF_DIR))
 
 
+def test_join_cardinality_exact_never_materializes_the_join(spark):
+    """|A ⋈ B| must come from the count-relation PRODUCT: the optimized
+    plan aggregates BOTH inputs before the one join (3 Aggregates —
+    two per-key counts + the final sum). A refactor that joins first
+    and counts after (1 Aggregate) passes every value check while
+    materializing the very output the operator exists to avoid."""
+    from mapreduce_system_spark.operators.cardinality import (
+        join_cardinality_exact,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem", columns=["l_orderkey"])
+    orders = load_table(spark, SF_DIR, "orders", columns=["o_orderkey"])
+    df = join_cardinality_exact(li, orders, "l_orderkey", "o_orderkey")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Aggregate") == 3, opt
+    assert opt.count("Join") == 1, opt
+
+
 def test_join_cardinality_estimate_pushes_sample_filter_to_scan(spark):
     """The coordinated-key sample predicate must reach both scans (the
     sublinearity claim): a post-aggregation filter would count every

@@ -38,25 +38,30 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle entries without a registered query: {dangling}"
 
 
-def test_r12_driver_window_composition():
+def test_r13_driver_window_composition():
     """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
-    correctness gate covers the FIRST 50 registered queries. Pin the r12
+    correctness gate covers the FIRST 50 registered queries. Pin the r13
     window EXACTLY (module granularity per the rotation plan in the
     package docstring) so an accidental import reorder — or a module
     gaining a query — can't silently rotate evidence-stale or brand-new
     queries out of the gate. Update deliberately with each rotation."""
     expected_modules = [
-        ("mrcore", 9),       # the reference's flagship queries — hard deadline
-        ("pipeline", 8),     # r08 evidence tail from here
-        ("textstats2", 2),
-        ("fresh7b", 3),
-        ("fresh8b", 4),      # UDF/UDTF cohort
-        ("fresh8d", 4),      # oldest r09 rows from here
-        ("fresh8f", 5),
-        ("fresh8g", 4),
-        ("fresh8h", 6),
-        ("fresh8l", 2),      # agg_mad_outliers reworked r11
-        ("fresh8j", 3),
+        ("graphml2", 2),     # first-ever driver rows (registered r12)
+        ("fresh8i", 4),      # the r09-stale cohort from here
+        ("fresh8k", 2),
+        ("fresh8m", 3),
+        ("temporal2", 2),
+        ("fresh6", 3),       # changed r12 (stats hook) + r13 (progress pin)
+        ("graphml", 2),      # the r11 tail, two rounds old, from here
+        ("relational2", 6),
+        ("textstats", 7),
+        ("fresh7b2", 2),
+        ("fresh7", 1),
+        ("fresh7c", 2),
+        ("fresh7e", 1),
+        ("fresh7f", 3),
+        ("multimodal", 5),   # GIF in the default decode chain since r12
+        ("fresh9", 5),       # the r13 debuts — driver rows at birth
     ]
     assert sum(c for _, c in expected_modules) == 50
     names = list(QUERIES)
@@ -68,13 +73,24 @@ def test_r12_driver_window_composition():
             got_modules.append([mod, 0])
         got_modules[-1][1] += 1
     assert [tuple(m) for m in got_modules] == expected_modules, got_modules
-    # mr-core leads the window: all 9 mr_ queries inside it, none past
-    assert all(n.startswith("mr_") for n in window[:9])
-    assert sum(n.startswith("mr_") for n in names[50:]) == 0
-    # this round's registrations sit just PAST the line (the stage-in-N,
-    # wire-in-N+1 debut pattern): first driver rows come with the r13
-    # window lead, not by silently displacing rotation debt from r12
-    assert names[50:52] == [
+    # the zero-driver-row pair leads the window (VERDICT r12 #1)
+    assert window[:2] == [
         "graph_pagerank_personalized",
         "basket_association_rules",
     ]
+    # the five debuts close the window — registered AND driver-gated in
+    # the same round, per the five-free-slots arithmetic in the draft
+    assert window[45:] == [
+        "rel_join_cardinality_exact",
+        "rel_join_cardinality_sampled",
+        "mm_image_gif_stats",
+        "agg_distinct_sketch_rollup",
+        "stream_state_audit",
+    ]
+    # streaming is the r14 lead: the module's 8 queries sit just past
+    # the line (VERDICT r12 #7 — their r11 rows hit the two-round rule)
+    stream_mod = [
+        i for i, n in enumerate(names)
+        if QUERIES[n].__module__.endswith(".streaming")
+    ]
+    assert stream_mod == list(range(50, 58)), stream_mod
