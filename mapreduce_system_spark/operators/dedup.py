@@ -646,3 +646,98 @@ def connected_components(
         )
     unpersist_rdd_ids(spark, prev_ids)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_token_df: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """TF-IDF-weighted cosine near-dup pairs via the token-posting join —
+    the SPARSE similarity join (staged r13 for the r14 debut
+    ``dedup_tfidf_cosine_pairs``). Where ``jaccard_pairs`` scores set
+    overlap and the embedding family scores dense vectors, this scores
+    WEIGHTED BAG overlap: rare shared terms dominate, boilerplate terms
+    are discounted by IDF — the lexical near-dup signal curation
+    pipelines run when embeddings are too expensive and shingles too
+    brittle to reordering (cosine is order-free; Jaccard shingles are
+    not).
+
+    Algebra, spelled for the SQL oracle: tf = per-(doc, token) count;
+    idf = ln((N + 1)/(df + 1)) + 1 with N = docs and df = docs
+    containing the token; w = tf·idf; ||d|| = sqrt(Σ w²) over ALL the
+    doc's tokens; pairs sharing ≥1 posting get
+    cosine = Σ_shared (w_a·w_b) / (||a||·||b||), rounded to
+    ``round_to`` on BOTH engines (double sums have summation-order
+    freedom — the BM25 discipline). Returns (id_a, id_b, cosine) with
+    id_a < id_b, cosine ≥ threshold; docs with no tokens (NULL/empty
+    text) have no postings and appear in no pair.
+
+    100 TB posture (the ``jaccard_pairs`` audit, term-weighted): the
+    candidate generator is an inverted-index EQUI-join on the token —
+    never all-pairs; ``max_token_df`` drops postings of tokens shared
+    by more than that many docs (the stop-shingle DF cap), bounding the
+    worst token's candidate fan-out at df². Cap semantics mirror
+    ``jaccard_pairs`` exactly: norms keep ALL tokens, only the
+    intersection loses capped terms, so the reported cosine is a LOWER
+    BOUND — boilerplate can only subtract similarity evidence, never
+    add false merges.
+
+    Reference contrast: worker.go:104-165 can build the posting list
+    (that is ``mr_inverted_index``) but cannot join two weighted
+    posting relations back onto each pair, nor normalize by a per-doc
+    aggregate computed in the same pass.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    # N = docs in the relation (a one-row broadcast, never a driver value)
+    nd = df.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # cached: weighted postings feed the norm aggregate AND both sides of
+    # the pair join — uncached, the tokenize+tf subtree runs three times
+    w = tracked_cache(
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "id",
+            "tok",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    postings = w if max_token_df is None else w.where(F.col("df") <= max_token_df)
+    a, b = postings.alias("a"), postings.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_to).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -242,6 +242,88 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (LPA) over
+    the undirected graph: every node starts labeled with its own id,
+    and each round adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — the deterministic tie-break
+    that makes the recurrence an exact function of the edge set, so an
+    unrolled SQL oracle can mirror it round for round (the
+    ``pagerank``/``connected_components`` discipline; classic
+    random-order LPA is not oracle-able). Returns (node, label) after
+    exactly ``iterations`` rounds. Staged r13 for the r14 debut
+    ``graph_label_propagation``.
+
+    Input edges are symmetrized and de-duplicated here (an undirected
+    neighborhood; self-loops are dropped — a node voting for itself
+    would freeze singleton labels). Node ids must be non-NULL integers
+    above LONG_MIN (the argmax rides a single map-side-combinable
+    ``max(struct(cnt, -label))`` aggregate — maximal count, then
+    minimal label — instead of a per-node window sort; negation is
+    exact for every id the fixtures or any realistic key space
+    produce).
+
+    Scale shape, mirroring ``pagerank``'s audit: per round ONE
+    equi-join (labels onto the symmetrized edge list) + ONE aggregation
+    chain (neighbor-label counts → per-node argmax), each
+    partial+final; the edge list is cached once; every round
+    ``localCheckpoint``s its label vector and releases the previous
+    round's blocks, so lineage and storage stay O(1) in the iteration
+    count. Labels converge toward community consensus; unlike
+    ``connected_components`` (min-label flood = one component per
+    CONNECTED region) dense regions keep distinct majority labels.
+
+    Reference contrast: worker.go:104-165's one-shot map→reduce can
+    count neighbor labels once but cannot feed the argmax back for the
+    next round — iteration needs a driver loop the reference lacks.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    sym = tracked_cache(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    # symmetrized: every node appears as u, so u alone spans the node set
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_ids: set[int] = set()
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym.u == labels.node)
+            .select(F.col("v").alias("node"), F.col("label").alias("lbl"))
+            .groupBy("node", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # deterministic argmax without a window: max over (count, -label)
+        # = most frequent neighbor label, smallest label on ties
+        before = persistent_rdd_ids(spark)
+        new_labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        step_ids = persistent_rdd_ids(spark) - before
+        if prev_ids:
+            unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = step_ids
+        labels = new_labels
+    if prev_ids:
+        track_rdd_ids(spark, prev_ids)
+    return labels
+
+
 def degree_census(pr: DataFrame) -> DataFrame:
     """(node, d) degree table of a value-ordered distinct edge list."""
     return (
