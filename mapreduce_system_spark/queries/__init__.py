@@ -42,16 +42,19 @@ draft exactly as written, plus the five debuts in its five free slots:
   contract), ``stream_state_audit`` (``read_group_state`` — the
   checkpoint itself as the query result, batch aggregate oracle).
 
-Round-14 window DRAFT (slot arithmetic): streaming 8 (slots 1-8 — its
-r11 rows hit the two-round line at r13 close; VERDICT r12 #7 names it
-the lead) + the rest of the r11 tail: fresh 4 (9-12) + fresh8e 2
-(13-14) + fresh8c 3 (15-17) + fresh8a 2 (18-19) + fresh7d 1 (20) +
-the oldest r10 cohort: temporal 5 (21-25) + advanced 7 (26-32) +
-similarity 9 (33-41) + dedup 8 (42-49) + multimodal2 1 (50). Sums to
-50 exactly, so any r14 debut must displace the tail (dedup/multimodal2
-→ r15 lead) — relational 12 + sinks 5 (r10 rows) open the r15 window
-either way. Keep the arithmetic ledgered here when the r14 rotation
-lands.
+Round-14 window DRAFT (slot arithmetic): fresh10 3 (slots 1-3 —
+``graph_label_propagation``, ``pipe_strip_boilerplate``,
+``dedup_tfidf_cosine_pairs``, registered r13 past the window with
+oracles + staged-operator tests at birth: the only catalog entries
+with zero driver rows take the lead, the graphml2 precedent) +
+streaming 8 (4-11 — its r11 rows hit the two-round line at r13 close;
+VERDICT r12 #7 names it early) + the rest of the r11 tail: fresh 4
+(12-15) + fresh8e 2 (16-17) + fresh8c 3 (18-20) + fresh8a 2 (21-22) +
+fresh7d 1 (23) + the oldest r10 cohort: temporal 5 (24-28) + advanced
+7 (29-35) + similarity 9 (36-44) + multimodal2 1 (45) + sinks 5
+(46-50). Sums to 50 exactly; dedup 8 + relational 12 (r10 rows) open
+the r15 window. Keep the arithmetic ledgered here when the r14
+rotation lands.
 """
 
 from __future__ import annotations
@@ -75,7 +78,8 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     fresh9,        # NEW r13 debuts (window 46-50)
     # --- out of window from here (all driver-green r10/r11/r12,
     # re-verified at HEAD in bench_runs/verify_full_r13.json at close) ---
-    streaming,     # r11 rows — r14 lead (two-round line at r13 close)
+    fresh10,       # NEW r13 registrations — r14 window lead (debut pattern)
+    streaming,     # r11 rows — r14 window (two-round line at r13 close)
     fresh,         # r11 rows — r14 window
     fresh8e,       # r11 rows — r14 window
     fresh8c,       # r11 rows — r14 window
@@ -84,10 +88,10 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     temporal,      # r10 rows — r14 window
     advanced,      # r10 rows — r14 window
     similarity,    # r10 rows — r14 window
-    dedup,         # r10 rows — r14 window
     multimodal2,   # r10 row — r14 window
-    relational,    # r10 rows — r15 lead
-    sinks,         # r10 rows — r15
+    sinks,         # r10 rows — r14 window
+    dedup,         # r10 rows — r15 lead
+    relational,    # r10 rows — r15
     mrcore,        # §2a mr-core, r12 rows (refreshed last round)
     pipeline,      # r12 rows
     textstats2,    # r12 rows

@@ -112,6 +112,12 @@ _QUERY_NAMES = [
     "mm_resize_grid",
     "mm_audio_features",
     "mm_frame_sample_counts",
+    # r13 past-window registrations, gate rows at birth: the sparse
+    # TF-IDF similarity join and boilerplate stripping run the control-
+    # char/unicode/NULL corpus (multi-line texts exercise the positional
+    # line algebra; NULL text behaves as '')
+    "dedup_tfidf_cosine_pairs",
+    "pipe_strip_boilerplate",
 ]
 
 
@@ -756,6 +762,9 @@ _STAR_QUERY_NAMES = [
     # r13 debut at birth: count-relation product vs DuckDB materializing
     # the join, on a warehouse with repeated keys and NULL measures
     "rel_join_cardinality_exact",
+    # r13 past-window registration: synchronous LPA on the co-purchase
+    # graph this warehouse's lineitem induces
+    "graph_label_propagation",
 ]
 
 

@@ -87,10 +87,18 @@ def test_r13_driver_window_composition():
         "agg_distinct_sketch_rollup",
         "stream_state_audit",
     ]
-    # streaming is the r14 lead: the module's 8 queries sit just past
-    # the line (VERDICT r12 #7 — their r11 rows hit the two-round rule)
+    # this round's past-window registrations sit just PAST the line (the
+    # stage-in-N, wire-in-N+1 debut pattern): first driver rows come with
+    # the r14 window lead, not by displacing r13 rotation debt
+    assert names[50:53] == [
+        "graph_label_propagation",
+        "pipe_strip_boilerplate",
+        "dedup_tfidf_cosine_pairs",
+    ]
+    # streaming follows them (VERDICT r12 #7 — its r11 rows hit the
+    # two-round rule at r13 close, so it rides early in the r14 window)
     stream_mod = [
         i for i, n in enumerate(names)
         if QUERIES[n].__module__.endswith(".streaming")
     ]
-    assert stream_mod == list(range(50, 58)), stream_mod
+    assert stream_mod == list(range(53, 61)), stream_mod

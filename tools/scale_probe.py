@@ -33,6 +33,7 @@ Usage::
     python tools/scale_probe.py --stream [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --rules [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --card [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --tfidf [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -632,20 +633,23 @@ def main() -> int:
     card_mode = "--card" in args
     if card_mode:
         args.remove("--card")
+    tfidf_mode = "--tfidf" in args
+    if tfidf_mode:
+        args.remove("--tfidf")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
         20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
-    if stream_mode or rules_mode or card_mode:
+    if stream_mode or rules_mode or card_mode or tfidf_mode:
         if len(args) > 2:
             # these modes take no third positional — silently swallowing
             # one into the unused organic_pct would let e.g.
             # `--card 10 DIR 20` run with the hard-coded sample_pct=10
             # while recording nothing about the ignored 20 (r12 review)
             print(
-                f"# --stream/--rules/--card take [reps] [src_sf_dir] only; "
-                f"unexpected extra arg(s): {args[2:]}",
+                f"# --stream/--rules/--card/--tfidf take [reps] [src_sf_dir] "
+                f"only; unexpected extra arg(s): {args[2:]}",
                 file=sys.stderr,
             )
             return 2
@@ -653,6 +657,8 @@ def main() -> int:
             return stream_main(reps, src, out_name)
         if rules_mode:
             return rules_main(reps, src, out_name)
+        if tfidf_mode:
+            return tfidf_main(reps, src, out_name)
         return card_main(reps, src, out_name)
     if asof_mode:
         # third positional = hot_pct (share of cloned rows on ONE user)
@@ -1423,6 +1429,79 @@ def card_main(reps: int, src: str, out_name: str | None = None) -> int:
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if (record["exact_matches_join"] and record["exact_scales"]) else 1
+
+
+def tfidf_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """TF-IDF cosine pairs at 1x vs reps x on DISJOINT token-prefixed
+    document shards (``build_scaled`` organic_pct=0 — no token crosses
+    shards, so the capped-posting CANDIDATE census and the qualifying
+    pair rows must both scale EXACTLY reps x; wall is the free
+    variable). Candidates are counted by the operator itself at a tiny
+    positive threshold (TF-IDF weights are strictly positive, so every
+    shared-posting pair has cosine > 0 — no private re-derivation of
+    the posting join that could drift from the operator, the
+    orient_by_degree lesson). NOTE: idf shifts with corpus size
+    (N grows reps x while each shard's df is unchanged), so per-pair
+    COSINES differ across scales by design; the exact-scale checks are
+    on COUNTS, which the threshold can in principle perturb — the probe
+    therefore records both the threshold census and the
+    threshold-free candidate census, and only the latter is the hard
+    gate."""
+    import statistics
+
+    from mapreduce_system_spark.operators.dedup import tfidf_cosine_pairs
+
+    dst = "/tmp/spark_graft_scale/tfidf_sf1"
+    spark = get_spark("scale_probe_tfidf")
+    build_scaled(spark, src, dst, reps, 0, tables=("documents",))
+
+    def run(d: str):
+        docs = load_table(spark, d, "documents", columns=["doc_id", "text"])
+        t0 = time.time()
+        n_pairs = tfidf_cosine_pairs(
+            docs, threshold=0.3, max_token_df=_MAX_SHINGLE_DF
+        ).count()
+        wall = time.time() - t0
+        caches.release()
+        cands = tfidf_cosine_pairs(
+            docs, threshold=1e-12, max_token_df=_MAX_SHINGLE_DF
+        ).count()
+        caches.release()
+        return wall, int(n_pairs), int(cands)
+
+    run(src)  # untimed warm-up
+    record: dict = {
+        "mode": "tfidf", "reps": reps, "src": src,
+        "threshold": 0.3, "max_token_df": _MAX_SHINGLE_DF, "scales": {},
+    }
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, n, cands = [], None, None
+        for _ in range(3):
+            w, n, cands = run(d)
+            walls.append(w)
+        record["scales"][label] = {
+            "pairs": n, "candidates": cands,
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["candidates_exact_scale"] = b["candidates"] == reps * a["candidates"]
+    record["pairs_exact_scale"] = b["pairs"] == reps * a["pairs"]
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    print("| scale | pairs@0.3 | candidates | wall s |")
+    print("|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['pairs']} | {sc['candidates']} | {sc['wall_s']} |")
+    cand_ratio = (
+        f"{b['candidates'] / a['candidates']:.2f}" if a["candidates"] else "n/a"
+    )
+    print(f"| ratio | — | {cand_ratio} | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_tfidf_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if record["candidates_exact_scale"] else 1
 
 
 if __name__ == "__main__":
