@@ -540,3 +540,35 @@ def test_join_cardinality_estimate_pushes_sample_filter_to_scan(spark):
     # the first aggregate (conv(substring(md5(...)))); two scans → two
     # filtered sides
     assert plan.count("conv(substring(md5(") >= 2, plan
+
+
+def test_label_propagation_argmax_is_aggregate_not_window(spark, monkeypatch):
+    """LPA's per-node argmax must stay a map-side-combinable aggregate
+    (max over (count, -label)) — a refactor to row_number-over-window
+    would pass every value check while adding a per-node SORT to every
+    round at corpus scale. The operator localCheckpoints each round (the
+    returned plan is just Scan ExistingRDD), so the guard captures the
+    REAL per-round update plan through a localCheckpoint spy — never a
+    private re-derivation of the round (the orient_by_degree lesson)."""
+    # patch the CONCRETE class — pyspark.sql.DataFrame is the abstract
+    # dispatcher in Spark 4 and classic overrides localCheckpoint
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from mapreduce_system_spark.operators.graph import label_propagation
+    from mapreduce_system_spark.queries._graphshared import copurchase_pairs
+
+    round_plans = []
+    orig = _DF.localCheckpoint
+
+    def spy(self, eager=True):
+        round_plans.append(formatted_plan(self))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(_DF, "localCheckpoint", spy)
+    pr = copurchase_pairs(spark, SF_DIR)
+    label_propagation(pr, src="u", dst="v", iterations=2).collect()
+    assert len(round_plans) == 2
+    for plan in round_plans:
+        assert "CartesianProduct" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
