@@ -1455,16 +1455,25 @@ def tfidf_main(reps: int, src: str, out_name: str | None = None) -> int:
     spark = get_spark("scale_probe_tfidf")
     build_scaled(spark, src, dst, reps, 0, tables=("documents",))
 
+    # cap 250, NOT the registered query's 200 or the shingle family's
+    # 100: token DF is per-SHARD under the disjoint construction, and the
+    # fixture's measured token-DF cliff (queries/fresh10.py) means caps
+    # <= 200 leave ZERO shared postings at sf0.1 — a probe that measures
+    # nothing (the r13 first run recorded exactly that); 250 admits the
+    # mid-frequency stratum (675 pairs @0.3 at sf0.1) so candidate growth
+    # is actually exercised
+    cap = 250
+
     def run(d: str):
         docs = load_table(spark, d, "documents", columns=["doc_id", "text"])
         t0 = time.time()
         n_pairs = tfidf_cosine_pairs(
-            docs, threshold=0.3, max_token_df=_MAX_SHINGLE_DF
+            docs, threshold=0.3, max_token_df=cap
         ).count()
         wall = time.time() - t0
         caches.release()
         cands = tfidf_cosine_pairs(
-            docs, threshold=1e-12, max_token_df=_MAX_SHINGLE_DF
+            docs, threshold=1e-12, max_token_df=cap
         ).count()
         caches.release()
         return wall, int(n_pairs), int(cands)
@@ -1472,7 +1481,7 @@ def tfidf_main(reps: int, src: str, out_name: str | None = None) -> int:
     run(src)  # untimed warm-up
     record: dict = {
         "mode": "tfidf", "reps": reps, "src": src,
-        "threshold": 0.3, "max_token_df": _MAX_SHINGLE_DF, "scales": {},
+        "threshold": 0.3, "max_token_df": cap, "scales": {},
     }
     for label, d in [("sf0.1", src), ("sf1", dst)]:
         walls, n, cands = [], None, None
