@@ -34,6 +34,7 @@ Usage::
     python tools/scale_probe.py --rules [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --card [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --tfidf [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --lpa [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -636,20 +637,23 @@ def main() -> int:
     tfidf_mode = "--tfidf" in args
     if tfidf_mode:
         args.remove("--tfidf")
+    lpa_mode = "--lpa" in args
+    if lpa_mode:
+        args.remove("--lpa")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
         20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
-    if stream_mode or rules_mode or card_mode or tfidf_mode:
+    if stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode:
         if len(args) > 2:
             # these modes take no third positional — silently swallowing
             # one into the unused organic_pct would let e.g.
             # `--card 10 DIR 20` run with the hard-coded sample_pct=10
             # while recording nothing about the ignored 20 (r12 review)
             print(
-                f"# --stream/--rules/--card/--tfidf take [reps] [src_sf_dir] "
-                f"only; unexpected extra arg(s): {args[2:]}",
+                f"# --stream/--rules/--card/--tfidf/--lpa take [reps] "
+                f"[src_sf_dir] only; unexpected extra arg(s): {args[2:]}",
                 file=sys.stderr,
             )
             return 2
@@ -659,6 +663,8 @@ def main() -> int:
             return rules_main(reps, src, out_name)
         if tfidf_mode:
             return tfidf_main(reps, src, out_name)
+        if lpa_mode:
+            return lpa_main(reps, src, out_name)
         return card_main(reps, src, out_name)
     if asof_mode:
         # third positional = hot_pct (share of cloned rows on ONE user)
@@ -1511,6 +1517,85 @@ def tfidf_main(reps: int, src: str, out_name: str | None = None) -> int:
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if record["candidates_exact_scale"] else 1
+
+
+def lpa_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Label propagation at 1x vs reps x: replica r offsets BOTH
+    l_orderkey and l_partkey by r*_OFFSET (the rules probe's disjoint
+    construction — shards share no baskets and no parts, so each shard's
+    co-purchase graph is an isomorphic copy with labels offset by
+    exactly r*_OFFSET). Hard gates: the node census scales EXACTLY
+    reps x AND the community-SIZE histogram scales exactly reps x per
+    bucket (shard-local structure is unchanged, so every community
+    reappears reps times at its original size — a cross-shard edge, a
+    tie-break drift, or an iteration-order dependence would all break
+    the histogram before they broke a row count). Wall is the free
+    variable: per round ONE equi-join + TWO partial+final aggregates,
+    so wall should grow far slower than reps."""
+    import statistics
+
+    from mapreduce_system_spark.operators.graph import label_propagation
+    from mapreduce_system_spark.queries._graphshared import copurchase_pairs
+
+    dst = "/tmp/spark_graft_scale/lpa_sf1"
+    spark = get_spark("scale_probe_lpa")
+    li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
+    _write_replicated(
+        spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
+    )
+
+    def run(d: str):
+        pr = copurchase_pairs(spark, d)
+        t0 = time.time()
+        labels = label_propagation(pr, src="u", dst="v", iterations=3)
+        hist = {
+            int(r["sz"]): int(r["n"])
+            for r in labels.groupBy("label")
+            .agg(F.count("*").alias("sz"))
+            .groupBy("sz")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_nodes = sum(sz * n for sz, n in hist.items())
+        wall = time.time() - t0
+        caches.release()
+        return wall, n_nodes, hist
+
+    run(src)  # untimed warm-up
+    record: dict = {"mode": "lpa", "reps": reps, "src": src, "iterations": 3, "scales": {}}
+    hists: dict[str, dict] = {}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, n_nodes, hist = [], None, None
+        for _ in range(3):
+            w, n_nodes, hist = run(d)
+            walls.append(w)
+        hists[label] = hist
+        record["scales"][label] = {
+            "nodes": n_nodes,
+            "communities": sum(hist.values()),
+            "size_histogram": {str(k): v for k, v in sorted(hist.items())},
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: nodes={n_nodes} communities={sum(hist.values())} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["nodes_exact_scale"] = b["nodes"] == reps * a["nodes"]
+    record["histogram_exact_scale"] = hists["sf1"] == {
+        k: reps * v for k, v in hists["sf0.1"].items()
+    }
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    print("| scale | nodes | communities | wall s |")
+    print("|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['nodes']} | {sc['communities']} | {sc['wall_s']} |")
+    print(f"| ratio | {b['nodes']/a['nodes']:.2f} | "
+          f"{b['communities']/a['communities']:.2f} | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_lpa_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if (record["nodes_exact_scale"] and record["histogram_exact_scale"]) else 1
 
 
 if __name__ == "__main__":
