@@ -248,6 +248,7 @@ def label_propagation(
     dst: str = "dst",
     *,
     iterations: int = 3,
+    edges_undirected_distinct: bool = False,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (LPA) over
     the undirected graph: every node starts labeled with its own id,
@@ -262,7 +263,13 @@ def label_propagation(
 
     Input edges are symmetrized and de-duplicated here (an undirected
     neighborhood; self-loops are dropped — a node voting for itself
-    would freeze singleton labels). Node ids must be non-NULL integers
+    would freeze singleton labels). ``edges_undirected_distinct=True``
+    asserts the caller already provides DISTINCT undirected edges with
+    one row per unordered pair and no self-loops (``copurchase_pairs``'s
+    u<v contract) and skips the symmetrize-distinct shuffle — the union
+    with the reversed copy is then distinct by construction, saving one
+    full-edge-list exchange before the cache (the NULL/self-loop filter
+    still applies, it is map-side-free). Node ids must be non-NULL integers
     above LONG_MIN (the argmax rides a single map-side-combinable
     ``max(struct(cnt, -label))`` aggregate — maximal count, then
     minimal label — instead of a per-node window sort; negation is
@@ -289,10 +296,10 @@ def label_propagation(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
     )
-    sym = tracked_cache(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not edges_undirected_distinct:
+        sym = sym.distinct()
+    sym = tracked_cache(sym)
     # symmetrized: every node appears as u, so u alone spans the node set
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

@@ -100,8 +100,12 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     label per connected REGION) dense neighborhoods keep distinct
     majority labels."""
     pr = copurchase_pairs(spark, sf_dir)
+    # copurchase_pairs guarantees DISTINCT u<v pairs, no self-loops —
+    # the flag skips the operator's symmetrize-distinct exchange (one
+    # full-edge-list shuffle saved before the iteration cache)
     out = label_propagation(
-        pr, src="u", dst="v", iterations=_LPA_ITERATIONS
+        pr, src="u", dst="v", iterations=_LPA_ITERATIONS,
+        edges_undirected_distinct=True,
     )
     return out.select(
         F.col("node").alias("part"), F.col("label").alias("community")

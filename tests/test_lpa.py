@@ -127,3 +127,22 @@ l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_lpa_distinct_input_fast_path_is_row_identical(spark):
+    """edges_undirected_distinct=True must be a pure PLAN change: on a
+    distinct u<v edge list (the copurchase contract) it returns exactly
+    the default path's labels while skipping the symmetrize-distinct
+    exchange (one fewer shuffle before the iteration cache)."""
+    pairs = sorted({(min(u, v), max(u, v)) for u, v in _EDGES})
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    slow = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    fast = sorted(
+        map(
+            tuple,
+            label_propagation(
+                df, iterations=3, edges_undirected_distinct=True
+            ).collect(),
+        )
+    )
+    assert fast == slow
