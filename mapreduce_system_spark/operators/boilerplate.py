@@ -21,10 +21,12 @@ Spark-first shape, audited for 100 TB:
   (``mr_per_key_fold``): per-doc line lists are document-sized, never
   corpus-sized.
 
-Determinism for the SQL oracle: classification keys are ``trim(line)``;
-whitespace-only lines are structure, never classified (kept verbatim);
-NULL text is treated as '' (one empty line) symmetrically on both
-engines.
+Determinism for the SQL oracle: classification keys are ``trim(line)``
+— ASCII-SPACE trim on both engines, so space-only lines are structure
+(never classified) while tab/NBSP-only lines are content; NULL text is
+treated as '' (one empty line) symmetrically on both engines; NULL doc
+ids are dropped and NULL sources are real groups carried by null-safe
+joins (``IS NOT DISTINCT FROM`` in the oracle).
 
 Reference contrast: worker.go:104-165's one-shot map→reduce can count
 line frequencies (word count on lines) but cannot join the frequency
@@ -56,18 +58,23 @@ def strip_boilerplate_lines(
     the surviving lines rejoined by ``\\n`` in original order (''
     when everything was stripped), ``n_lines`` the original line count.
 
-    A line's classification key is its TRIMMED text within its source;
-    whitespace-only lines are never boilerplate (kept verbatim — they
-    are document structure). NULL ids/sources pass through as groups;
-    NULL text behaves as ''. Duplicate lines within one doc count once
-    toward the doc-frequency (incidence, not multiplicity) but are each
-    kept/stripped by the shared verdict.
+    A line's classification key is its SPACE-trimmed text within its
+    source (``trim`` strips ASCII spaces only, identically on both
+    engines — a tab- or NBSP-only line is therefore CONTENT with its
+    own key, not structure); lines empty after the space-trim are never
+    boilerplate (kept verbatim). NULL ids are DROPPED (a NULL key
+    cannot anchor reassembly, and two NULL-id docs would merge — the
+    dedup family's NULL-key convention, r13 review); a NULL SOURCE is
+    its own group (null-safe joins carry it through frequency analysis
+    and stripping). NULL text behaves as ''. Duplicate lines within one
+    doc count once toward the doc-frequency (incidence, not
+    multiplicity) but are each kept/stripped by the shared verdict.
     """
     if not 0.0 < min_doc_ratio <= 1.0:
         raise ValueError(f"min_doc_ratio must be in (0, 1], got {min_doc_ratio}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    base = docs.select(
+    base = docs.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
@@ -82,20 +89,32 @@ def strip_boilerplate_lines(
         ).withColumn("key", F.trim("line"))
     )
     n_docs = base.groupBy("source").agg(F.count("*").alias("nd"))
-    bp = (
+    freq = (
         lines.where(F.col("key") != "")
         .select("source", "key", "id")
         .distinct()
         .groupBy("source", "key")
         .agg(F.count("*").alias("c"))
-        .join(n_docs, "source")
+    )
+    # null-safe source joins (r13 review): a NULL source is a real group
+    # — plain equality would silently exempt the whole NULL-source
+    # cohort from stripping (NULL never equi-joins its own frequency row)
+    bp = (
+        freq.join(
+            n_docs, freq["source"].eqNullSafe(n_docs["source"])
+        )
         .where(
             (F.col("c") >= min_docs)
             & (F.col("c").cast("double") >= F.lit(min_doc_ratio) * F.col("nd"))
         )
-        .select("source", "key")
+        .select(freq["source"].alias("bp_source"), F.col("key").alias("bp_key"))
     )
-    kept = lines.join(bp, ["source", "key"], "left_anti")
+    kept = lines.join(
+        bp,
+        lines["source"].eqNullSafe(bp["bp_source"])
+        & (lines["key"] == bp["bp_key"]),
+        "left_anti",
+    )
     # sorted-collect_list reassembly (document-sized lists); left join
     # back to the doc spine so fully-stripped docs survive with ''
     agg = kept.groupBy("id").agg(
@@ -108,10 +127,13 @@ def strip_boilerplate_lines(
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    # n_lines map-side from the UN-exploded text (identical to counting
+    # the exploded rows, incl. the ['']-for-'' case) — the r13 review
+    # removed a corpus-sized groupBy + join here
     return (
-        base.select("id", "source")
-        .join(totals, "id")
+        base.select(
+            "id", "source", F.size(F.split(F.col("t"), "\n")).alias("n_lines")
+        )
         .join(agg, "id", "left")
         .select(
             "id",

@@ -840,6 +840,18 @@ def _gif_parse_first_frame(blob: bytes):
     return None
 
 
+def _gif_palette_luma(pal: bytes) -> list[int]:
+    """Per-slot ITU-R 601-2 integer luma of a GIF color table — THE one
+    spelling shared by ``decode_image_gif`` and
+    ``decode_image_gif_planes`` (and mirrored by their SQL oracles); a
+    tweak must land on every consumer at once (the _graphshared
+    discipline, r13 review)."""
+    return [
+        (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2]) // 1000
+        for i in range(len(pal) // 3)
+    ]
+
+
 def decode_image_gif(blob: bytes):
     """REAL codec #3 for the image adapter seam: stdlib-only GIF decode —
     container walk, global/local color table, and a full GIF-variant LZW
@@ -862,11 +874,7 @@ def decode_image_gif(blob: bytes):
     if parsed is None:
         return None
     w, h, pal, idx = parsed
-    n_colors = len(pal) // 3
-    luma = [
-        (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2]) // 1000
-        for i in range(n_colors)
-    ]
+    luma = _gif_palette_luma(pal)
     try:
         total = 0
         for i in idx[: w * h]:
@@ -907,12 +915,8 @@ def decode_image_gif_planes(
                 if parsed is None:
                     continue
                 w, h, pal, idx = parsed
-                n_colors = len(pal) // 3
-                luma = [
-                    (299 * pal[3 * j] + 587 * pal[3 * j + 1] + 114 * pal[3 * j + 2])
-                    // 1000
-                    for j in range(n_colors)
-                ]
+                luma = _gif_palette_luma(pal)
+                n_colors = len(luma)
                 if any(px >= n_colors for px in idx[: w * h]):
                     continue  # index beyond palette: corrupt stream
                 out["id"].append(i)

@@ -129,22 +129,29 @@ WITH staged AS (
                    ELSE '' END AS text
   FROM documents
 ), d AS (
-  SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM staged
+  -- coalesce mirrors the operator's NULL-text-as-'' contract; without it
+  -- a NULL source NULLs the staged concat, string_split(NULL) unnests to
+  -- zero lines, and the doc would vanish from tot (r13 review)
+  SELECT doc_id, source, string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM staged
 ), l AS (
   SELECT doc_id, source, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
   FROM d
 ), nd AS (
   SELECT source, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY source
 ), bp AS (
+  -- null-safe source equality: a NULL source is a real group (operator
+  -- contract; plain = would exempt the NULL-source cohort)
   SELECT l.source, trim(l.line) AS key
-  FROM l JOIN nd USING (source)
+  FROM l JOIN nd ON l.source IS NOT DISTINCT FROM nd.source
   WHERE trim(l.line) <> ''
   GROUP BY l.source, trim(l.line), nd.nd
   HAVING count(DISTINCT l.doc_id) >= 2
      AND CAST(count(DISTINCT l.doc_id) AS DOUBLE) >= {_RATIO} * nd.nd
 ), kept AS (
   SELECT l.* FROM l
-  LEFT JOIN bp ON bp.source = l.source AND bp.key = trim(l.line)
+  LEFT JOIN bp ON bp.source IS NOT DISTINCT FROM l.source
+             AND bp.key = trim(l.line)
   WHERE bp.key IS NULL
 ), agg AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,

@@ -315,7 +315,12 @@ def _run_session_stream(
         )
         try:
             q.awaitTermination()
-        except Exception:
+        except BaseException:
+            # BaseException, not Exception: before the r13 progress-pin
+            # restructure awaitTermination sat inside the outer
+            # try/finally, so even KeyboardInterrupt/SystemExit stopped
+            # the query and removed the scratch dir — keep that breadth
+            # (r13 review)
             try:
                 q.stop()
             except Exception:

@@ -95,6 +95,7 @@ WITH d AS (
   SELECT doc_id, source,
          string_split(coalesce(text, ''), chr(10)) AS ls
   FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')
+  WHERE doc_id IS NOT NULL
 ), l AS (
   SELECT doc_id, source, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
   FROM d
@@ -102,14 +103,15 @@ WITH d AS (
   SELECT source, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY source
 ), bp AS (
   SELECT l.source, trim(l.line) AS key
-  FROM l JOIN nd USING (source)
+  FROM l JOIN nd ON l.source IS NOT DISTINCT FROM nd.source
   WHERE trim(l.line) <> ''
   GROUP BY l.source, trim(l.line), nd.nd
   HAVING count(DISTINCT l.doc_id) >= 2
      AND CAST(count(DISTINCT l.doc_id) AS DOUBLE) >= 0.5 * nd.nd
 ), kept AS (
   SELECT l.* FROM l
-  LEFT JOIN bp ON bp.source = l.source AND bp.key = trim(l.line)
+  LEFT JOIN bp ON bp.source IS NOT DISTINCT FROM l.source
+             AND bp.key = trim(l.line)
   WHERE bp.key IS NULL
 ), agg AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
@@ -128,3 +130,45 @@ ORDER BY id
 """
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_null_id_rows_dropped_and_null_source_is_a_real_group(spark):
+    """r13 review pins: NULL-id docs are DROPPED (a NULL key cannot
+    anchor reassembly — two would merge); a NULL SOURCE is a real group
+    whose frequent lines STRIP (null-safe joins — plain equality would
+    silently exempt the whole cohort)."""
+    rows = [
+        (None, "A", "ghost doc"),
+        (0, None, "BANNER\nalpha"),
+        (1, None, "BANNER\nbeta"),
+        (2, None, "BANNER\ngamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.id: r
+        for r in strip_boilerplate_lines(df, min_doc_ratio=0.5, min_docs=2).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0].clean_text == "alpha" and got[0].n_removed == 1
+    assert got[1].clean_text == "beta" and got[2].clean_text == "gamma"
+    assert all(r.source is None for r in got.values())
+
+
+def test_tab_only_lines_are_content_not_structure(spark):
+    """The classification key is the SPACE-trim (both engines trim ASCII
+    spaces only): a tab-only separator line repeated across a source's
+    docs is CONTENT with key '\\t' and strips like any template line,
+    while space-only lines never classify."""
+    rows = [
+        (0, "S", "\t\nalpha\n   "),
+        (1, "S", "\t\nbeta\n   "),
+        (2, "S", "\t\ngamma\n   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.id: r
+        for r in strip_boilerplate_lines(df, min_doc_ratio=0.5, min_docs=2).collect()
+    }
+    # the tab line strips (content key); the space-only trailer survives
+    assert got[0].clean_text == "alpha\n   "
+    assert got[0].n_removed == 1 and got[0].n_lines == 3
