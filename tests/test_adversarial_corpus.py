@@ -10,8 +10,11 @@ exactly those edges, comparing full result rows.
 
 Coverage census (r11, extended r12 with the two graphml2 registrations
 at birth, r13 with four of the five fresh9 debuts — the fifth,
-``mm_image_gif_stats``, is SF_BOUND/export-pattern and its codec edges
-live in tests/test_gif.py's fuzz families): every registered query with
+``mm_image_gif_stats``, is SF_BOUND/export-pattern; its codec edges live
+in tests/test_gif.py's fuzz families and its off-fixture cross-engine
+row in test_gif_stats_query_matches_path_substituted_oracle_off_fixture,
+which substitutes the export path into the registered oracle): every
+registered query with
 a corpus-portable oracle is in some list below. The principled exclusions are the
 SF_BOUND export-pattern queries (their oracles read side tables the
 Spark query exports under fixture-sf-keyed paths —

@@ -281,3 +281,30 @@ def test_gif_planes_decoder_roundtrips_indices_and_interlace(spark):
     for slot, ri in enumerate(order):
         recovered[ri] = list(got[1].idx)[slot * 5 : (slot + 1) * 5]
     assert recovered == pixels
+
+
+def test_gif_stats_query_matches_path_substituted_oracle_off_fixture(spark, tmp_path):
+    """The registered export-pattern query on a NON-fixture corpus (the
+    gate's principled SF_BOUND exclusion, closed here): run
+    ``q_image_gif_stats`` against a 20-doc corpus in a scratch dir, then
+    run its own registered oracle with the export path substituted for
+    the scratch-keyed one — full row comparison, the same strength as a
+    driver gate row but off the fixture id range (exercises the id-
+    parameterized palette/size/interlace sweep at different moduli)."""
+    import duckdb
+
+    from mapreduce_system_spark.queries.fresh9 import (
+        _GIF_STATS_SQL,
+        _gif_path,
+        q_image_gif_stats,
+    )
+
+    d = tmp_path / "gifcorpus"
+    spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = sorted(map(tuple, q_image_gif_stats(spark, str(d)).collect()))
+    assert len(got) == 20
+    sql = _GIF_STATS_SQL.replace(_gif_path("sf0.01"), _gif_path(d.name))
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
