@@ -643,3 +643,70 @@ def random_projection(
     # NULL vectors are unprojectable — drop JVM-side (cosine()'s NULL
     # convention; one list(None) would crash the Arrow stage, r11 review)
     return df.where(F.col(vec_col).isNotNull()).mapInPandas(project, schema=schema)
+
+
+def matryoshka_norm_profile(
+    df: DataFrame,
+    prefixes: list[int],
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label mean norm fraction captured by each dimension PREFIX —
+    the Matryoshka (MRL) truncation diagnostic: embeddings trained with
+    nested objectives concentrate energy in the leading dims, so
+    ``frac_k = Σ_{i<=k} x_i² / Σ x_i²`` near 1 at small k means the
+    index can truncate (and re-normalize) to k dims cheaply; a flat
+    profile means truncation loses signal. Staged r13 for an r15 debut
+    (``emb_matryoshka_profile``). Returns one row per
+    (label, prefix_dim): (label, prefix_dim, mean_frac, n_vecs).
+
+    Algebra, spelled for the SQL oracle: per-vector exact fold
+    Σ x_i² over the slice (both engines sum the same ≤d doubles; the
+    quotient is one division; the per-label mean divides once more —
+    the emb_hof_vector_stats discipline, rounded to ``round_to``).
+    Zero-norm vectors are EXCLUDED (0/0 has no fraction — the
+    ``cosine`` zero-norm domain guard's convention); NULL vectors are
+    dropped like everywhere in this module.
+
+    100 TB posture: one map-side pass computes every prefix's fold per
+    vector (the slice sums are cumulative — the full-norm fold is the
+    last prefix's plus the tail), then ONE (label, prefix) partial+final
+    aggregate over |prefixes| rows per vector. No shuffle carries a
+    vector; the output is (labels × prefixes)-sized.
+    """
+    if not prefixes or any(p < 1 for p in prefixes):
+        raise ValueError(f"prefixes must be positive dims, got {prefixes}")
+    sq = F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double"))
+    total = F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(label_col).alias("label"), sq.alias("sq"), total.alias("tot"))
+        .where(F.col("tot") > 0)
+    )
+    rows = base.select(
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("prefix_dim"),
+                        (
+                            F.aggregate(
+                                F.slice("sq", 1, p), F.lit(0.0), lambda a, x: a + x
+                            )
+                            / F.col("tot")
+                        ).alias("frac"),
+                    )
+                    for p in sorted(set(prefixes))
+                ]
+            )
+        ).alias("pf"),
+    )
+    return (
+        rows.groupBy("label", F.col("pf.prefix_dim").alias("prefix_dim"))
+        .agg(
+            F.round(F.avg("pf.frac"), round_to).alias("mean_frac"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
