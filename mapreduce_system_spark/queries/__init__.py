@@ -55,6 +55,16 @@ fresh7d 1 (23) + the oldest r10 cohort: temporal 5 (24-28) + advanced
 (46-50). Sums to 50 exactly; dedup 8 + relational 12 (r10 rows) open
 the r15 window. Keep the arithmetic ledgered here when the r14
 rotation lands.
+
+r15 debut candidates, STAGED r13 with tests + drafted oracles
+(tests/test_fusion.py — the staging pattern): reciprocal-rank fusion
+(``operators/fusion.py::rrf_fuse``; planned ``txt_rrf_fusion`` fusing
+the registered BM25 ranking with a term-coverage ranking over the same
+query set) and the Matryoshka truncation diagnostic
+(``operators/similarity.py::matryoshka_norm_profile``; planned
+``emb_matryoshka_profile`` over the embeddings table, labels x
+{8,16,32,64} prefixes). Wire them past the r14 window for first driver
+rows in r15 — the stage-in-N, wire-in-N+1 cadence, one round ahead.
 """
 
 from __future__ import annotations
