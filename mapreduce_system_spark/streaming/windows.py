@@ -163,6 +163,7 @@ def interval_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     max_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join: right rows within [left_ts, left_ts +
     max_delay] for the same key — the stream-stream join shape (e.g.
@@ -175,7 +176,20 @@ def interval_join(
     again). Without the range predicate a stream-stream join's state
     grows forever — the interval is a semantic choice AND the state bound.
     Columns are prefixed l_/r_ to keep both sides' fields addressable.
+
+    ``how="left_outer"`` (staged r13): the attribution question's other
+    half — clicks that NEVER converted emit once with NULL right
+    columns. Streaming protocol, not a bug: an unmatched left row emits
+    only after the watermark passes its join window (left_ts +
+    max_delay), because until then a matching right row could still
+    arrive — so a stream's trailing rows may stay unemitted until a
+    later batch (or a sentinel) advances the watermark past them
+    (tests/test_streaming.py pins this against the batch LEFT JOIN with
+    a sentinel-advanced watermark). State bound is unchanged: the same
+    time-range predicate evicts both sides.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
     rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
     cond = (
@@ -183,7 +197,7 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return left.alias("l").join(right.alias("r"), cond).select(*lcols, *rcols)
+    return left.alias("l").join(right.alias("r"), cond, how).select(*lcols, *rcols)
 
 
 def static_enrich(

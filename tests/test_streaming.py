@@ -842,3 +842,87 @@ def test_state_audit_session_store_empty_after_full_flush(spark, tmp_path):
     # timer sits beyond the final watermark); every REAL key is evicted
     left = [r.user_id for r in audited.select("user_id").collect()]
     assert all(u == -1 for u in left), left
+
+
+def test_interval_join_left_outer_stream_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join (staged r13): unmatched
+    clicks emit exactly once with NULL right columns AFTER the watermark
+    passes their join window. A crafted two-file stream with a far-future
+    sentinel click pushes the final watermark beyond every real row's
+    window, so the emitted set must equal the batch LEFT JOIN exactly
+    (sentinel excluded — its own window never closes)."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    clicks = [
+        (1, ts(0), 100),     # converts at +10m
+        (1, ts(5), 101),     # converts at +10m (same purchase in range)
+        (2, ts(0), 102),     # never converts -> NULL row
+        (3, ts(2), 103),     # purchase outside 30m window -> NULL row
+        (9, ts(24 * 60), 199),  # sentinel: watermark driver, excluded
+    ]
+    purchases = [
+        (1, ts(10), 900),
+        (3, ts(40), 901),    # 38m after click 103: outside max_delay
+    ]
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    for d, rows, name in ((cdir, clicks, "c"), (pdir, purchases, "p")):
+        d.mkdir()
+        scratch = tmp_path / f"tmp_{name}"
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = next(p for p in scratch.iterdir() if p.name.endswith(".parquet"))
+        dst = d / "chunk-1.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000, 1_700_000_000))
+
+    def read(d):
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, event_id long")
+            .parquet(str(d))
+        )
+
+    joined = SW.interval_join(
+        SW.with_watermark(read(cdir), delay="1 minute"),
+        SW.with_watermark(read(pdir), delay="1 minute"),
+        on="user_id",
+        max_delay="30 minutes",
+        how="left_outer",
+    )
+    q = _run_stream(joined, "t_ij_outer", output_mode="append")
+    try:
+        got = {
+            (r.l_event_id, r.r_event_id)
+            for r in spark.table("t_ij_outer").collect()
+            if r.l_user_id != 9
+        }
+        bc = spark.createDataFrame(
+            [r for r in clicks if r[0] != 9],
+            "user_id long, ts timestamp, event_id long",
+        )
+        bp = spark.createDataFrame(
+            purchases, "user_id long, ts timestamp, event_id long"
+        )
+        want = {
+            (r.l_event_id, r.r_event_id)
+            for r in SW.interval_join(
+                bc, bp, on="user_id", max_delay="30 minutes", how="left_outer"
+            ).collect()
+        }
+        assert got == want
+        assert (102, None) in got and (103, None) in got and (100, 900) in got
+    finally:
+        q.stop()
+
+
+def test_interval_join_rejects_unknown_how():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left_outer"):
+        SW.interval_join(None, None, on="user_id", how="full_outer")
