@@ -56,6 +56,12 @@ fresh7d 1 (23) + the oldest r10 cohort: temporal 5 (24-28) + advanced
 the r15 window. Keep the arithmetic ledgered here when the r14
 rotation lands.
 
+The r14 streaming refresh also has a staged half ready:
+``streaming/windows.py::interval_join(how='left_outer')`` (r13, parity
+pinned with a sentinel-advanced watermark in tests/test_streaming.py)
+— register ``stream_interval_join_outer`` alongside the streaming
+window rotation, batch LEFT JOIN oracle.
+
 r15 debut candidates, STAGED r13 with tests + drafted oracles
 (tests/test_fusion.py — the staging pattern): reciprocal-rank fusion
 (``operators/fusion.py::rrf_fuse``; planned ``txt_rrf_fusion`` fusing
