@@ -677,7 +677,24 @@ def matryoshka_norm_profile(
     """
     if not prefixes or any(p < 1 for p in prefixes):
         raise ValueError(f"prefixes must be positive dims, got {prefixes}")
-    sq = F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double"))
+    # domain guard (ADVICE r13): F.slice silently CLAMPS a prefix larger
+    # than the vector, so an oversized prefix would report mean_frac=1.0
+    # indistinguishable from a genuinely energy-complete prefix — raise
+    # at execution instead (the module's zero-norm/sentinel guard style)
+    max_p = max(prefixes)
+    sq_raw = F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double"))
+    sq = F.when(F.size(vec_col) >= max_p, sq_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"matryoshka_norm_profile: prefix {max_p} exceeds a "
+                    f"vector's dimension ("
+                ),
+                F.size(vec_col).cast("string"),
+                F.lit(") — F.slice would clamp and report frac=1.0"),
+            )
+        )
+    )
     total = F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
     base = (
         df.where(F.col(vec_col).isNotNull())

@@ -128,6 +128,10 @@ WITH staged AS (
            || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Unsubscribe anytime'
                    ELSE '' END AS text
   FROM documents
+  -- mirrors the operator's NULL-id drop (boilerplate.py: NULL ids cannot
+  -- anchor reassembly); without it a NULL doc_id would appear in the
+  -- DuckDB result and inflate per-source nd (ADVICE r13)
+  WHERE doc_id IS NOT NULL
 ), d AS (
   -- coalesce mirrors the operator's NULL-text-as-'' contract; without it
   -- a NULL source NULLs the staged concat, string_split(NULL) unnests to

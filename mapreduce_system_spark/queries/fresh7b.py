@@ -44,25 +44,18 @@ from mapreduce_system_spark.sources.tables import load_table
 # txt_bm25_topk — BM25 retrieval for a static query set
 # ---------------------------------------------------------------------------
 
-# (query, term) pairs; terms drawn from the fixture vocabulary, including
-# one rare term ("dup" — planted by the near-dup fixtures) so the idf
-# spread is exercised, not just uniform-frequency terms.
-_BM25_QUERIES: list[tuple[str, str]] = [
-    ("fast table scan", "fast"),
-    ("fast table scan", "table"),
-    ("fast table scan", "scan"),
-    ("hash join merge", "hash"),
-    ("hash join merge", "join"),
-    ("hash join merge", "merge"),
-    ("dup stream", "dup"),
-    ("dup stream", "stream"),
-]
-
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-_BM25_TOPK = 10
-
-_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+# Constants live in the non-registering _bm25shared module (r14: fresh11's
+# txt_rrf_fusion interpolates the same query set into its fused oracle;
+# a top-level cross-import of THIS module would re-seat its @register
+# calls in the driver window). Local underscore aliases keep this file's
+# SQL/docstrings unchanged.
+from mapreduce_system_spark.queries._bm25shared import (
+    BM25_B as _BM25_B,
+    BM25_K1 as _BM25_K1,
+    BM25_QUERIES as _BM25_QUERIES,
+    BM25_TOPK as _BM25_TOPK,
+    BM25_VALUES as _BM25_VALUES,
+)
 
 _BM25_SQL = rf"""
 WITH toks AS (

@@ -170,6 +170,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = wc.agg(
         F.sum("c").alias("total"), F.count("*").alias("n_vocab")
     )
+    # The partition-less row_number window below logs "WindowExec: No
+    # Partition Defined" — BOUNDED BY CONSTRUCTION, not a defect (VERDICT
+    # r13): the limit() plans as TakeOrderedAndProject, so the windowed
+    # relation holds at most max(k)=10^4 rows regardless of corpus size.
     top = (
         wc.orderBy(F.desc("c"), "word")
         .limit(max(_COVERAGE_KS))

@@ -167,3 +167,15 @@ FROM fr GROUP BY 1, 2 ORDER BY 1, 2
 """
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_matryoshka_raises_on_prefix_beyond_dimension(spark):
+    """ADVICE r13: F.slice silently clamps, so an oversized prefix would
+    report mean_frac=1.0 indistinguishable from a genuinely
+    energy-complete prefix — the operator must raise instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        matryoshka_norm_profile(_vecs(spark), [2, 8]).collect()
+    assert "exceeds a vector's dimension" in str(ei.value)

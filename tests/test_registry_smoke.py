@@ -38,30 +38,22 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle entries without a registered query: {dangling}"
 
 
-def test_r13_driver_window_composition():
+def test_r14_driver_window_composition():
     """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
-    correctness gate covers the FIRST 50 registered queries. Pin the r13
+    correctness gate covers the FIRST 50 registered queries. Pin the r14
     window EXACTLY (module granularity per the rotation plan in the
     package docstring) so an accidental import reorder — or a module
     gaining a query — can't silently rotate evidence-stale or brand-new
     queries out of the gate. Update deliberately with each rotation."""
     expected_modules = [
-        ("graphml2", 2),     # first-ever driver rows (registered r12)
-        ("fresh8i", 4),      # the r09-stale cohort from here
-        ("fresh8k", 2),
-        ("fresh8m", 3),
-        ("temporal2", 2),
-        ("fresh6", 3),       # changed r12 (stats hook) + r13 (progress pin)
-        ("graphml", 2),      # the r11 tail, two rounds old, from here
-        ("relational2", 6),
-        ("textstats", 7),
-        ("fresh7b2", 2),
-        ("fresh7", 1),
-        ("fresh7c", 2),
-        ("fresh7e", 1),
-        ("fresh7f", 3),
-        ("multimodal", 5),   # GIF in the default decode chain since r12
-        ("fresh9", 5),       # the r13 debuts — driver rows at birth
+        ("fresh10", 3),      # first-ever driver rows (registered r13)
+        ("temporal", 5),     # the r10-stale cohort from here (VERDICT r13 #1)
+        ("advanced", 7),
+        ("similarity", 9),
+        ("multimodal2", 1),
+        ("sinks", 5),
+        ("dedup", 8),
+        ("relational", 12),
     ]
     assert sum(c for _, c in expected_modules) == 50
     names = list(QUERIES)
@@ -73,30 +65,22 @@ def test_r13_driver_window_composition():
             got_modules.append([mod, 0])
         got_modules[-1][1] += 1
     assert [tuple(m) for m in got_modules] == expected_modules, got_modules
-    # the zero-driver-row pair leads the window (VERDICT r12 #1)
-    assert window[:2] == [
-        "graph_pagerank_personalized",
-        "basket_association_rules",
-    ]
-    # the five debuts close the window — registered AND driver-gated in
-    # the same round, per the five-free-slots arithmetic in the draft
-    assert window[45:] == [
-        "rel_join_cardinality_exact",
-        "rel_join_cardinality_sampled",
-        "mm_image_gif_stats",
-        "agg_distinct_sketch_rollup",
-        "stream_state_audit",
-    ]
-    # this round's past-window registrations sit just PAST the line (the
-    # stage-in-N, wire-in-N+1 debut pattern): first driver rows come with
-    # the r14 window lead, not by displacing r13 rotation debt
-    assert names[50:53] == [
+    # the zero-driver-row trio leads the window (VERDICT r13 #1)
+    assert window[:3] == [
         "graph_label_propagation",
         "pipe_strip_boilerplate",
         "dedup_tfidf_cosine_pairs",
     ]
-    # streaming follows them (VERDICT r12 #7 — its r11 rows hit the
-    # two-round rule at r13 close, so it rides early in the r14 window)
+    # this round's past-window registrations sit just PAST the line (the
+    # stage-in-N, wire-in-N+1 debut pattern): first driver rows come with
+    # the r15 window lead, not by displacing r14 rotation debt
+    assert names[50:53] == [
+        "stream_interval_join_outer",
+        "txt_rrf_fusion",
+        "emb_matryoshka_profile",
+    ]
+    # the streaming-led r11 cohort follows them (deferred one round by
+    # oldest-first, VERDICT r13 #1; streaming leads the r15 window)
     stream_mod = [
         i for i, n in enumerate(names)
         if QUERIES[n].__module__.endswith(".streaming")

@@ -1478,8 +1478,16 @@ def tfidf_main(reps: int, src: str, out_name: str | None = None) -> int:
         ).count()
         wall = time.time() - t0
         caches.release()
+        # round_to=12 (ADVICE r13): the default rounds cosines to 6
+        # decimals BEFORE the threshold, so a shared-posting pair with
+        # cosine < 5e-7 would round to 0.0 and drop — under-counting the
+        # census the docstring claims (and idf shifts across scales could
+        # move a borderline pair across the rounding cliff). At 1e-12
+        # threshold with 12-decimal rounding every positive-weight pair
+        # survives: TF-IDF weights are >= 1 per posting and norms are
+        # fixture-bounded, so true cosines sit far above 5e-13.
         cands = tfidf_cosine_pairs(
-            docs, threshold=1e-12, max_token_df=cap
+            docs, threshold=1e-12, max_token_df=cap, round_to=12
         ).count()
         caches.release()
         return wall, int(n_pairs), int(cands)
