@@ -121,6 +121,10 @@ _QUERY_NAMES = [
     # line algebra; NULL text behaves as '')
     "dedup_tfidf_cosine_pairs",
     "pipe_strip_boilerplate",
+    # r14 past-window registration, gate row at birth: RRF runs both
+    # component rankings (BM25 + term coverage) over the regex-edge
+    # corpus, so the Java-vs-RE2 tokenizer class reaches the fused ranks
+    "txt_rrf_fusion",
 ]
 
 
@@ -220,6 +224,10 @@ _EVENT_QUERY_NAMES = [
     # state-store audit replaying the same staged corpus
     "agg_distinct_sketch_rollup",
     "stream_state_audit",
+    # r14 past-window registration, gate row at birth: the LEFT OUTER
+    # interval join over NULL users + never-converting clicks (the
+    # unmatched path is the query's whole point)
+    "stream_interval_join_outer",
 ]
 
 
@@ -841,3 +849,64 @@ def test_crossmodal_query_matches_oracle_on_adversarial_corpus(
     assert sorted(got, key=key) == sorted(want, key=key), (
         f"{name}: spark={got[:5]}... oracle={want[:5]}..."
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_profile (r14 registration, gate row at birth): the
+# shared d=8 adversarial corpus is OUTSIDE its domain by design — the
+# registered prefixes reach 64 and the operator's oversized-prefix guard
+# (ADVICE r13) raises rather than letting F.slice clamp — so it gets its
+# own d=64 corpus with the same edge classes (zero-norm excluded-by-
+# contract, NULL vector dropped, NULL label as a real group, tiny/huge
+# magnitudes, negatives, exact duplicates).
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_query_matches_oracle_on_adversarial_d64_corpus(
+    spark, tmp_path
+):
+    d = tmp_path / "adversarial_mrl"
+    rows = []
+    for i in range(30):
+        kind = i % 6
+        if kind == 0:
+            v = [0.0] * 64                     # zero norm: EXCLUDED
+        elif kind == 1:
+            v = None                           # NULL: dropped
+        elif kind == 2:
+            v = [1e-6] * 64                    # tiny magnitude
+        elif kind == 3:
+            v = [(-1.0) ** j * 1e6 for j in range(64)]   # huge, alternating
+        elif kind == 4:
+            v = [1.0] * 8 + [0.0] * 56         # energy-complete at prefix 8
+        else:
+            v = [float(j % 7) - 3.0 for j in range(64)]  # mixed negatives
+        rows.append(Row(
+            vec_id=i,
+            embedding=([float(x) for x in v] if v is not None else None),
+            label=(None if i % 7 == 0 else i % 3),
+        ))
+    # exact duplicate of an in-domain vector under another id/label
+    rows.append(Row(vec_id=30, embedding=[1.0] * 8 + [0.0] * 56, label=2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    got = [
+        tuple(r)
+        for r in QUERIES["emb_matryoshka_profile"](spark, str(d)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(ORACLE_SQL["emb_matryoshka_profile"]).fetchall()
+    ]
+    key = repr
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # the kind==4 class pins the diagnostic itself: prefix 8 already
+    # captures ALL the energy for those vectors (frac 1.0 at every k)
+    assert any(r[2] == 1.0 for r in got)

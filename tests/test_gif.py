@@ -308,3 +308,51 @@ def test_gif_stats_query_matches_path_substituted_oracle_off_fixture(spark, tmp_
     sql = _GIF_STATS_SQL.replace(_gif_path("sf0.01"), _gif_path(d.name))
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_gif_palette_edge_and_interlace_degenerate_sweep():
+    """Palette-edge/interlace adversarial sweep (VERDICT r13 #8), 40
+    deterministic cases: palette sizes at every LZW code-width boundary
+    (2,3,4,5,8,9,...,255,256 — min-code bumps and GCT zero-padding
+    edges, including the 8-bit maximum) crossed with heights that
+    DEGENERATE the four-pass interlace schedule (h<8 leaves whole
+    passes empty; h=1 reduces it to pass 1's single row). Each case checks
+    (a) the public decode seam's mean byte-exactly and (b) the EXACT
+    stored index plane against gif_interlace_order — the storage-order
+    contract mm_image_gif_stats relies on."""
+    from mapreduce_system_spark.operators.multimodal import (
+        _gif_parse_first_frame,
+        gif_interlace_order,
+    )
+
+    n_colors_edges = [2, 3, 4, 5, 8, 9, 16, 17, 32, 33, 64, 65, 128, 129, 255, 256]
+    heights = [1, 2, 3, 4, 5, 7, 8, 9, 16, 17]
+    cases = [
+        (n_colors_edges[i % len(n_colors_edges)],
+         heights[(i * 7) % len(heights)],
+         3 + (i % 5),
+         i % 2 == 0)
+        for i in range(40)
+    ]
+    assert len(cases) == 40
+    for case_no, (n_colors, h, w, interlace) in enumerate(cases):
+        pal = [
+            ((37 * j + case_no) % 256, (11 * j + 3) % 256, (59 * j + 7) % 256)
+            for j in range(n_colors)
+        ]
+        px = [[(x + 2 * y + case_no) % n_colors for x in range(w)] for y in range(h)]
+        blob = encode_image_gif(px, pal, interlace=interlace)
+        got = decode_image_gif(blob)
+        assert got is not None, (case_no, n_colors, h, w, interlace)
+        gw, gh, mean, name = got
+        assert (gw, gh, name) == (w, h, "gif"), (case_no, n_colors, h, w)
+        luma = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in pal]
+        want_mean = sum(luma[i] for row in px for i in row) / (w * h)
+        assert mean == pytest.approx(want_mean, abs=1e-12), (case_no,)
+        # exact stored plane: interlaced rows in four-pass order
+        parsed = _gif_parse_first_frame(blob)
+        assert parsed is not None
+        _, _, _, idx = parsed
+        order = gif_interlace_order(h) if interlace else list(range(h))
+        want_plane = [i for r in order for i in px[r]]
+        assert list(idx[: w * h]) == want_plane, (case_no, n_colors, h, w, interlace)

@@ -146,3 +146,57 @@ def test_lpa_distinct_input_fast_path_is_row_identical(spark):
         )
     )
     assert fast == slow
+
+
+def test_lpa_matches_reference_on_40_random_topologies(spark):
+    """Topology fuzz for the tie-break argmax (VERDICT r13 #8): 40
+    seeded random/adversarial topologies — G(n,p) with duplicate +
+    reversed edges, EVEN CYCLES (which oscillate under synchronous LPA,
+    the tie-break's hardest surface), stars, bridged cliques, complete
+    bipartite blocks (2-coloring flip-flop), plus self-loop noise — as
+    DISJOINT id-offset components of ONE graph. LPA on a disjoint union
+    is LPA per component, so a single Spark run sweeps all 40 against
+    the independent pure-Python reference, exact label-for-label."""
+    import random
+
+    all_edges: list[tuple[int, int]] = []
+    want: dict[int, int] = {}
+    for g in range(40):
+        rng = random.Random(1000 + g)
+        base = (g + 1) * 100_000
+        n = rng.randint(2, 14)
+        nodes = list(range(n))
+        shape = g % 5
+        if shape == 0:  # sparse random
+            edges = [
+                (a, b) for a in nodes for b in nodes
+                if a < b and rng.random() < 0.3
+            ]
+        elif shape == 1:  # even cycle: synchronous LPA oscillates
+            m = n if n % 2 == 0 else n + 1
+            edges = [(i, (i + 1) % m) for i in range(m)]
+        elif shape == 2:  # star: hub vs leaves tie-break every round
+            edges = [(0, i) for i in range(1, n)]
+        elif shape == 3:  # two cliques + bridge (the fixture shape, randomized)
+            k = max(2, n // 2)
+            edges = [(a, b) for a in range(k) for b in range(a + 1, k)]
+            edges += [(a, b) for a in range(k, n) for b in range(a + 1, n)]
+            if n - k >= 2:
+                edges.append((0, k))
+        else:  # complete bipartite: 2-coloring flip-flop
+            k = max(1, n // 2)
+            edges = [(a, b) for a in range(k) for b in range(k, n)]
+        if not edges:
+            edges = [(0, 1)]
+        # adversarial noise the operator must normalize away: reversed
+        # duplicates (symmetrize-distinct) and self-loops (dropped)
+        edges = edges + [(b, a) for (a, b) in edges if rng.random() < 0.5]
+        edges += [(x, x) for x in rng.sample(nodes, min(2, n))]
+        offset = [(base + a, base + b) for a, b in edges]
+        all_edges.extend(offset)
+        want.update(_ref_lpa(offset, 3))
+    e = spark.createDataFrame(all_edges, "src long, dst long")
+    got = {
+        r.node: r.label for r in label_propagation(e, iterations=3).collect()
+    }
+    assert got == want
