@@ -48,6 +48,18 @@ textstats2 2 (41-42) + fresh7b 3 (43-45) + fresh8b 4 (46-49) +
 fresh8d's first (50). Sums to 50 exactly; the r12 remainder (fresh8d's
 tail + fresh8f/g/h/l/j) and the r13-window modules open r16. Keep the
 arithmetic ledgered here when the r15 rotation lands.
+
+r16 debut candidates, STAGED r14 with tests + drafted oracles (the
+staging pattern): the mergeable fixed-range histogram sketch
+(``operators/histsketch.py::histogram_sketch_rollup`` — the exactly-
+mergeable quantile twin of the HLL rollup; planned
+``agg_histogram_sketch_rollup`` over the events value column;
+tests/test_histsketch.py) and the chained two-stateful-operator
+windowed aggregate (``streaming/windows.py::two_stage_windowed_max`` —
+peak 15-minute rate per hour; planned ``stream_two_stage_windowed``;
+tests/test_streaming.py carries the sentinel-flushed streaming parity
+AND the batch oracle draft). Wire them past the r15 window for first
+driver rows in r16 — stage-in-N, wire-in-N+1, one round ahead.
 """
 
 from __future__ import annotations

@@ -231,6 +231,46 @@ def static_enrich(
     )
 
 
+def two_stage_windowed_max(
+    df: DataFrame,
+    ts_col: str = "ts",
+    inner: str = "15 minutes",
+    outer: str = "60 minutes",
+) -> DataFrame:
+    """CHAINED stateful windowed aggregation: inner tumbling counts,
+    then an outer tumbling max/sum OVER the inner counts — two stateful
+    operators in one streaming query ("peak 15-minute event rate per
+    hour", the burst-detection shape every ops dashboard runs). Staged
+    r14 for an r15 registration (``stream_two_stage_windowed`` planned,
+    batch twin + oracle over events).
+
+    Identical expression in batch and streaming. Streaming-side
+    mechanics (Spark 3.4+ multiple-stateful-operators support): the
+    outer aggregate's EVENT TIME is ``window_time(iw)`` — the inner
+    window's end minus one microsecond, so an aligned inner window
+    nests into the hour of its own start — and the watermark PROPAGATES
+    through the first aggregate (an inner window only reaches the outer
+    operator once the watermark closes it, which is exactly when its
+    count is final). Chained aggregations require append output mode:
+    an hour emits once, when the watermark passes it. State is two
+    window-keyed stores, both watermark-evicted — bounded by live
+    windows, not stream length.
+
+    Reference contrast: worker.go:104-165's one-shot map→reduce is ONE
+    grouping pass; an aggregate OF an aggregate needs the reducer's
+    output to re-enter a second shuffle, which the reference can only
+    express as a second full job over materialized output.
+    """
+    iw = df.groupBy(F.window(ts_col, inner).alias("iw")).agg(
+        F.count("*").alias("cnt")
+    )
+    return iw.groupBy(F.window(F.window_time("iw"), outer).alias("w")).agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("total_cnt"),
+        F.count("*").alias("n_inner"),
+    )
+
+
 def dedup_keys(df: DataFrame, keys: list[str], within_watermark: bool = False) -> DataFrame:
     """Streaming/batch exact dedup on a key set — the ingestion-time twin
     of ``operators.dedup.exact_dedup``.

@@ -926,3 +926,110 @@ def test_interval_join_rejects_unknown_how():
 
     with _pytest.raises(ValueError, match="left_outer"):
         SW.interval_join(None, None, on="user_id", how="full_outer")
+
+
+def test_two_stage_windowed_stream_matches_batch(spark, tmp_path):
+    """Chained stateful windowed aggregation (staged r14 for the r15
+    registration ``stream_two_stage_windowed``): inner 15-minute counts
+    feed an outer hourly max/sum — two stateful operators in one query,
+    append mode. A two-chunk stream (mtime-ordered) with a far-future
+    sentinel pushes the watermark past every real hour, so the emitted
+    set must equal the batch twin exactly (sentinel hour excluded —
+    its own window never closes)."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    chunk1 = [
+        (1, ts(0), 1.0), (2, ts(3), 1.0), (1, ts(14), 1.0),   # 09:00 q: 3
+        (1, ts(16), 1.0),                                      # 09:15 q: 1
+        (3, ts(31), 1.0), (3, ts(44), 1.0),                    # 09:30 q: 2
+    ]
+    chunk2 = [
+        (2, ts(47), 1.0),                                      # 09:45 q: 1
+        (1, ts(60), 1.0), (2, ts(61), 1.0),                    # 10:00 q: 2
+        (9, ts(48 * 60), 1.0),                                 # sentinel
+    ]
+    src = tmp_path / "twostage"
+    src.mkdir()
+    for i, rows in enumerate((chunk1, chunk2), start=1):
+        scratch = tmp_path / f"tmp_{i}"
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = next(p for p in scratch.iterdir() if p.name.endswith(".parquet"))
+        dst = src / f"chunk-{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = SW.two_stage_windowed_max(SW.with_watermark(stream, "ts", "0 seconds"))
+    q = _run_stream(agg, "t_two_stage", output_mode="append")
+    try:
+        sentinel_hour = ts(48 * 60).replace(minute=0, second=0)
+        got = {
+            r["w"]["start"]: (r.max_cnt, r.total_cnt, r.n_inner)
+            for r in spark.table("t_two_stage").collect()
+            if r["w"]["start"] < sentinel_hour
+        }
+        batch = spark.createDataFrame(
+            [r for r in chunk1 + chunk2 if r[0] != 9],
+            "user_id long, ts timestamp, value double",
+        )
+        want = {
+            r["w"]["start"]: (r.max_cnt, r.total_cnt, r.n_inner)
+            for r in SW.two_stage_windowed_max(batch).collect()
+        }
+        assert got == want and len(want) == 2
+        # hand-checked: hour 09:00 peaks at the 3-event quarter (4
+        # inner windows, 7 events); hour 10:00 has one 2-event quarter
+        assert got[ts(0)] == (3, 7, 4)
+        assert got[ts(60)] == (2, 2, 1)
+    finally:
+        q.stop()
+
+
+def test_two_stage_windowed_matches_duckdb_oracle_draft(spark, sf_dir):
+    """The oracle algebra the r15 query will interpolate: inner
+    time_bucket counts, outer time_bucket(inner start) max/sum — the
+    batch twin over the real events fixture."""
+    import duckdb
+
+    batch = load_table(spark, sf_dir, "events", columns=["ts"])
+    got = sorted(
+        (
+            r["w"]["start"].strftime("%Y-%m-%d %H:%M:%S"),
+            r.max_cnt,
+            r.total_cnt,
+            r.n_inner,
+        )
+        for r in SW.two_stage_windowed_max(batch).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+WITH inner_w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS iw,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT strftime(time_bucket(INTERVAL '60 minutes', iw), '%Y-%m-%d %H:%M:%S') AS w_start,
+       max(cnt) AS max_cnt,
+       CAST(sum(cnt) AS BIGINT) AS total_cnt,
+       CAST(count(*) AS BIGINT) AS n_inner
+FROM inner_w GROUP BY 1 ORDER BY 1
+""").fetchall()
+    )
+    assert got == want and len(want) > 0
