@@ -180,14 +180,19 @@ allr AS (
   SELECT query, doc_id, rank FROM covr
 ),
 fused AS (
-  SELECT query, doc_id, sum(1.0 / CAST({_RRF_K0} + rank AS DOUBLE)) AS rrf_score
+  SELECT query, doc_id, sum(1.0 / CAST({_RRF_K0} + rank AS DOUBLE)) AS rrf_raw
   FROM allr GROUP BY 1, 2
 )
-SELECT query, doc_id, round(rrf_score, 6) AS rrf_score,
-       row_number() OVER (PARTITION BY query ORDER BY rrf_score DESC, doc_id) AS fused_rank
+SELECT query, doc_id, round(rrf_raw, 6) AS rrf_score,
+       row_number() OVER (PARTITION BY query ORDER BY rrf_raw DESC, doc_id) AS fused_rank
 FROM fused
 ORDER BY query, fused_rank
 """
+# fused_rank orders by the UNROUNDED sum (rrf_raw, distinct name so the
+# window can't resolve to the rounded output alias) exactly as rrf_fuse
+# ranks before the query's display rounding: two near-equal-but-unequal
+# sums that collide at 6 decimals must still rank identically on both
+# engines.
 
 
 @register("txt_rrf_fusion", _RRF_SQL)
