@@ -212,10 +212,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     from mapreduce_system_spark.functions.text import tokens
 
-    post = docs.select("doc_id", F.explode(tokens("text")).alias("word")).distinct()
+    post = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     q = spark.createDataFrame(_BM25_QUERIES, ["query", "word"])
+    # broadcast-filter to query-term postings BEFORE the distinct: the
+    # dedup shuffle is then bounded by query-term postings, not the
+    # corpus vocabulary (the dfq semi-reduction lesson, fresh7b) — same
+    # distinct (query, doc, word) triple set either way
     cov = (
         post.join(F.broadcast(q), "word")
+        .distinct()
         .groupBy("query", "doc_id")
         .agg(F.count("*").alias("cov"))
     )

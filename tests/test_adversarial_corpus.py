@@ -13,7 +13,10 @@ at birth, r13 with four of the five fresh9 debuts — the fifth,
 ``mm_image_gif_stats``, is SF_BOUND/export-pattern; its codec edges live
 in tests/test_gif.py's fuzz families and its off-fixture cross-engine
 row in test_gif_stats_query_matches_path_substituted_oracle_off_fixture,
-which substitutes the export path into the registered oracle): every
+which substitutes the export path into the registered oracle; r14 with
+all three fresh11 registrations — ``emb_matryoshka_profile`` on a
+dedicated d=64 corpus at the bottom of this file, since the shared d=8
+corpus is outside its guarded prefix domain): every
 registered query with
 a corpus-portable oracle is in some list below. The principled exclusions are the
 SF_BOUND export-pattern queries (their oracles read side tables the

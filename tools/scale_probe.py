@@ -36,6 +36,7 @@ Usage::
     python tools/scale_probe.py --tfidf [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --lpa [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --sessions [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --boilerplate [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -644,23 +645,30 @@ def main() -> int:
     sessions_mode = "--sessions" in args
     if sessions_mode:
         args.remove("--sessions")
+    boilerplate_mode = "--boilerplate" in args
+    if boilerplate_mode:
+        args.remove("--boilerplate")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
         20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
-    if stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode or sessions_mode:
+    if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
+            or sessions_mode or boilerplate_mode):
         if len(args) > 2:
             # these modes take no third positional — silently swallowing
             # one into the unused organic_pct would let e.g.
             # `--card 10 DIR 20` run with the hard-coded sample_pct=10
             # while recording nothing about the ignored 20 (r12 review)
             print(
-                f"# --stream/--rules/--card/--tfidf/--lpa/--sessions take "
-                f"[reps] [src_sf_dir] only; unexpected extra arg(s): {args[2:]}",
+                f"# --stream/--rules/--card/--tfidf/--lpa/--sessions/"
+                f"--boilerplate take [reps] [src_sf_dir] only; unexpected "
+                f"extra arg(s): {args[2:]}",
                 file=sys.stderr,
             )
             return 2
+        if boilerplate_mode:
+            return boilerplate_main(reps, src, out_name)
         if sessions_mode:
             return sessions_main(reps, src, out_name)
         if stream_mode:
@@ -1408,6 +1416,92 @@ def sessions_main(reps: int, src: str, out_name: str | None = None) -> int:
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if ok else 1
+
+
+# ---------------------------------------------------------------------------
+# --boilerplate (r14): 10x probe for pipe_strip_boilerplate — the one
+# r13-registered operator without scale evidence (LPA and tfidf got
+# theirs at debut). Construction: replica r offsets doc_id AND suffixes
+# `source` with `_r{r}`, so each replica is a DISJOINT per-source group
+# and the line-frequency analysis is per-replica identical to the
+# fixture's — output rows, total kept lines, and total stripped lines
+# must all scale EXACTLY reps x (asserted); wall is the free variable.
+# The registered query itself is what runs (it stages the banner/footer
+# condition internally from `source`, which the suffix keeps per-replica
+# distinct) — no private re-derivation.
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_main(reps: int, src: str, out_name: str | None = None) -> int:
+    import statistics
+
+    from mapreduce_system_spark.queries.fresh10 import q_pipe_strip_boilerplate
+
+    dst = "/tmp/spark_graft_scale/boilerplate_sf1"
+    spark = get_spark("scale_probe_boilerplate")
+    print(f"# building {reps}x disjoint-source docs at {dst}", file=sys.stderr)
+    docs = load_table(spark, src, "documents")
+    parts = [docs]
+    for r in range(1, reps):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * _OFFSET).alias("doc_id"),
+                "text",
+                "lang",
+                F.concat(F.col("source"), F.lit(f"_r{r}")).alias("source"),
+                "n_chars",
+            )
+        )
+    out_df = parts[0]
+    for p in parts[1:]:
+        out_df = out_df.unionByName(p)
+    out_df.repartition(8).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+    def run(d: str):
+        t0 = time.time()
+        row = (
+            q_pipe_strip_boilerplate(spark, d)
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("n_lines").alias("lines"),
+                F.sum("n_removed").alias("removed"),
+            )
+            .collect()[0]
+        )
+        wall = time.time() - t0
+        caches.release()
+        return wall, int(row["rows"]), int(row["lines"]), int(row["removed"])
+
+    run(src)  # untimed warm-up
+    record: dict = {"mode": "boilerplate", "reps": reps, "src": src, "scales": {}}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, rows, lines, removed = [], None, None, None
+        for _ in range(3):
+            w, rows, lines, removed = run(d)
+            walls.append(w)
+        record["scales"][label] = {
+            "rows": rows, "lines": lines, "removed": removed,
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: {record['scales'][label]}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    for k in ("rows", "lines", "removed"):
+        record[f"{k}_exact_scale"] = b[k] == reps * a[k]
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    print("| scale | rows | lines | removed | wall s |")
+    print("|---|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(
+            f"| {label} | {sc['rows']} | {sc['lines']} | {sc['removed']} | "
+            f"{sc['wall_s']} |"
+        )
+    print(f"| ratio | — | — | — | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_boilerplate_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if all(record[f"{k}_exact_scale"] for k in ("rows", "lines", "removed")) else 1
 
 
 # ---------------------------------------------------------------------------
