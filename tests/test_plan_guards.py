@@ -572,3 +572,67 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark, monkeypatch):
         assert "CartesianProduct" not in plan, plan
         assert "Window" not in plan, plan
         assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_rrf_fusion_coverage_filter_precedes_distinct(spark):
+    """txt_rrf_fusion (r14): the coverage system's dedup must operate on
+    the query-term-filtered postings, never on the corpus-vocabulary
+    posting set — the plan's HashAggregate dedup keys must sit ABOVE the
+    broadcast join with the 8-row query list (a distinct below the join
+    would shuffle every (doc, word) posting). Cheap proxy: the plan is
+    broadcast-driven — no CartesianProduct, no SortMergeJoin (every join
+    side is either list-sized or query-filtered); the BM25 subtree's
+    one-row corpus-stats broadcast cross join (BroadcastNestedLoopJoin,
+    the pattern test_bm25_is_broadcast_driven documents) is the only
+    nested-loop allowed."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    df = QUERIES["txt_rrf_fusion"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_interval_join_outer_is_equi_join(spark):
+    """stream_interval_join_outer (r14): the LEFT OUTER interval join
+    must stay a single equi-join on the key with the time bounds as
+    residual conditions — never a range-only nested-loop."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    _assert_equi_join_only(QUERIES["stream_interval_join_outer"](spark, SF_DIR))
+
+
+def test_matryoshka_profile_is_single_scan_no_join(spark):
+    """emb_matryoshka_profile (r14): one embeddings scan, one aggregate —
+    the prefix folds are map-side expressions; any join or second scan
+    means the cumulative-slice algebra regressed to per-prefix scans."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    df = QUERIES["emb_matryoshka_profile"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, plan
+    # one Location line per scan detail block (the tree node + its
+    # detail section both say "Scan parquet", so count anchors instead)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_histsketch_total_merge_reads_sketch_not_raw(spark):
+    """histogram_sketch_rollup (staged r14): the plan may scan the raw
+    relation only through the cached (grp, v) count — the TOTAL branch
+    merges bin counts, so at most ONE scan of the source appears (the
+    InMemoryRelation fans out to every branch)."""
+    from mapreduce_system_spark.operators.histsketch import histogram_sketch_rollup
+    from mapreduce_system_spark import caches
+
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "grp string, v double"
+    )
+    try:
+        df = histogram_sketch_rollup(docs, "grp", "v", 0.0, 10.0, bins=4)
+        plan = formatted_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        _assert_equi_join_only(df)
+    finally:
+        caches.release()
