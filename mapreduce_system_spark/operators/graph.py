@@ -331,6 +331,84 @@ def label_propagation(
     return labels
 
 
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 3,
+    edges_undirected_distinct: bool = False,
+) -> DataFrame:
+    """SYNCHRONOUS k-core peeling over the undirected graph: each round
+    removes EVERY node whose current degree is < k at once (and the
+    edges touching it), for exactly ``rounds`` rounds. Returns
+    (node, degree) for the survivors with their end-of-peel degrees.
+    Staged r14 for an r15/r16 debut (``graph_k_core`` planned over the
+    part co-purchase graph) — the density filter link-graph curation
+    runs before any neighborhood feature is trusted (spam farms and
+    orphan tails peel away; the k-core is what survives).
+
+    Bounded synchronous rounds — not loop-to-fixpoint — for the same
+    reason LPA and PageRank fix their iteration count: the recurrence
+    is then a pure function of the edge set that an unrolled SQL CTE
+    mirrors round for round (once no node is removed the rounds are
+    no-ops, so ``rounds`` large enough IS the true k-core; callers can
+    census convergence by comparing successive degree sums). Input
+    normalization is label_propagation's exactly: symmetrize +
+    distinct, self-loops and NULL endpoints dropped,
+    ``edges_undirected_distinct=True`` skips the symmetrize-distinct
+    exchange under the copurchase_pairs u<v contract.
+
+    Scale shape (the pagerank/LPA audit): per round ONE partial+final
+    degree aggregate + ONE broadcast-or-shuffle semi-join of the edge
+    list against the surviving node set, ``localCheckpoint`` per round
+    with previous blocks released — lineage and storage O(1) in
+    ``rounds``.
+
+    Reference contrast: worker.go:104-165 can compute one degree census
+    (word count over edge endpoints) but cannot re-enter it: removing a
+    node changes its neighbors' degrees, and the cascade is exactly the
+    iteration a one-shot map→reduce cannot express.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not edges_undirected_distinct:
+        sym = sym.distinct()
+    # the recurrence lives entirely on the EDGE relation: a node is
+    # "present" iff it has an incident edge, so a kept node whose last
+    # neighbor peeled exits with the edge list (one round earlier than a
+    # node-set formulation would record — the semantics the oracle and
+    # the pure-Python reference both mirror)
+    before0 = persistent_rdd_ids(spark)
+    cur = sym.localCheckpoint(eager=True)
+    prev_ids: set[int] = persistent_rdd_ids(spark) - before0
+    for _ in range(rounds):
+        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        before = persistent_rdd_ids(spark)
+        nxt = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        step_ids = persistent_rdd_ids(spark) - before
+        if prev_ids:
+            unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = step_ids
+        cur = nxt
+    if prev_ids:
+        track_rdd_ids(spark, prev_ids)
+    return cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+
+
 def degree_census(pr: DataFrame) -> DataFrame:
     """(node, d) degree table of a value-ordered distinct edge list."""
     return (

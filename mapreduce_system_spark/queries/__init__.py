@@ -58,8 +58,13 @@ tests/test_histsketch.py) and the chained two-stateful-operator
 windowed aggregate (``streaming/windows.py::two_stage_windowed_max`` —
 peak 15-minute rate per hour; planned ``stream_two_stage_windowed``;
 tests/test_streaming.py carries the sentinel-flushed streaming parity
-AND the batch oracle draft). Wire them past the r15 window for first
-driver rows in r16 — stage-in-N, wire-in-N+1, one round ahead.
+AND the batch oracle draft), plus synchronous k-core peeling
+(``operators/graph.py::k_core_peel`` — the link-graph density filter;
+planned ``graph_k_core`` over the part co-purchase graph;
+tests/test_kcore.py carries the pure-Python reference, the unrolled
+per-round CTE draft, and a 30-topology fuzz sweep). Wire them past the
+r15 window for first driver rows in r16 — stage-in-N, wire-in-N+1, one
+round ahead.
 """
 
 from __future__ import annotations
