@@ -360,11 +360,19 @@ def k_core_peel(
     ``edges_undirected_distinct=True`` skips the symmetrize-distinct
     exchange under the copurchase_pairs u<v contract.
 
-    Scale shape (the pagerank/LPA audit): per round ONE partial+final
-    degree aggregate + ONE broadcast-or-shuffle semi-join of the edge
-    list against the surviving node set, ``localCheckpoint`` per round
-    with previous blocks released — lineage and storage O(1) in
-    ``rounds``.
+    Scale shape — NOT the LPA loop verbatim, measured
+    (``bench_runs/scale_probe_r14_kcore.json``): a first cut that
+    ``localCheckpoint``ed the EDGE relation per round ran wall x10.3 at
+    x10 edges (linear — three E-sized materializations dominate), where
+    LPA runs x2.05 because it only ever checkpoints the NODE-sized
+    label vector. This loop therefore checkpoints the node-sized KEEP
+    set per round and keeps the edge relation LAZY: round r's degree
+    aggregate re-filters the ONE cached symmetrized edge list through r
+    broadcast-probe semi-joins (keep sets are node-sized, under the
+    broadcast threshold for any graph whose node set fits a broadcast —
+    the rank-vector assumption pagerank already makes). Bounded
+    ``rounds`` bounds both the lineage depth and the O(rounds x E)
+    re-filter work; nothing E-sized is ever materialized.
 
     Reference contrast: worker.go:104-165 can compute one degree census
     (word count over edge endpoints) but cannot re-enter it: removing a
@@ -387,26 +395,28 @@ def k_core_peel(
     # neighbor peeled exits with the edge list (one round earlier than a
     # node-set formulation would record — the semantics the oracle and
     # the pure-Python reference both mirror)
-    before0 = persistent_rdd_ids(spark)
-    cur = sym.localCheckpoint(eager=True)
-    prev_ids: set[int] = persistent_rdd_ids(spark) - before0
+    sym = tracked_cache(sym)
+    cur = sym
+    keep_ids: set[int] = set()
     for _ in range(rounds):
         deg = cur.groupBy("u").agg(F.count("*").alias("d"))
-        keep = deg.where(F.col("d") >= k).select("u")
         before = persistent_rdd_ids(spark)
-        nxt = (
-            cur.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+        # node-sized checkpoint (the pagerank rank-vector discipline);
+        # each kept set stays pinned for the loop's remainder because
+        # EVERY later round's lazy re-filter reads it
+        keep = (
+            deg.where(F.col("d") >= k)
+            .select("u")
             .localCheckpoint(eager=True)
         )
-        step_ids = persistent_rdd_ids(spark) - before
-        if prev_ids:
-            unpersist_rdd_ids(spark, prev_ids)
-        prev_ids = step_ids
-        cur = nxt
-    if prev_ids:
-        track_rdd_ids(spark, prev_ids)
-    return cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+        keep_ids |= persistent_rdd_ids(spark) - before
+        cur = cur.join(F.broadcast(keep), "u", "left_semi").join(
+            F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+        )
+    out = cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+    if keep_ids:
+        track_rdd_ids(spark, keep_ids)
+    return out
 
 
 def degree_census(pr: DataFrame) -> DataFrame:

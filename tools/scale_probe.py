@@ -37,6 +37,7 @@ Usage::
     python tools/scale_probe.py --lpa [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --sessions [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --boilerplate [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --kcore [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -648,13 +649,16 @@ def main() -> int:
     boilerplate_mode = "--boilerplate" in args
     if boilerplate_mode:
         args.remove("--boilerplate")
+    kcore_mode = "--kcore" in args
+    if kcore_mode:
+        args.remove("--kcore")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
         20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
     if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
-            or sessions_mode or boilerplate_mode):
+            or sessions_mode or boilerplate_mode or kcore_mode):
         if len(args) > 2:
             # these modes take no third positional — silently swallowing
             # one into the unused organic_pct would let e.g.
@@ -667,6 +671,8 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 2
+        if kcore_mode:
+            return kcore_main(reps, src, out_name)
         if boilerplate_mode:
             return boilerplate_main(reps, src, out_name)
         if sessions_mode:
@@ -1826,6 +1832,84 @@ def lpa_main(reps: int, src: str, out_name: str | None = None) -> int:
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if (record["nodes_exact_scale"] and record["histogram_exact_scale"]) else 1
+
+
+def kcore_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """k-core peeling at 1x vs reps x (the LPA probe's disjoint
+    construction verbatim: replica r offsets l_orderkey AND l_partkey,
+    so each shard's co-purchase graph is an isomorphic copy). Hard
+    gates: the survivor census scales EXACTLY reps x AND the survivor
+    DEGREE histogram scales exactly reps x per bucket (a cross-shard
+    edge or a round-order dependence would break the histogram before
+    a row count). Wall is the free variable: per round ONE degree
+    aggregate + two semi-joins. Staged-operator probe (the r12 --card
+    precedent): measured scale evidence on record before the
+    graph_k_core debut registers."""
+    import statistics
+
+    from mapreduce_system_spark.operators.graph import k_core_peel
+    from mapreduce_system_spark.queries._graphshared import copurchase_pairs
+
+    k, rounds = 3, 3
+    dst = "/tmp/spark_graft_scale/kcore_sf1"
+    spark = get_spark("scale_probe_kcore")
+    li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
+    _write_replicated(
+        spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
+    )
+
+    def run(d: str):
+        pr = copurchase_pairs(spark, d)
+        t0 = time.time()
+        surv = k_core_peel(
+            pr, k, src="u", dst="v", rounds=rounds,
+            edges_undirected_distinct=True,
+        )
+        hist = {
+            int(r["degree"]): int(r["n"])
+            for r in surv.groupBy("degree").agg(F.count("*").alias("n")).collect()
+        }
+        wall = time.time() - t0
+        caches.release()
+        return wall, sum(hist.values()), hist
+
+    run(src)  # untimed warm-up
+    record: dict = {
+        "mode": "kcore", "reps": reps, "src": src, "k": k,
+        "rounds": rounds, "scales": {},
+    }
+    hists: dict[str, dict] = {}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, n_surv, hist = [], None, None
+        for _ in range(3):
+            w, n_surv, hist = run(d)
+            walls.append(w)
+        hists[label] = hist
+        record["scales"][label] = {
+            "survivors": n_surv,
+            "degree_histogram": {str(kk): v for kk, v in sorted(hist.items())},
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: survivors={n_surv} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["survivors_exact_scale"] = b["survivors"] == reps * a["survivors"]
+    record["histogram_exact_scale"] = hists["sf1"] == {
+        kk: reps * v for kk, v in hists["sf0.1"].items()
+    }
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    print("| scale | survivors | wall s |")
+    print("|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['survivors']} | {sc['wall_s']} |")
+    ratio = b["survivors"] / a["survivors"] if a["survivors"] else float("nan")
+    print(f"| ratio | {ratio:.2f} | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_kcore_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if (record["survivors_exact_scale"] and record["histogram_exact_scale"]) else 1
 
 
 if __name__ == "__main__":
