@@ -104,12 +104,19 @@ def main() -> int:
     _warm_python_pool()
 
     # SPARK_GRAFT_BENCH_RUNS > 1 repeats the sweep and reports the
-    # per-query MEDIAN (BASELINE.md §(e)/(g): single runs sit inside a
+    # per-query MEDIAN (BASELINE_HISTORY.md §(e)/(g): single runs sit inside a
     # ±30% co-tenant noise band on this box, which otherwise dominates
     # round-over-round deltas). The driver's per-round invocation keeps
     # the default of 1 so its wall-clock budget is unchanged; round
     # records committed to bench_runs/ are median-of-3 runs.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    # Ambient marker (VERDICT r14 #4): the r14 sweep band was wide enough
+    # (222.7-372.4 s over identical code) to hide a real ~1.5x single-query
+    # regression, and the one contaminated sweep (r14a, concurrent pytest)
+    # was only diagnosable after the fact. Sample the box 1/5/15-min load
+    # averages at sweep start and end so every committed record carries
+    # its own contamination evidence; bench_compare annotates from these.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     run_timings: list[dict[str, float]] = []
     for run_i in range(n_runs):
         if run_i:  # re-warm the Python pool outside the clocks (see above)
@@ -151,6 +158,12 @@ def main() -> int:
         "failures": failures,
         "sf": sf,
         "median_of": n_runs,
+        # 1/5/15-min load averages; a 1-min start value far above the
+        # sweep's own parallelism (32) means a co-tenant was running and
+        # the record is a band point, not a floor reading
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "ncpu": os.cpu_count(),
     }
     if n_runs > 1:
         result["runs"] = run_timings

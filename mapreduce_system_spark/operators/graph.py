@@ -368,9 +368,12 @@ def k_core_peel(
     label vector. This loop therefore checkpoints the node-sized KEEP
     set per round and keeps the edge relation LAZY: round r's degree
     aggregate re-filters the ONE cached symmetrized edge list through r
-    broadcast-probe semi-joins (keep sets are node-sized, under the
-    broadcast threshold for any graph whose node set fits a broadcast —
-    the rank-vector assumption pagerank already makes). Bounded
+    semi-joins against eagerly-checkpointed keep sets. The broadcast
+    decision is AQE's, not a forced hint: a checkpointed keep set has a
+    MEASURED size, so AQE plans a broadcast semi-join exactly when it
+    fits and degrades to a shuffle semi-join when a billion-node keep
+    set would OOM the driver (the BASELINE_HISTORY §(n) pagerank finding; hint dropped
+    per VERDICT r14 #2 before the ``graph_k_core`` debut). Bounded
     ``rounds`` bounds both the lineage depth and the O(rounds x E)
     re-filter work; nothing E-sized is ever materialized.
 
@@ -410,8 +413,13 @@ def k_core_peel(
             .localCheckpoint(eager=True)
         )
         keep_ids |= persistent_rdd_ids(spark) - before
-        cur = cur.join(F.broadcast(keep), "u", "left_semi").join(
-            F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+        # no F.broadcast hint: keep is an eager localCheckpoint, so AQE
+        # sees its MEASURED size and broadcasts exactly when it fits
+        # (the BASELINE_HISTORY §(n) pagerank finding) — a forced hint would turn a
+        # billion-node keep set into a driver OOM instead of degrading
+        # to a shuffle semi-join (VERDICT r14 #2 / ADVICE r14 #1)
+        cur = cur.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
         )
     out = cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
     if keep_ids:

@@ -120,3 +120,35 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
+
+
+def copurchase_pairs_supported(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Distinct undirected (u < v) part co-purchase pairs KEPT only when
+    the pair co-occurs in ``min_support`` or more distinct orders — the
+    support-thresholded sibling of ``copurchase_pairs``, defined here so
+    the ``graph_k_core`` query and any probe census analyze the SAME
+    graph (the drift class this module exists to prevent).
+
+    Why a thresholded graph for k-core: the raw co-purchase graph is
+    DENSE at fixture scale (minimum degree ~42 at sf0.01 — every node
+    survives any small-k peel, so the core census would be the trivial
+    identity). Support filtering is also the real-pipeline shape: an
+    association graph keeps edges with evidence, and the k-core then
+    prunes the weakly-connected residue. Same pair-generation cost as
+    ``copurchase_pairs``; the HAVING rides the pair aggregate (one
+    shuffle, same keys) instead of a distinct."""
+    li = (
+        load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )

@@ -1,0 +1,240 @@
+"""Round-15 registrations for the r16 window lead (the stage-in-N,
+wire-in-N+1 pattern — the fresh10/fresh11 debut discipline): three
+surfaces whose OPERATOR halves were staged in r14 with pytest-pinned
+parity and drafted oracles (tests/test_kcore.py's pure-Python reference
++ unrolled CTE + 30-topology fuzz, tests/test_histsketch.py's exact
+within-bin invariant, tests/test_streaming.py's sentinel-flushed
+two-stage streaming parity). Registering them now, PAST the r15 window
+(which the 3 fresh11 debuts + the r11 cohort + the oldest 27 of the r12
+cohort consume exactly, VERDICT r14 #1), hands them the r16 window's
+lead slots for their first driver rows (VERDICT r14 #2/#3).
+
+- ``graph_k_core`` — synchronous k-core peeling of the SUPPORT-
+  thresholded part co-purchase graph (edges need >= 2 co-occurring
+  orders; the raw graph's minimum degree ~42 makes any small-k peel the
+  identity). Each round removes every node of current degree < k at
+  once; registered AFTER the forced keep-set broadcast was dropped
+  (VERDICT r14 #2 — AQE now decides from the checkpointed keep set's
+  measured size). Oracle: the unrolled per-round CTE from
+  tests/test_kcore.py, verbatim.
+- ``agg_histogram_sketch_rollup`` — the exactly-mergeable quantile twin
+  of the HLL rollup: fixed-range equi-width bin counts per event_type,
+  TOTAL row merged from the per-group sketches alone, median read off
+  the merged bins with the ``within_bin`` invariant asserted as data.
+- ``stream_two_stage_windowed`` — chained stateful windowed
+  aggregation (peak 15-minute event rate per hour): inner tumbling
+  counts, outer tumbling max/sum OVER the counts. Batch twin of
+  ``streaming/windows.py::two_stage_windowed_max`` (multiple-of
+  validation added this round per ADVICE r14 #2); the streaming form —
+  two watermark-evicted state stores, append mode — is asserted equal
+  in tests/test_streaming.py.
+
+Reference contrast: worker.go:104-165's one-shot map→reduce can run one
+degree census, one bin count, or one windowed count — but k-core
+re-enters its census every round (removing a node changes its
+neighbors' degrees), the sketch rollup aggregates the AGGREGATE (merge
+of persisted partials, never a rescan), and the two-stage window feeds
+a reducer's output into a second shuffle — all shapes a single
+map→reduce pass cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.operators.graph import k_core_peel
+from mapreduce_system_spark.operators.histsketch import histogram_sketch_rollup
+from mapreduce_system_spark.queries._graphshared import copurchase_pairs_supported
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+from mapreduce_system_spark.streaming import windows as SW
+
+# ---------------------------------------------------------------------------
+# graph_k_core — link-graph density filter (synchronous peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+_KCORE_SUPPORT = 2
+
+
+def _kcore_round_cte(prev: str, cur: str, k: int) -> str:
+    """One unrolled synchronous peel round (tests/test_kcore.py's draft,
+    verbatim): keep the edges whose BOTH endpoints currently have degree
+    >= k — a node is present iff it has an incident edge, so a kept node
+    whose last neighbor peels exits with the edge list."""
+    return f"""{cur} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}) ku ON e.u = ku.u
+  JOIN (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}) kv ON e.v = kv.u
+)"""
+
+
+_KCORE_SQL = (
+    f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {_KCORE_SUPPORT}
+),
+e0 AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+"""
+    + ",\n".join(
+        _kcore_round_cte(f"e{i}", f"e{i + 1}", _KCORE_K)
+        for i in range(_KCORE_ROUNDS)
+    )
+    + f"""
+SELECT u AS part, CAST(count(*) AS BIGINT) AS degree
+FROM e{_KCORE_ROUNDS} GROUP BY u ORDER BY part
+"""
+)
+
+
+@register("graph_k_core", _KCORE_SQL)
+def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous 3-core of the support-2 part co-purchase
+    graph: each round removes EVERY part whose current degree is < 3 at
+    once, with the edges touching it; survivors report their end-of-peel
+    degrees. The density filter a link-graph curation pipeline runs
+    before trusting any neighborhood feature (spam farms and orphan
+    tails peel away; the core is what survives) — at sf0.01 roughly a
+    third of the thresholded graph's nodes peel in the cascade.
+
+    Scale shape (operators/graph.py::k_core_peel, probe
+    ``scale_probe --kcore``): per round ONE degree aggregate + two
+    semi-joins against a node-sized eagerly-checkpointed keep set; the
+    edge relation stays lazy (the first cut that materialized it ran
+    wall x10.3 at x10 edges and was restructured before this debut).
+    The broadcast decision is AQE's from the keep set's measured size —
+    no forced hint (VERDICT r14 #2)."""
+    pr = copurchase_pairs_supported(spark, sf_dir, _KCORE_SUPPORT)
+    # u<v distinct pairs by construction — skip the operator's
+    # symmetrize-distinct exchange (the LPA flag discipline)
+    out = k_core_peel(
+        pr, _KCORE_K, src="u", dst="v", rounds=_KCORE_ROUNDS,
+        edges_undirected_distinct=True,
+    )
+    return out.select(
+        F.col("node").alias("part"), "degree"
+    ).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_sketch_rollup — mergeable quantile sketch table
+# ---------------------------------------------------------------------------
+
+_H_LO, _H_HI, _H_BINS, _H_Q = 0.0, 1000.0, 100, 0.5
+_H_W = (_H_HI - _H_LO) / _H_BINS  # one division, identical on both engines
+
+# tests/test_histsketch.py's drafted oracle algebra, interpolated over
+# the events value column: (grp, v) counts -> clamped bins -> per-group
+# UNION TOTAL sketches -> cumulative-window estimate + type-1 exact.
+_HIST_SQL = f"""
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), vc AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), allvc AS (
+  SELECT grp, v, c FROM vc
+  UNION ALL
+  SELECT 'TOTAL' AS grp, v, CAST(sum(c) AS BIGINT) AS c FROM vc GROUP BY 2
+), counts AS (
+  SELECT grp,
+         least({_H_BINS - 1}, greatest(0,
+           CAST(floor((v - {_H_LO}) / {_H_W}) AS INT))) AS b,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM allvc GROUP BY 1, 2
+), cum AS (
+  SELECT grp, b, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY b) - cnt AS cum_before,
+         sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM counts
+), est AS (
+  SELECT grp, CAST(n AS BIGINT) AS n,
+         {_H_LO} + {_H_W} * (CAST(b AS DOUBLE)
+           + (CAST(n AS DOUBLE) * {_H_Q} - CAST(cum_before AS DOUBLE))
+             / CAST(cnt AS DOUBLE)) AS est_raw,
+         row_number() OVER (PARTITION BY grp ORDER BY b) AS rn
+  FROM cum
+  WHERE CAST(cum_before + cnt AS DOUBLE) >= CAST(n AS DOUBLE) * {_H_Q}
+), vcum AS (
+  SELECT grp, v,
+         sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS nn
+  FROM allvc
+), exact AS (
+  SELECT grp, v AS exact_raw,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+  FROM vcum
+  WHERE cum >= greatest(1, CAST(ceil(CAST(nn AS DOUBLE) * {_H_Q}) AS BIGINT))
+)
+SELECT e.grp, e.n, round(e.est_raw, 6) AS est_q,
+       round(x.exact_raw, 6) AS exact_q,
+       abs(e.est_raw - x.exact_raw) <= {_H_W} AS within_bin
+FROM est e JOIN exact x ON e.grp IS NOT DISTINCT FROM x.grp
+WHERE e.rn = 1 AND x.rn = 1
+ORDER BY e.grp
+"""
+
+
+@register("agg_histogram_sketch_rollup", _HIST_SQL)
+def q_histogram_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type median of the events value column read from a
+    mergeable fixed-range histogram sketch (100 bins over [0, 1000] —
+    bin width 10 covers the fixture's value range at every sf), plus a
+    TOTAL row whose estimate comes ONLY from summing the per-type bin
+    counts — the sketch-table pattern of ``agg_hll_rollup``, but
+    EXACTLY mergeable (integer bin counts, element-wise addition), so
+    the oracle asserts full values with no error bands. ``within_bin``
+    (|est - exact| <= bin width) is the operator's accuracy invariant,
+    shipped as data; ``exact_q`` is the type-1 inverse-ECDF anchor from
+    the same (grp, value) count relation — no second raw scan."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    return histogram_sketch_rollup(
+        ev, "event_type", "value", _H_LO, _H_HI, bins=_H_BINS, quantile=_H_Q
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_two_stage_windowed — chained stateful windowed aggregation
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_TWO_STAGE_SQL = f"""
+WITH inner_w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS iw,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT strftime(time_bucket(INTERVAL '60 minutes', iw), '{_TS_FMT_DUCK}') AS w_start,
+       max(cnt) AS max_cnt,
+       CAST(sum(cnt) AS BIGINT) AS total_cnt,
+       CAST(count(*) AS BIGINT) AS n_inner
+FROM inner_w GROUP BY 1 ORDER BY w_start
+"""
+
+
+@register("stream_two_stage_windowed", _TWO_STAGE_SQL)
+def q_two_stage_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak 15-minute event rate per hour — batch twin of the chained
+    two-stateful-operator streaming query
+    (streaming/windows.py::two_stage_windowed_max): inner tumbling
+    counts, outer tumbling max/sum/count OVER the inner counts. The
+    streaming form (watermark propagating through the first aggregate,
+    append mode, two watermark-evicted state stores) is asserted equal
+    in tests/test_streaming.py; outer must be a whole multiple of inner
+    (enforced, ADVICE r14 #2) so the window_time nesting matches the
+    start-bucketed oracle."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    out = SW.two_stage_windowed_max(ev, ts_col="ts", inner="15 minutes", outer="60 minutes")
+    return out.select(
+        F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("w_start"),
+        "max_cnt",
+        "total_cnt",
+        "n_inner",
+    ).orderBy("w_start")

@@ -231,6 +231,30 @@ def static_enrich(
     )
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def _interval_seconds(interval: str) -> float:
+    """Seconds in a simple ``'<n> <unit>'`` Spark interval string
+    (the only shape this module's window helpers accept)."""
+    parts = interval.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"expected '<n> <unit>' interval, got {interval!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _INTERVAL_UNIT_SECONDS:
+        raise ValueError(f"unknown interval unit in {interval!r}")
+    return float(n) * _INTERVAL_UNIT_SECONDS[unit]
+
+
 def two_stage_windowed_max(
     df: DataFrame,
     ts_col: str = "ts",
@@ -260,7 +284,22 @@ def two_stage_windowed_max(
     grouping pass; an aggregate OF an aggregate needs the reducer's
     output to re-enter a second shuffle, which the reference can only
     express as a second full job over materialized output.
+
+    ``outer`` must be a whole multiple of ``inner`` (enforced): the
+    nesting event time is the inner window's end minus one microsecond,
+    which lands in the outer bucket of the inner window's START only
+    when inner windows tile outer ones exactly. A misaligned pair (e.g.
+    inner='25 minutes', outer='60 minutes') would silently bucket the
+    0:50-1:15 window into hour 1:00 while the start-bucketed batch
+    oracle puts it in hour 0:00 (ADVICE r14 #2).
     """
+    inner_s, outer_s = _interval_seconds(inner), _interval_seconds(outer)
+    ratio = outer_s / inner_s
+    if abs(ratio - round(ratio)) > 1e-9 or round(ratio) < 1:
+        raise ValueError(
+            f"outer ({outer!r}) must be a whole multiple of inner "
+            f"({inner!r}); got ratio {ratio}"
+        )
     iw = df.groupBy(F.window(ts_col, inner).alias("iw")).agg(
         F.count("*").alias("cnt")
     )

@@ -577,14 +577,18 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark, monkeypatch):
 def test_rrf_fusion_coverage_filter_precedes_distinct(spark):
     """txt_rrf_fusion (r14): the coverage system's dedup must operate on
     the query-term-filtered postings, never on the corpus-vocabulary
-    posting set — the plan's HashAggregate dedup keys must sit ABOVE the
-    broadcast join with the 8-row query list (a distinct below the join
-    would shuffle every (doc, word) posting). Cheap proxy: the plan is
-    broadcast-driven — no CartesianProduct, no SortMergeJoin (every join
-    side is either list-sized or query-filtered); the BM25 subtree's
-    one-row corpus-stats broadcast cross join (BroadcastNestedLoopJoin,
-    the pattern test_bm25_is_broadcast_driven documents) is the only
-    nested-loop allowed."""
+    posting set — the dedup HashAggregate (keys = query, doc_id, word)
+    must sit ABOVE the broadcast join with the 8-row query list (a
+    distinct below the join would shuffle every (doc, word) posting and
+    would carry only (doc_id, word) keys). Asserted STRUCTURALLY
+    (ADVICE r14 #4): walk the physical tree, find the three-key dedup
+    aggregate, and require the query-list BroadcastHashJoin inside ITS
+    subtree — a regression that re-orders the two would still plan as
+    BHJ and still pass any flat substring count. Plus the cheap global
+    proxies: no CartesianProduct, no SortMergeJoin (the BM25 subtree's
+    one-row corpus-stats BroadcastNestedLoopJoin is the only
+    nested-loop allowed)."""
+    from mapreduce_system_spark.plans.checks import physical_subtrees
     from mapreduce_system_spark.registry import QUERIES
 
     df = QUERIES["txt_rrf_fusion"](spark, SF_DIR)
@@ -592,6 +596,61 @@ def test_rrf_fusion_coverage_filter_precedes_distinct(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+    dedup_heads = []
+    structurally_ok = False
+    for name, head, subtree in physical_subtrees(df):
+        if name != "HashAggregate" or "keys=[" not in head:
+            continue
+        keys = head.split("keys=[", 1)[1].split("]", 1)[0]
+        if all(k in keys for k in ("query#", "doc_id#", "word#")):
+            dedup_heads.append(head)
+            # the createDataFrame query list materializes as a Scan
+            # ExistingRDD (or LocalTableScan if Catalyst converts it)
+            # of (query, word) under a BroadcastHashJoin
+            if "BroadcastHashJoin" in subtree and (
+                "Scan ExistingRDD[query#" in subtree
+                or "LocalTableScan [query#" in subtree
+            ):
+                structurally_ok = True
+    assert dedup_heads, plan  # the 3-key dedup aggregate must exist at all
+    assert structurally_ok, "\n".join(dedup_heads) + "\n" + plan
+
+
+def test_kcore_checkpoints_node_sized_and_unhinted(spark, monkeypatch):
+    """graph_k_core (r15): the per-round localCheckpoint must pin the
+    NODE-sized keep set, never the edge relation — the probe-caught r14
+    defect (an E-sized checkpoint per round ran wall x10.3 at x10
+    edges, commit ec8b937). Captured through the localCheckpoint spy
+    (the LPA guard's mechanism): every checkpointed relation must be
+    single-column [u]. And the keep-set semi-joins must carry NO forced
+    broadcast hint — AQE decides from the checkpoint's measured size
+    (VERDICT r14 #2; a forced hint is the billion-node driver-OOM
+    failure mode)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from mapreduce_system_spark.operators.graph import k_core_peel
+    from mapreduce_system_spark.queries._graphshared import (
+        copurchase_pairs_supported,
+    )
+
+    checkpointed: list[list[str]] = []
+    orig = _DF.localCheckpoint
+
+    def spy(self, eager=True):
+        checkpointed.append(self.columns)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(_DF, "localCheckpoint", spy)
+    pr = copurchase_pairs_supported(spark, SF_DIR, 2)
+    out = k_core_peel(
+        pr, 3, src="u", dst="v", rounds=3, edges_undirected_distinct=True
+    )
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+    out.collect()
+    assert len(checkpointed) == 3, checkpointed
+    for cols in checkpointed:
+        assert cols == ["u"], cols
 
 
 def test_interval_join_outer_is_equi_join(spark):

@@ -1,7 +1,7 @@
 """The committed sf1 manifest must stay reproducible.
 
 `bench_runs/sf1_manifest.json` (VERDICT r8 "missing #4") pins the three
-probe corpora behind BASELINE §(h)/(j)/(l) by row count and an
+probe corpora behind BASELINE_HISTORY §(h)/(j)/(l) by row count and an
 order-independent checksum. The constructions are deterministic
 functions of the sf0.1 fixture — this test rebuilds the cheapest one
 (the organic documents/embeddings corpus, ~3 s) and asserts the

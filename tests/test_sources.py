@@ -146,7 +146,7 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
 
 
 def test_session_factory_sizes_codegen_cache_to_catalog(spark):
-    """get_spark must carry the codegen-cache sizing (BASELINE §(o)): at
+    """get_spark must carry the codegen-cache sizing (BASELINE_HISTORY §(o)): at
     the 100-entry default a 155-query catalog thrashes the generated-
     class cache and every repeated pass re-pays Janino + C2 warmup per
     stage (measured 190.9 → 153.1 s full-catalog median-of-3). The

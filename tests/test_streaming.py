@@ -928,6 +928,29 @@ def test_interval_join_rejects_unknown_how():
         SW.interval_join(None, None, on="user_id", how="full_outer")
 
 
+def test_two_stage_windowed_rejects_misaligned_intervals(spark):
+    """outer must be a whole multiple of inner (ADVICE r14 #2): a
+    misaligned pair (inner 25m, outer 60m) would silently nest the
+    0:50-1:15 inner window into hour 1:00 on Spark while the
+    start-bucketed oracle puts it in hour 0:00 — raise instead."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    with _pytest.raises(ValueError, match="whole multiple"):
+        SW.two_stage_windowed_max(df, inner="25 minutes", outer="60 minutes")
+    with _pytest.raises(ValueError, match="whole multiple"):
+        SW.two_stage_windowed_max(df, inner="2 hours", outer="60 minutes")
+    # aligned pairs construct fine, across unit spellings
+    SW.two_stage_windowed_max(df, inner="30 seconds", outer="1 minute")
+    SW.two_stage_windowed_max(df, inner="15 minutes", outer="1 hour")
+    with _pytest.raises(ValueError, match="interval"):
+        SW._interval_seconds("fortnight")
+    with _pytest.raises(ValueError, match="unit"):
+        SW._interval_seconds("3 parsecs")
+
+
 def test_two_stage_windowed_stream_matches_batch(spark, tmp_path):
     """Chained stateful windowed aggregation (staged r14 for the r15
     registration ``stream_two_stage_windowed``): inner 15-minute counts
@@ -993,6 +1016,92 @@ def test_two_stage_windowed_stream_matches_batch(spark, tmp_path):
         # inner windows, 7 events); hour 10:00 has one 2-event quarter
         assert got[ts(0)] == (3, 7, 4)
         assert got[ts(60)] == (2, 2, 1)
+    finally:
+        q.stop()
+
+
+def test_two_stage_windowed_fuzz_20_random_timelines(spark, tmp_path):
+    """Found-or-survived fuzz for the chained two-stateful-operator
+    aggregate before its r16 driver debut (VERDICT r14 #7): watermark
+    propagation across chained stateful operators is the newest
+    oracle-sensitive surface, so sweep 20 seeded random timelines —
+    random event times (second granularity, including exact window
+    boundaries), duplicate timestamps, and random hour gaps — through
+    ONE streaming run and assert the append-mode emission equals the
+    batch twin exactly. The LPA sweep's disjoint-union trick, in time:
+    seed g's events ride day g+1, so hours never collide across seeds
+    and one stream sweeps all 20. Events are split randomly (NOT
+    time-ordered) across two chunks; the 40-day watermark delay exceeds
+    the 20-day seed span, so cross-chunk disorder is never late-dropped
+    and the final sentinel (day 120) closes every real window through
+    BOTH stateful operators."""
+    import datetime as dt
+    import os
+    import random
+
+    rows: list[tuple[int, dt.datetime, float]] = []
+    for g in range(20):
+        rng = random.Random(5300 + g)
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=g)
+        hours = rng.sample(range(24), rng.randint(1, 4))  # gap hours between
+        for h in hours:
+            for _ in range(rng.randint(1, 8)):
+                # minute 0/15/30/45 at second 0 lands EXACTLY on inner
+                # boundaries ~1/4 of the time — the nesting-sensitive case
+                if rng.random() < 0.25:
+                    t = day + dt.timedelta(
+                        hours=h, minutes=rng.choice([0, 15, 30, 45])
+                    )
+                else:
+                    t = day + dt.timedelta(
+                        hours=h, minutes=rng.randint(0, 59),
+                        seconds=rng.randint(0, 59),
+                    )
+                rows.append((g, t, 1.0))
+                if rng.random() < 0.2:  # duplicate timestamp
+                    rows.append((g, t, 1.0))
+    sentinel = (9, dt.datetime(2024, 5, 1), 1.0)
+    rng = random.Random(99)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    cut = len(shuffled) // 2
+    chunks = [shuffled[:cut], shuffled[cut:], [sentinel]]
+
+    src = tmp_path / "twostage_fuzz"
+    src.mkdir()
+    for i, chunk in enumerate(chunks, start=1):
+        scratch = tmp_path / f"fz_{i}"
+        spark.createDataFrame(
+            chunk, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = next(p for p in scratch.iterdir() if p.name.endswith(".parquet"))
+        dst = src / f"chunk-{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = SW.two_stage_windowed_max(SW.with_watermark(stream, "ts", "960 hours"))
+    q = _run_stream(agg, "t_two_stage_fuzz", output_mode="append")
+    try:
+        sentinel_hour = sentinel[1]
+        got = {
+            r["w"]["start"]: (r.max_cnt, r.total_cnt, r.n_inner)
+            for r in spark.table("t_two_stage_fuzz").collect()
+            if r["w"]["start"] < sentinel_hour
+        }
+        batch = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        want = {
+            r["w"]["start"]: (r.max_cnt, r.total_cnt, r.n_inner)
+            for r in SW.two_stage_windowed_max(batch).collect()
+        }
+        assert got == want
+        assert len(want) >= 20  # every seed contributed at least one hour
     finally:
         q.stop()
 

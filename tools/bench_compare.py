@@ -112,6 +112,27 @@ def moves(old: dict, new: dict, threshold: float) -> tuple[list[tuple], list[tup
     return sorted(out, key=lambda x: -x[3]), sorted(protocol, key=lambda x: -x[3])
 
 
+def ambient_note(rec: dict, label: str) -> str | None:
+    """One-line ambient annotation from a record's load-average markers
+    (VERDICT r14 #4 — band points must be self-explaining). A 1-min
+    start load above ~1.5x the box's core count means another workload
+    was running when the sweep began (the sweep itself contributes up to
+    ~ncpu): the record is a BAND point, not a floor reading. Records
+    predating the markers (pre-r15) annotate as unknown."""
+    la, lb = rec.get("loadavg_start"), rec.get("loadavg_end")
+    if not la or not lb:
+        return f"ambient {label}: unknown (record predates loadavg markers)"
+    ncpu = rec.get("ncpu") or 32
+    worst = max(la[0], lb[0])
+    flag = " ** CONTAMINATED sweep — treat as band point **" if (
+        worst > 1.5 * ncpu
+    ) else ""
+    return (
+        f"ambient {label}: loadavg start {la} end {lb} "
+        f"(ncpu {ncpu}){flag}"
+    )
+
+
 def print_table(old: dict, new: dict, threshold: float) -> bool:
     """Print the round-notes table; True when any adverse signal exists.
 
@@ -155,6 +176,10 @@ def print_table(old: dict, new: dict, threshold: float) -> bool:
         f"{new['value']}s/{len(new['queries'])}q  "
         f"(failures {old.get('failures', '?')} -> {new.get('failures', '?')})"
     )
+    for rec, label in ((old, "old"), (new, "new")):
+        note = ambient_note(rec, label)
+        if note:
+            print(note)
     regressions = [m for m in rows if m[3] > 1]
     return bool(regressions or removed or failed)
 
@@ -182,6 +207,10 @@ def main() -> int:
         f"old: {old['value']}s/{len(oq)}q  new: {new['value']}s/{len(nq)}q  "
         f"(failures {old.get('failures', '?')} -> {new.get('failures', '?')})"
     )
+    for rec, label in ((old, "old"), (new, "new")):
+        note = ambient_note(rec, label)
+        if note:
+            print(note)
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:

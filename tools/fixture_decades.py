@@ -22,7 +22,7 @@ Usage::
     python tools/fixture_decades.py [runs]
 
 Writes bench_runs/fixture_decades_r8.json and prints a markdown table
-(consumed by BASELINE.md §(i)/(j)).
+(consumed by BASELINE_HISTORY.md §(i)/(j)).
 """
 
 from __future__ import annotations

@@ -64,7 +64,7 @@ xxhash64 over every column), plus the source-fixture checksums and the
 exact one-command re-runs. Every construction above is a deterministic
 function of the sf0.1 fixture (offsets, xxhash64-derived organic picks
 and jitter — no RNG), so the committed manifest lets any later round
-assert "the corpus behind BASELINE §(h)/(j)/(l) is bit-identically this
+assert "the corpus behind BASELINE_HISTORY §(h)/(j)/(l) is bit-identically this
 one" before re-running a probe.
 
 ``--graph`` (VERDICT r8 #4) probes the iterative-graph family instead of
@@ -120,7 +120,7 @@ def build_scaled(
     """Write the sharded 10× documents + embeddings tables under dst.
 
     ``organic_pct`` > 0 switches on the ORGANIC-collision variant
-    (VERDICT r7 #5 / BASELINE §(j)): that percentage of documents —
+    (VERDICT r7 #5 / BASELINE_HISTORY §(j)): that percentage of documents —
     selected by a hash of doc_id, so the same docs in every shard —
     replicate WITHOUT the ``r{r}x`` token prefix (doc_id still offset),
     and the matching embeddings keep their ORIGINAL label (jitter still
@@ -204,7 +204,7 @@ def shingle_candidates(spark, sf_dir: str) -> int:
 
 def shingle_df_profile(spark, sf_dir: str) -> dict:
     """Shingle document-frequency distribution — the per-key bucket-DEPTH
-    record the organic probe exists to produce (BASELINE §(j)): if depth
+    record the organic probe exists to produce (BASELINE_HISTORY §(j)): if depth
     grows while wall time tracks candidate counts, the equi-join scale
     argument holds in the regime the disjoint-shard probe can't reach."""
     sets = DD.shingle_sets(
@@ -278,7 +278,7 @@ CANDIDATE_FNS = {
 
 
 def time_queries(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
-    """Median-of-runs per query (BASELINE §(e): ±30% co-tenant noise)."""
+    """Median-of-runs per query (BASELINE_HISTORY §(e): ±30% co-tenant noise)."""
     import statistics
 
     qs = entry_mod.queries()
@@ -527,7 +527,7 @@ def _table_fingerprint(spark, path: str) -> dict:
 
 
 def manifest_main(out_name: str | None = None) -> int:
-    """Pin the three probe corpora (BASELINE §(h)/(j)/(l)) in a committed
+    """Pin the three probe corpora (BASELINE_HISTORY §(h)/(j)/(l)) in a committed
     manifest: rebuild each with its recorded parameters, fingerprint
     every table, and record the one-command re-runs."""
     src = "/root/testdata/sf0.1"
@@ -1380,6 +1380,25 @@ def sessions_main(reps: int, src: str, out_name: str | None = None) -> int:
                         f"{closed} vs {c}",
                         file=sys.stderr,
                     )
+                    # persist the partial evidence (per-run walls +
+                    # state metrics gathered so far) before gating —
+                    # the other probe modes write their record first,
+                    # and a discarded census is exactly the artifact a
+                    # nondeterminism postmortem needs (ADVICE r14 #3)
+                    vrec["scales"][label] = {
+                        "closed_sessions": [closed, c],
+                        "walls": walls,
+                        "state_metrics_per_run": per_run,
+                    }
+                    record["variants"][variant] = vrec
+                    record["nondeterministic"] = f"{variant}/{label}"
+                    out = _record_out(
+                        out_name, "scale_probe_sessions_latest.json"
+                    )
+                    out.write_text(
+                        json.dumps(record, indent=1, sort_keys=True) + "\n"
+                    )
+                    print(f"# wrote partial {out}", file=sys.stderr)
                     return 1
                 closed = c
             # census is deterministic (asserted above); store metrics are
