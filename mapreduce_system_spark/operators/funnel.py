@@ -1,0 +1,116 @@
+"""Ordered funnel conversion — the product-analytics sequence census.
+
+"How many users viewed, then clicked, then purchased — in that order?"
+is the canonical behavioral query every event-analytics engine ships
+(Amplitude/Mixpanel funnels, ClickHouse ``windowFunnel``). It is NOT a
+grouped count: step k counts a user only if a step-k event exists
+STRICTLY AFTER that user's earliest valid step-(k-1) arrival, so the
+answer is an ordered recurrence over per-user event times.
+
+Staged r15 for an r16 registration (``funnel_conversion`` planned over
+the events table's view→click→purchase sequence) — the stage-in-N,
+wire-in-N+1 cadence; tests/test_funnel.py carries a pure-Python
+reference, the drafted chained-CTE DuckDB oracle, and a 25-timeline
+fuzz sweep.
+
+Semantics (the earliest-arrival greedy, ClickHouse-compatible):
+
+- step 1 time = min event time of the step-1 type per user;
+- step k time = min event time of the step-k type per user with
+  ``ts > step_{k-1} time`` (STRICT — a same-timestamp pair does not
+  order, so it does not convert; deterministic on ties by
+  construction since only minima are compared);
+- ``max_span`` (optional): step k must also satisfy
+  ``ts <= step_1 time + max_span`` — the "converted within an hour"
+  product question. The bound anchors at the FIRST step (industry
+  convention), not the previous one.
+- Greedy minima are OPTIMAL here: taking the earliest valid event at
+  every step can only leave more room for later steps (exchange
+  argument), so "user reaches step k" is exact, not heuristic —
+  EXCEPT under ``max_span``, where anchoring at the earliest step-1
+  arrival is itself the (documented) convention even though a later
+  step-1 event could open a window that converts. That convention is
+  what the oracle mirrors.
+
+Scale shape (the 100 TB posture): ONE pass over the event relation per
+step — a filtered (type = step_k) partial+final min-aggregate keyed by
+user — plus a user-sized equi-join against the previous step's arrival
+vector. No window over raw events, no per-user event-list collection,
+no driver state: k steps cost k filtered scans of the (pushdown-pruned)
+type column and k user-sized shuffles. At 1000 executors each step is
+embarrassingly map-side until its user-keyed combine. The alternative
+(collect_list + per-user Python scan) holds the whole per-user history
+in one task — the shape that dies on a power-law user.
+
+Reference contrast: worker.go:104-165's one-shot map→reduce can count
+per-type events (word count over types), but step k's filter depends on
+step k-1's OUTPUT — a data-dependent re-entry the single-pass pipeline
+cannot express (same class as k-core's cascade, coordinator.go:126-141).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span: str | None = None,
+) -> DataFrame:
+    """(step_idx, step, n_users, frac_of_first) — users reaching each
+    funnel step in order. ``steps`` is the ordered list of event types
+    (length >= 1, duplicates allowed — "view then view again" is a
+    legal funnel and the strict-ordering recurrence handles it).
+    ``max_span`` is an SQL interval string bounding the whole funnel
+    relative to the first-step arrival. NULL users and NULL timestamps
+    are dropped (they cannot anchor an ordering); ``frac_of_first`` is
+    the per-step conversion rate rounded to 6 (1.0 on step 1 whenever
+    any user entered).
+    """
+    if not steps:
+        raise ValueError("funnel_conversion: need at least one step")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    ).where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+
+    # step 1: earliest arrival per user — the funnel anchor
+    cur = (
+        ev.where(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t"))
+        .select("u", "t", F.col("t").alias("t0"))
+    )
+    counts = [cur.count()]  # bounded driver scalars: one per step
+    for step in steps[1:]:
+        nxt = ev.where(F.col("et") == step).select(
+            "u", F.col("ts").alias("nts")
+        )
+        cond = F.col("nts") > F.col("t")
+        if max_span is not None:
+            cond = cond & (
+                F.col("nts") <= F.col("t0") + F.expr(f"INTERVAL {max_span}")
+            )
+        cur = (
+            nxt.join(cur, "u")
+            .where(cond)
+            .groupBy("u")
+            .agg(F.min("nts").alias("t"), F.first("t0").alias("t0"))
+        )
+        counts.append(cur.count())
+
+    spark = events.sparkSession
+    first = counts[0]
+    rows = [
+        (i + 1, s, int(n), round(n / first, 6) if first else 0.0)
+        for i, (s, n) in enumerate(zip(steps, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint, frac_of_first double"
+    )

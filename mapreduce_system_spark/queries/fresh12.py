@@ -13,10 +13,11 @@ lead slots for their first driver rows (VERDICT r14 #2/#3).
   thresholded part co-purchase graph (edges need >= 2 co-occurring
   orders; the raw graph's minimum degree ~42 makes any small-k peel the
   identity). Each round removes every node of current degree < k at
-  once; registered AFTER the forced keep-set broadcast was dropped
-  (VERDICT r14 #2 — AQE now decides from the checkpointed keep set's
-  measured size). Oracle: the unrolled per-round CTE from
-  tests/test_kcore.py, verbatim.
+  once; registered AFTER the unconditional keep-set broadcast was
+  replaced by a MEASURED-count gate (VERDICT r14 #2 / ADVICE r14 #1 —
+  the A/B probe showed hint-free AQE does not convert these joins, so
+  the gate, not removal, is the scale-safe form). Oracle: the unrolled
+  per-round CTE from tests/test_kcore.py, verbatim.
 - ``agg_histogram_sketch_rollup`` — the exactly-mergeable quantile twin
   of the HLL rollup: fixed-range equi-width bin counts per event_type,
   TOTAL row merged from the per-group sketches alone, median read off
@@ -107,8 +108,8 @@ def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins against a node-sized eagerly-checkpointed keep set; the
     edge relation stays lazy (the first cut that materialized it ran
     wall x10.3 at x10 edges and was restructured before this debut).
-    The broadcast decision is AQE's from the keep set's measured size —
-    no forced hint (VERDICT r14 #2)."""
+    The broadcast hint is gated on the keep set's measured count —
+    never unconditional (VERDICT r14 #2 / ADVICE r14 #1)."""
     pr = copurchase_pairs_supported(spark, sf_dir, _KCORE_SUPPORT)
     # u<v distinct pairs by construction — skip the operator's
     # symmetrize-distinct exchange (the LPA flag discipline)

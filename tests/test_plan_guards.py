@@ -622,10 +622,11 @@ def test_kcore_checkpoints_node_sized_and_unhinted(spark, monkeypatch):
     defect (an E-sized checkpoint per round ran wall x10.3 at x10
     edges, commit ec8b937). Captured through the localCheckpoint spy
     (the LPA guard's mechanism): every checkpointed relation must be
-    single-column [u]. And the keep-set semi-joins must carry NO forced
-    broadcast hint — AQE decides from the checkpoint's measured size
-    (VERDICT r14 #2; a forced hint is the billion-node driver-OOM
-    failure mode)."""
+    single-column [u]. And the keep-set broadcast hint must be GATED on
+    the measured keep count (ADVICE r14 #1, measured r15: hint-free AQE
+    does NOT convert these joins — x3.89 vs x2.5 on the 10x probe —
+    while an unconditional hint is the billion-node driver-OOM failure
+    mode): present at fixture scale, absent when the cap is 0."""
     from pyspark.sql.classic.dataframe import DataFrame as _DF
 
     from mapreduce_system_spark.operators.graph import k_core_peel
@@ -646,11 +647,23 @@ def test_kcore_checkpoints_node_sized_and_unhinted(spark, monkeypatch):
         pr, 3, src="u", dst="v", rounds=3, edges_undirected_distinct=True
     )
     logical = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "strategy=broadcast" not in logical, logical
+    # fixture keep sets are tiny — the gate must have applied the hint
+    assert "strategy=broadcast" in logical, logical
     out.collect()
     assert len(checkpointed) == 3, checkpointed
     for cols in checkpointed:
         assert cols == ["u"], cols
+    # cap 0 models the billion-node regime: the gate must fall back to
+    # plain semi-joins (values identical — same recurrence either way)
+    capped = k_core_peel(
+        pr, 3, src="u", dst="v", rounds=3, edges_undirected_distinct=True,
+        broadcast_max_nodes=0,
+    )
+    logical0 = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical0, logical0
+    assert sorted((r.node, r.degree) for r in capped.collect()) == sorted(
+        (r.node, r.degree) for r in out.collect()
+    )
 
 
 def test_interval_join_outer_is_equi_join(spark):
