@@ -37,7 +37,7 @@ Usage::
     python tools/scale_probe.py --lpa [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --sessions [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --boilerplate [--out NAME] [reps] [src_sf_dir]
-    python tools/scale_probe.py --kcore [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --kcore [--out NAME] [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -657,8 +657,17 @@ def main() -> int:
     organic_pct = int(args[2]) if len(args) > 2 else (
         20 if asof_mode else 10 if (graph_mode or sim_mode or pca_mode) else 0
     )
+    if kcore_mode:
+        # kcore DOES take the organic third positional (VERDICT r14 #6:
+        # the r8-style collision mode stressing hub-degree growth); the
+        # plain default stays 0 so `--kcore 10 DIR` is the r14 disjoint
+        # construction unchanged
+        return kcore_main(
+            reps, src, out_name,
+            organic_pct=int(args[2]) if len(args) > 2 else 0,
+        )
     if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
-            or sessions_mode or boilerplate_mode or kcore_mode):
+            or sessions_mode or boilerplate_mode):
         if len(args) > 2:
             # these modes take no third positional — silently swallowing
             # one into the unused organic_pct would let e.g.
@@ -671,8 +680,6 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 2
-        if kcore_mode:
-            return kcore_main(reps, src, out_name)
         if boilerplate_mode:
             return boilerplate_main(reps, src, out_name)
         if sessions_mode:
@@ -1853,17 +1860,28 @@ def lpa_main(reps: int, src: str, out_name: str | None = None) -> int:
     return 0 if (record["nodes_exact_scale"] and record["histogram_exact_scale"]) else 1
 
 
-def kcore_main(reps: int, src: str, out_name: str | None = None) -> int:
-    """k-core peeling at 1x vs reps x (the LPA probe's disjoint
-    construction verbatim: replica r offsets l_orderkey AND l_partkey,
-    so each shard's co-purchase graph is an isomorphic copy). Hard
-    gates: the survivor census scales EXACTLY reps x AND the survivor
-    DEGREE histogram scales exactly reps x per bucket (a cross-shard
-    edge or a round-order dependence would break the histogram before
-    a row count). Wall is the free variable: per round ONE degree
-    aggregate + two semi-joins. Staged-operator probe (the r12 --card
-    precedent): measured scale evidence on record before the
-    graph_k_core debut registers."""
+def kcore_main(
+    reps: int, src: str, out_name: str | None = None, organic_pct: int = 0
+) -> int:
+    """k-core peeling at 1x vs reps x. Default (``organic_pct=0``): the
+    LPA probe's disjoint construction verbatim — replica r offsets
+    l_orderkey AND l_partkey, so each shard's co-purchase graph is an
+    isomorphic copy. Hard gates: the survivor census scales EXACTLY
+    reps x AND the survivor DEGREE histogram scales exactly reps x per
+    bucket (a cross-shard edge or a round-order dependence would break
+    the histogram before a row count). Wall is the free variable: per
+    round ONE degree aggregate + two (gated-broadcast) semi-joins.
+
+    ``organic_pct`` > 0 (VERDICT r14 #6): the r8-style collision mode —
+    baskets still replicate disjointly (l_orderkey always offsets) but
+    the hash-chosen organic fraction of PARTS keeps its identity across
+    replicas, so an organic part is co-purchased in every shard and its
+    degree grows ~reps x — the hub regime stressing the keep-set story
+    the gated broadcast depends on. Exact-scale gates don't apply
+    (collisions merge hubs by design); the record instead carries the
+    PRE-peel degree-tail census per scale (max/p99/p999) plus the
+    survivor census and walls, and gates only on sanity (survivors and
+    the degree tail must grow, never shrink)."""
     import statistics
 
     from mapreduce_system_spark.operators.graph import k_core_peel
@@ -1873,9 +1891,56 @@ def kcore_main(reps: int, src: str, out_name: str | None = None) -> int:
     dst = "/tmp/spark_graft_scale/kcore_sf1"
     spark = get_spark("scale_probe_kcore")
     li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
-    _write_replicated(
-        spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
-    )
+    if organic_pct:
+        organic = F.pmod(F.xxhash64(F.col("l_partkey")), F.lit(100)) < organic_pct
+        parts = [li]
+        for r in range(1, reps):
+            parts.append(
+                li.select(
+                    (F.col("l_orderkey") + r * _OFFSET).alias("l_orderkey"),
+                    F.when(organic, F.col("l_partkey"))
+                    .otherwise(F.col("l_partkey") + r * _OFFSET)
+                    .alias("l_partkey"),
+                )
+            )
+        out_li = parts[0]
+        for p in parts[1:]:
+            out_li = out_li.unionByName(p)
+        out_li.repartition(16).write.mode("overwrite").parquet(
+            f"{dst}/lineitem.parquet"
+        )
+    else:
+        _write_replicated(
+            spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
+        )
+
+    def degree_tail(d: str) -> dict:
+        """PRE-peel degree census of the symmetrized co-purchase graph —
+        the hub evidence the organic mode exists to record. Uses the
+        operator family's own graph construction (copurchase_pairs), so
+        the census describes the graph the peel actually ran on."""
+        pr = copurchase_pairs(spark, d)
+        deg = (
+            pr.select(F.col("u").alias("node"))
+            .unionAll(pr.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        row = deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.max("deg").alias("max_deg"),
+            F.expr("percentile(deg, 0.999)").alias("p999"),
+            F.expr("percentile(deg, 0.99)").alias("p99"),
+            F.expr("percentile(deg, 0.5)").alias("p50"),
+        ).collect()[0]
+        caches.release()
+        return {
+            "n_nodes": int(row["n_nodes"]),
+            "max_deg": int(row["max_deg"]),
+            "p999": round(float(row["p999"]), 1),
+            "p99": round(float(row["p99"]), 1),
+            "p50": round(float(row["p50"]), 1),
+        }
 
     def run(d: str):
         pr = copurchase_pairs(spark, d)
@@ -1895,7 +1960,7 @@ def kcore_main(reps: int, src: str, out_name: str | None = None) -> int:
     run(src)  # untimed warm-up
     record: dict = {
         "mode": "kcore", "reps": reps, "src": src, "k": k,
-        "rounds": rounds, "scales": {},
+        "rounds": rounds, "organic_pct": organic_pct, "scales": {},
     }
     hists: dict[str, dict] = {}
     for label, d in [("sf0.1", src), ("sf1", dst)]:
@@ -1909,14 +1974,27 @@ def kcore_main(reps: int, src: str, out_name: str | None = None) -> int:
             "degree_histogram": {str(kk): v for kk, v in sorted(hist.items())},
             "wall_s": round(statistics.median(walls), 2),
         }
+        if organic_pct:
+            record["scales"][label]["degree_tail"] = degree_tail(d)
         print(f"# {label}: survivors={n_surv} "
               f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
     a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
-    record["survivors_exact_scale"] = b["survivors"] == reps * a["survivors"]
-    record["histogram_exact_scale"] = hists["sf1"] == {
-        kk: reps * v for kk, v in hists["sf0.1"].items()
-    }
     record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    if organic_pct:
+        # collisions merge hubs by design — exact-scale gates replaced
+        # by the sanity pair + the hub-growth evidence itself
+        ta, tb = a["degree_tail"], b["degree_tail"]
+        record["max_deg_ratio"] = (
+            round(tb["max_deg"] / ta["max_deg"], 2) if ta["max_deg"] else None
+        )
+        ok = b["survivors"] >= a["survivors"] and tb["max_deg"] >= ta["max_deg"]
+        record["sanity_ok"] = ok
+    else:
+        record["survivors_exact_scale"] = b["survivors"] == reps * a["survivors"]
+        record["histogram_exact_scale"] = hists["sf1"] == {
+            kk: reps * v for kk, v in hists["sf0.1"].items()
+        }
+        ok = record["survivors_exact_scale"] and record["histogram_exact_scale"]
     print("| scale | survivors | wall s |")
     print("|---|---|---|")
     for label in ("sf0.1", "sf1"):
@@ -1924,11 +2002,15 @@ def kcore_main(reps: int, src: str, out_name: str | None = None) -> int:
         print(f"| {label} | {sc['survivors']} | {sc['wall_s']} |")
     ratio = b["survivors"] / a["survivors"] if a["survivors"] else float("nan")
     print(f"| ratio | {ratio:.2f} | **{record['wall_ratio']}** |")
+    if organic_pct:
+        print(f"degree tail sf0.1: {a['degree_tail']}")
+        print(f"degree tail sf1:   {b['degree_tail']}  "
+              f"(max_deg ratio {record['max_deg_ratio']})")
     out = _record_out(out_name, "scale_probe_kcore_latest.json")
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
-    return 0 if (record["survivors_exact_scale"] and record["histogram_exact_scale"]) else 1
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
