@@ -10,8 +10,16 @@ sketch answers it from a bounded summary with one-sided error (no false
 negatives — a key reported NEW is certainly new, so dedup can admit it
 without a second look; MAYBE-seen keys go to the exact path).
 
-This is NOT Spark's runtime bloom-join (queries/fresh7.py), which is an
-ephemeral optimizer artifact scoped to one join. This sketch is DATA:
+The exact form of this question is already registered:
+``pipe_incremental_dedup`` (queries/fresh8f.py) LEFT-joins the batch's
+md5 fingerprints against the distinct corpus fingerprint set — correct,
+but the history side is corpus-sized and must be rescanned (or at best
+re-shuffled) every batch. The sketch replaces that recurring cost with
+an m-bounded summary: build once per corpus partition, merge summaries
+forever after, send only the maybe-seen residue to the exact join.
+And this is NOT Spark's runtime bloom-join (queries/fresh7.py), which
+is an ephemeral optimizer artifact scoped to one join. This sketch is
+DATA:
 a persistable relation a pipeline materializes once per corpus
 partition and re-aggregates forever after — and the merge is EXACT
 (set union of set bit positions / bitwise OR of bitmaps: commutative,

@@ -1,17 +1,24 @@
-"""Ordered funnel conversion — the product-analytics sequence census.
+"""Parameterized ordered-funnel conversion — the generalization of the
+fixed three-step funnel the catalog already ships.
 
-"How many users viewed, then clicked, then purchased — in that order?"
-is the canonical behavioral query every event-analytics engine ships
-(Amplitude/Mixpanel funnels, ClickHouse ``windowFunnel``). It is NOT a
-grouped count: step k counts a user only if a step-k event exists
-STRICTLY AFTER that user's earliest valid step-(k-1) arrival, so the
-answer is an ordered recurrence over per-user event times.
+``rel_funnel_conversion`` (queries/fresh7e.py, r7, driver-green) spells
+the view→click→purchase recurrence INLINE: chained per-stage min
+aggregates with strictly-after semantics. This operator lifts that
+exact algebra into a parameterized form — arbitrary step lists
+(including repeated types: "view then view again"), per-step
+conversion fractions — and adds the one capability the inline query
+cannot express: ``max_span``, the TIME-BOUNDED funnel ("converted
+within 30 minutes of entry", the attribution-window variant every
+product dashboard pairs with the unbounded one; ClickHouse's
+``windowFunnel`` window argument, Amplitude's conversion window).
+fresh7e stays as-is — its driver-green plan is untouched; the planned
+registration asks the BOUNDED question the catalog lacks.
 
-Staged r15 for an r16 registration (``funnel_conversion`` planned over
-the events table's view→click→purchase sequence) — the stage-in-N,
-wire-in-N+1 cadence; tests/test_funnel.py carries a pure-Python
-reference, the drafted chained-CTE DuckDB oracle, and a 25-timeline
-fuzz sweep.
+Staged r15 for an r16/r17 registration (``rel_funnel_time_bounded``
+planned: the same step sequence under a 30-minute span) — the
+stage-in-N, wire-in-N+1 cadence; tests/test_funnel.py carries a
+pure-Python reference, the drafted chained-CTE DuckDB oracle (span
+clause included), and a 25-timeline fuzz sweep.
 
 Semantics (the earliest-arrival greedy, ClickHouse-compatible):
 

@@ -47,6 +47,20 @@ fresh8k 2 + fresh8m 3 + temporal2 2 + fresh6 3 + graphml 2 (= 18, slots
 remainder (relational2 tail + textstats/fresh7b2/fresh7*/multimodal/
 fresh9) and this round's r14-window modules open r17. Keep the
 arithmetic ledgered here when the r16 rotation lands.
+
+r17 debut candidates, STAGED r15 with tests + drafted oracles (the
+staging pattern): the time-bounded funnel
+(``operators/funnel.py::funnel_conversion`` with ``max_span`` — the
+parameterized generalization of fresh7e's inline three-step algebra;
+planned ``rel_funnel_time_bounded``; tests/test_funnel.py carries the
+pure-Python reference, the span-claused chained-CTE draft, and a
+25-timeline fuzz) and the mergeable Bloom membership sketch
+(``operators/bloomsketch.py`` — the sketch-table trio's membership
+leg, the bounded-summary complement of ``pipe_incremental_dedup``'s
+exact anti-join; planned ``dedup_bloom_prefilter``;
+tests/test_bloomsketch.py carries the reference, the position-set
+oracle draft, the merge law, and a 30-corpus fuzz). Wire them past the
+r16 window for first driver rows in r17.
 """
 
 from __future__ import annotations

@@ -1,9 +1,12 @@
-"""Ordered funnel conversion (operators/funnel.py::funnel_conversion) —
-staged r15 for an r16/r17 debut; the registered query will spell
-exactly the chained-CTE oracle drafted here (the k-core/LPA staging
-pattern). The earliest-arrival greedy recurrence is a pure function of
-the event multiset — parity is pinned against an independent
-pure-Python reference AND the DuckDB CTE, plus a 25-timeline fuzz."""
+"""Parameterized funnel conversion (operators/funnel.py) — staged r15
+for an r16/r17 debut (``rel_funnel_time_bounded`` planned: the
+max_span-bounded variant of the driver-green ``rel_funnel_conversion``,
+whose inline fresh7e algebra this operator generalizes); the registered
+query will spell exactly the chained-CTE oracle drafted here (the
+k-core/LPA staging pattern). The earliest-arrival greedy recurrence is
+a pure function of the event multiset — parity is pinned against an
+independent pure-Python reference AND the DuckDB CTE, plus a
+25-timeline fuzz."""
 
 from __future__ import annotations
 

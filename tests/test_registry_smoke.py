@@ -38,22 +38,27 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle entries without a registered query: {dangling}"
 
 
-def test_r14_driver_window_composition():
+def test_r15_driver_window_composition():
     """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
-    correctness gate covers the FIRST 50 registered queries. Pin the r14
+    correctness gate covers the FIRST 50 registered queries. Pin the r15
     window EXACTLY (module granularity per the rotation plan in the
     package docstring) so an accidental import reorder — or a module
     gaining a query — can't silently rotate evidence-stale or brand-new
     queries out of the gate. Update deliberately with each rotation."""
     expected_modules = [
-        ("fresh10", 3),      # first-ever driver rows (registered r13)
-        ("temporal", 5),     # the r10-stale cohort from here (VERDICT r13 #1)
-        ("advanced", 7),
-        ("similarity", 9),
-        ("multimodal2", 1),
-        ("sinks", 5),
-        ("dedup", 8),
-        ("relational", 12),
+        ("fresh11", 3),      # first-ever driver rows (registered r14)
+        ("streaming", 8),    # the r11 cohort from here (VERDICT r14 #1)
+        ("fresh", 4),
+        ("fresh8e", 2),
+        ("fresh8c", 3),
+        ("fresh8a", 2),
+        ("fresh7d", 1),
+        ("mrcore", 9),       # the oldest 27 of the r12 cohort from here
+        ("pipeline", 8),
+        ("textstats2", 2),
+        ("fresh7b", 3),
+        ("fresh8b", 4),
+        ("fresh8d", 1),      # its first query only; tail opens r16
     ]
     assert sum(c for _, c in expected_modules) == 50
     names = list(QUERIES)
@@ -65,24 +70,25 @@ def test_r14_driver_window_composition():
             got_modules.append([mod, 0])
         got_modules[-1][1] += 1
     assert [tuple(m) for m in got_modules] == expected_modules, got_modules
-    # the zero-driver-row trio leads the window (VERDICT r13 #1)
+    # the zero-driver-row trio leads the window (VERDICT r14 #1)
     assert window[:3] == [
-        "graph_label_propagation",
-        "pipe_strip_boilerplate",
-        "dedup_tfidf_cosine_pairs",
-    ]
-    # this round's past-window registrations sit just PAST the line (the
-    # stage-in-N, wire-in-N+1 debut pattern): first driver rows come with
-    # the r15 window lead, not by displacing r14 rotation debt
-    assert names[50:53] == [
         "stream_interval_join_outer",
         "txt_rrf_fusion",
         "emb_matryoshka_profile",
     ]
-    # the streaming-led r11 cohort follows them (deferred one round by
-    # oldest-first, VERDICT r13 #1; streaming leads the r15 window)
+    # fresh8d's remaining queries sit immediately past the line, then
+    # this round's past-window registrations (the stage-in-N,
+    # wire-in-N+1 debut pattern): first driver rows come with the r16
+    # window lead, not by displacing r15 rotation debt
+    assert names[53:56] == [
+        "graph_k_core",
+        "agg_histogram_sketch_rollup",
+        "stream_two_stage_windowed",
+    ]
+    # the streaming r11 cohort sits INSIDE the window at slots 4-11
+    # (indices 3-10), right after the fresh11 debut trio (VERDICT r14 #1)
     stream_mod = [
         i for i, n in enumerate(names)
         if QUERIES[n].__module__.endswith(".streaming")
     ]
-    assert stream_mod == list(range(53, 61)), stream_mod
+    assert stream_mod == list(range(3, 11)), stream_mod
