@@ -690,6 +690,22 @@ def test_matryoshka_profile_is_single_scan_no_join(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
 
 
+def test_two_stage_windowed_is_two_aggregates_one_scan(spark):
+    """stream_two_stage_windowed (r15): the chained windowed aggregate
+    must stay exactly TWO hash aggregations over ONE events scan — a
+    refactor that joins the inner counts back to raw events (the
+    naive 'peak quarter per hour' spelling) or windows over raw rows
+    would add a corpus-sized join/sort that the streaming twin could
+    never run with bounded state."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    df = QUERIES["stream_two_stage_windowed"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    for op in ("Join", "CartesianProduct", "Window"):
+        assert op not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
 def test_histsketch_total_merge_reads_sketch_not_raw(spark):
     """histogram_sketch_rollup (staged r14): the plan may scan the raw
     relation only through the cached (grp, v) count — the TOTAL branch
