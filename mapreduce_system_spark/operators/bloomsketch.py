@@ -37,12 +37,13 @@ the DuckDB oracle can mirror row for row. Hashing: the repo-wide
 k independent positions per key, deterministically re-derivable on any
 engine (functions/hashing.py's single-spelling discipline).
 
-Staged r15 for an r16/r17 debut (``dedup_bloom_prefilter`` planned:
-which batch-B documents are definitely-new against the corpus-A sketch,
-with the false-positive audit against the exact anti-join shipped as
-data) — the stage-in-N, wire-in-N+1 cadence; tests/test_bloomsketch.py
-carries the pure-Python reference, the drafted oracle, and a fuzz
-sweep.
+Landed and REGISTERED r15 (``dedup_bloom_prefilter``,
+queries/fresh13.py — the same-round fresh10 precedent): which batch
+documents are definitely-new against the corpus-history sketch, with
+the false-positive audit against the exact answer shipped as data;
+tests/test_bloomsketch.py carries the pure-Python reference, the
+position-set oracle the registration interpolates, the merge law, and
+a 30-corpus fuzz.
 
 100 TB posture: the build is ONE map-side explode (k rows per key) +
 one distinct on (pos) — shuffle bounded by min(k·n, m) which the m cap

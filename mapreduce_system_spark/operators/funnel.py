@@ -14,11 +14,12 @@ product dashboard pairs with the unbounded one; ClickHouse's
 fresh7e stays as-is — its driver-green plan is untouched; the planned
 registration asks the BOUNDED question the catalog lacks.
 
-Staged r15 for an r16/r17 registration (``rel_funnel_time_bounded``
-planned: the same step sequence under a 30-minute span) — the
-stage-in-N, wire-in-N+1 cadence; tests/test_funnel.py carries a
-pure-Python reference, the drafted chained-CTE DuckDB oracle (span
-clause included), and a 25-timeline fuzz sweep.
+Landed and REGISTERED r15 (``rel_funnel_time_bounded``,
+queries/fresh13.py — the same-round fresh10 precedent: operator +
+tests + oracle at birth, first driver row with the r16 window);
+tests/test_funnel.py carries a pure-Python reference, the chained-CTE
+DuckDB oracle the registration interpolates (span clause included),
+and a 25-timeline fuzz sweep.
 
 Semantics (the earliest-arrival greedy, ClickHouse-compatible):
 

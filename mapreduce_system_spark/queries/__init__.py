@@ -31,36 +31,25 @@ freshest driver row older than r12:
   fresh7b (3, 43-45) + fresh8b (4, 46-49) + fresh8d's first (50) —
   the oldest 27 of the r12 cohort, oldest-first.
 
-Sums to 50 exactly. Round-16 window DRAFT (slot arithmetic): fresh12 3
-(slots 1-3 — the r15 registrations made past this window:
-``graph_k_core`` over the r14-staged, broadcast-softened
+Sums to 50 exactly. Round-16 window DRAFT (slot arithmetic): the FIVE
+r15 registrations made past this window take the lead — fresh12 3
+(slots 1-3: ``graph_k_core`` over the r14-staged, gated-broadcast
 ``operators/graph.py::k_core_peel``, ``agg_histogram_sketch_rollup``
 over ``operators/histsketch.py::histogram_sketch_rollup``,
 ``stream_two_stage_windowed`` over the multiple-validated
-``streaming/windows.py::two_stage_windowed_max`` — stage-in-N,
-wire-in-N+1, driver-green-in-N+1) + fresh8d 4 (its head takes a second
-row; the module moves as one) + the r12 remainder fresh8f 5 + fresh8g 4
-+ fresh8h 6 + fresh8l 2 + fresh8j 3 (= 27 through slot 27... through
-slot 30) + the oldest r13-window modules graphml2 2 + fresh8i 4 +
-fresh8k 2 + fresh8m 3 + temporal2 2 + fresh6 3 + graphml 2 (= 18, slots
-31-48) + relational2's first 2 (49-50). Sums to 50 exactly; the r13
-remainder (relational2 tail + textstats/fresh7b2/fresh7*/multimodal/
-fresh9) and this round's r14-window modules open r17. Keep the
-arithmetic ledgered here when the r16 rotation lands.
-
-r17 debut candidates, STAGED r15 with tests + drafted oracles (the
-staging pattern): the time-bounded funnel
-(``operators/funnel.py::funnel_conversion`` with ``max_span`` — the
-parameterized generalization of fresh7e's inline three-step algebra;
-planned ``rel_funnel_time_bounded``; tests/test_funnel.py carries the
-pure-Python reference, the span-claused chained-CTE draft, and a
-25-timeline fuzz) and the mergeable Bloom membership sketch
-(``operators/bloomsketch.py`` — the sketch-table trio's membership
-leg, the bounded-summary complement of ``pipe_incremental_dedup``'s
-exact anti-join; planned ``dedup_bloom_prefilter``;
-tests/test_bloomsketch.py carries the reference, the position-set
-oracle draft, the merge law, and a 30-corpus fuzz). Wire them past the
-r16 window for first driver rows in r17.
+``streaming/windows.py::two_stage_windowed_max``) + fresh13 2 (slots
+4-5: ``rel_funnel_time_bounded`` over ``operators/funnel.py``,
+``dedup_bloom_prefilter`` over ``operators/bloomsketch.py`` — the
+fresh10 same-round precedent: operator + tests + fuzz + oracle at
+birth) — then fresh8d 4 (its head takes a second row; the module moves
+as one) + the r12 remainder fresh8f 5 + fresh8g 4 + fresh8h 6 +
+fresh8l 2 + fresh8j 3 (through slot 29) + the oldest r13-window
+modules graphml2 2 + fresh8i 4 + fresh8k 2 + fresh8m 3 + temporal2 2 +
+fresh6 3 + graphml 2 (slots 30-47) + relational2's first 3 (48-50).
+Sums to 50 exactly; the r13 remainder (relational2 tail +
+textstats/fresh7b2/fresh7*/multimodal/fresh9) and this round's
+r14-window modules open r17. Keep the arithmetic ledgered here when
+the r16 rotation lands.
 """
 
 from __future__ import annotations
@@ -82,6 +71,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     # --- out of window from here (all driver-green r12/r13/r14,
     # re-verified at HEAD by tools/verify_local.py at close) ---
     fresh12,       # NEW r15 registrations — r16 window lead (debut pattern)
+    fresh13,       # NEW r15 registrations, 2nd batch — r16 window lead
     fresh8f,       # r12 rows — r16 window
     fresh8g,       # r12 rows — r16 window
     fresh8h,       # r12 rows — r16 window

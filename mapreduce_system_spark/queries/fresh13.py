@@ -1,0 +1,221 @@
+"""Round-15 registrations, second batch (the fresh10 precedent:
+operator halves landed THIS round with pytest-pinned parity, drafted
+oracles, and fuzz sweeps — tests/test_funnel.py, tests/test_bloomsketch
+.py — and register in the same round PAST the window, taking r16 window
+slots for their first driver rows alongside fresh12).
+
+- ``rel_funnel_time_bounded`` — the conversion-window funnel: users
+  progressing view → click → purchase in order WITH every later step
+  inside 30 minutes of the user's funnel entry. The parameterized
+  ``operators/funnel.py::funnel_conversion`` generalizes the inline
+  algebra of the driver-green ``rel_funnel_conversion`` (fresh7e,
+  untouched); ``max_span`` is the capability the inline query cannot
+  express — the attribution-window question every product dashboard
+  pairs with the unbounded funnel.
+- ``dedup_bloom_prefilter`` — the ingestion membership prefilter over
+  a mergeable Bloom sketch (``operators/bloomsketch.py``): which of
+  today's batch fingerprints are DEFINITELY new vs maybe-seen against
+  the corpus-history sketch, audited against the exact answer as a
+  (maybe_seen, actually_seen) confusion census. The bounded-summary
+  complement of ``pipe_incremental_dedup``'s exact anti-join: at
+  100 TB the history side of that join is corpus-sized every batch,
+  while the sketch is m-bounded and merged, and the no-false-negative
+  guarantee means rows the filter clears never need the exact path.
+  Like ``pipe_strip_boilerplate`` staged its banner/footer, the batch
+  STAGES a deterministic re-crawl slice (every 7th history doc rides
+  today's batch) so the seen class is populated — the fixture's
+  documents are exact-dup-free across the hash split by construction.
+
+Reference contrast: worker.go:104-165 can count per-type events or
+build the position set (each one map→reduce pass), but the funnel's
+step k filters on step k-1's OUTPUT and the prefilter joins a SECOND
+dataset against reduced state — re-entrant shapes the one-shot
+pipeline cannot express (same class as k-core's cascade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
+from mapreduce_system_spark.functions.text import fingerprint
+from mapreduce_system_spark.operators.bloomsketch import (
+    bloom_build,
+    bloom_maybe_contains,
+)
+from mapreduce_system_spark.operators.funnel import funnel_conversion
+from mapreduce_system_spark.registry import register
+from mapreduce_system_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# rel_funnel_time_bounded — conversion inside a 30-minute window
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_SPAN_MIN = 30
+
+
+def _funnel_step_cte(prev: str, cur: str, step: str) -> str:
+    """One chained bounded funnel step — tests/test_funnel.py's draft,
+    verbatim (strictly-after + first-entry-anchored span)."""
+    return f"""{cur} AS (
+  SELECT e.user_id, min(e.ts) AS t, p.t0 AS t0
+  FROM ev e JOIN {prev} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{step}' AND e.ts > p.t
+    AND e.ts <= p.t0 + INTERVAL '{_FUNNEL_SPAN_MIN} minutes'
+  GROUP BY e.user_id, p.t0
+)"""
+
+
+_FUNNEL_TB_SQL = (
+    f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), s1 AS (
+  SELECT user_id, min(ts) AS t, min(ts) AS t0
+  FROM ev WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), """
+    + ", ".join(
+        _funnel_step_cte(f"s{i}", f"s{i + 1}", s)
+        for i, s in enumerate(_FUNNEL_STEPS[1:], start=1)
+    )
+    + ", counts AS ("
+    + " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_idx, '{s}' AS step, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{i + 1}) AS n_users"
+        for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    + """)
+SELECT step_idx, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / nullif((SELECT n_users FROM counts WHERE step_idx = 1), 0),
+             6) AS frac_of_first
+FROM counts ORDER BY step_idx
+"""
+)
+
+
+@register("rel_funnel_time_bounded", _FUNNEL_TB_SQL)
+def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion where every later step lands
+    within 30 minutes of the user's FIRST view (the industry
+    first-arrival anchor, documented on the operator): per step the
+    surviving user count and the fraction of funnel entrants. Scale
+    shape is fresh7e's (one filtered min-aggregate + one user-sized
+    equi-join per step, stages only shrink), with the span condition
+    riding the existing join — no extra shuffle. The fixture has no
+    all-NULL entry step, so frac_of_first's nullif guard never fires
+    (both engines would agree anyway: 0-entrant funnels return 0.0 on
+    Spark and NULL-free empty rows on neither — the operator pins 0.0
+    and the oracle's nullif only triggers on n=0 WITH rows, which
+    cannot happen when step 1 counts its own anchor)."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_conversion(
+        ev,
+        _FUNNEL_STEPS,
+        max_span=f"{_FUNNEL_SPAN_MIN} minutes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_prefilter — membership prefilter + exact audit census
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536
+_BLOOM_K = 4
+_BATCH_BUCKET = 90  # md5(doc_id) buckets >= this play "today's crawl"
+_RECRAWL_MOD = 7    # every 7th history doc rides today's batch too
+
+_BLOOM_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS i" for i in range(_BLOOM_K)
+)
+
+_BLOOM_SQL = rf"""
+WITH probes AS ({_BLOOM_PROBES_SQL}),
+b AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS fp,
+         {md5_bucket32_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+hist AS (SELECT DISTINCT fp FROM b WHERE bk < {_BATCH_BUCKET}),
+batch AS (
+  SELECT DISTINCT fp FROM (
+    SELECT fp FROM b WHERE bk >= {_BATCH_BUCKET}
+    UNION ALL
+    SELECT fp FROM b WHERE bk < {_BATCH_BUCKET} AND doc_id % {_RECRAWL_MOD} = 0
+  )
+),
+sketch AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(h.fp || ':' || i), 1, 8))::UBIGINT % {_BLOOM_M} AS pos
+  FROM hist h CROSS JOIN probes
+),
+bpos AS (
+  SELECT ba.fp,
+    ('0x' || substr(md5(ba.fp || ':' || i), 1, 8))::UBIGINT % {_BLOOM_M} AS pos
+  FROM batch ba CROSS JOIN probes
+),
+verd AS (
+  SELECT fp,
+         count(*) = count(*) FILTER (WHERE pos IN (SELECT pos FROM sketch))
+           AS maybe_seen
+  FROM bpos GROUP BY fp
+)
+SELECT v.maybe_seen, h.fp IS NOT NULL AS actually_seen,
+       CAST(count(*) AS BIGINT) AS n_fps
+FROM verd v LEFT JOIN hist h ON h.fp = v.fp
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("dedup_bloom_prefilter", _BLOOM_SQL)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(maybe_seen, actually_seen, n_fps) confusion census of the Bloom
+    prefilter verdicts for today's batch against the corpus-history
+    sketch. The (false, true) class is IMPOSSIBLE (no false negatives
+    — the operator's one-sided-error contract), so it can never appear
+    on either engine; (true, false) rows are the measured false
+    positives the audit exists to count (expected ~0 at m=65536 for the
+    fixture's history sizes). Fingerprints are the content-dedup
+    family's shared ``fingerprint()`` normalization; the batch is the
+    ``pipe_incremental_dedup`` hash split plus a staged deterministic
+    re-crawl slice so the seen class is exercised."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    base = (
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id", fingerprint("text").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    bk = F.pmod(md5_bucket32(F.col("doc_id").cast("string")), F.lit(100))
+    base = base.withColumn("bk", bk)
+    hist = base.where(F.col("bk") < _BATCH_BUCKET).select("fp")
+    batch = (
+        base.where(F.col("bk") >= _BATCH_BUCKET)
+        .select("fp")
+        .unionByName(
+            base.where(
+                (F.col("bk") < _BATCH_BUCKET)
+                & (F.col("doc_id") % _RECRAWL_MOD == 0)
+            ).select("fp")
+        )
+    )
+    sketch = bloom_build(hist, "fp", m=_BLOOM_M, k=_BLOOM_K)
+    verd = bloom_maybe_contains(batch, sketch, "fp", m=_BLOOM_M, k=_BLOOM_K)
+    seen = (
+        hist.distinct()
+        .select(F.col("fp").alias("key"))
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        verd.join(seen, "key", "left")
+        .select(
+            "maybe_seen",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("actually_seen"),
+        )
+        .groupBy("maybe_seen", "actually_seen")
+        .agg(F.count("*").alias("n_fps"))
+        .orderBy("maybe_seen", "actually_seen")
+    )

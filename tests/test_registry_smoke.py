@@ -77,13 +77,16 @@ def test_r15_driver_window_composition():
         "emb_matryoshka_profile",
     ]
     # fresh8d's remaining queries sit immediately past the line, then
-    # this round's past-window registrations (the stage-in-N,
-    # wire-in-N+1 debut pattern): first driver rows come with the r16
-    # window lead, not by displacing r15 rotation debt
-    assert names[53:56] == [
+    # this round's past-window registrations (fresh12 wire-in-N+1 trio,
+    # fresh13 same-round pair — the fresh10 precedent): first driver
+    # rows come with the r16 window lead, not by displacing r15
+    # rotation debt
+    assert names[53:58] == [
         "graph_k_core",
         "agg_histogram_sketch_rollup",
         "stream_two_stage_windowed",
+        "rel_funnel_time_bounded",
+        "dedup_bloom_prefilter",
     ]
     # the streaming r11 cohort sits INSIDE the window at slots 4-11
     # (indices 3-10), right after the fresh11 debut trio (VERDICT r14 #1)
