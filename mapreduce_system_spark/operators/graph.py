@@ -606,3 +606,134 @@ def bfs_hops(
     if all_ids:
         track_rdd_ids(spark, all_ids)
     return dist
+
+
+def k_truss_edges(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 2,
+    edges_undirected_distinct: bool = False,
+) -> DataFrame:
+    """SYNCHRONOUS k-truss peeling — the EDGE-level density filter next
+    to ``k_core_peel``'s node-level one: each round removes EVERY edge
+    whose current support (number of triangles it closes) is below
+    k - 2, all at once, for exactly ``rounds`` rounds. Returns
+    (u, v, support) for the surviving value-ordered edges with their
+    end-of-peel supports. Staged r15 for an r16 debut
+    (``graph_k_truss`` planned over the support-2 co-purchase graph):
+    where the k-core keeps WELL-CONNECTED NODES, the k-truss keeps
+    edges embedded in TRIANGLE-DENSE neighborhoods — the stronger
+    community-backbone filter (Cohen, 2008) a link-curation pipeline
+    runs when co-occurrence alone is too easy to spam.
+
+    Bounded synchronous rounds for the oracle-parity reason LPA and
+    k-core fix theirs: the recurrence is a pure function of the edge
+    set, unrolled round for round by the drafted CTE
+    (tests/test_ktruss.py). Input normalization is k_core_peel's
+    (symmetric input accepted; normalized to value-ordered u < v
+    distinct edges, self-loops and NULLs dropped;
+    ``edges_undirected_distinct=True`` skips the normalize-distinct
+    exchange under the copurchase_pairs contract).
+
+    Scale shape: per round, triangle enumeration exactly as
+    ``triangle_stats`` does it — degree-ordered compact-forward
+    orientation (``orient_by_degree``), wedges generated only at each
+    triangle's minimum-(degree, id) vertex, so the wedge volume is
+    O(E·arboricity), never Θ(Σ d²) — then ONE edge-keyed support
+    aggregate (union of the three member-edge projections,
+    partial+final combinable). UNLIKE k-core, the per-round checkpoint
+    is EDGE-sized: the recurrence state IS the surviving edge set (the
+    answer itself), so an E-sized materialization per round is the
+    honest floor here, not the defect it was for k-core's node-sized
+    recurrence — bounded by ``rounds`` and shrinking monotonically.
+    Broadcast decisions stay AQE's: every join side here is either the
+    cached/checkpointed edge relation or a degree table derived from
+    it, all post-shuffle stages AQE can measure (contrast the k-core
+    keep-set gate, bench_runs/scale_probe_r15_kcore_*.json).
+
+    Reference contrast: worker.go:104-165 can count a fixed relation's
+    triangles as chained word counts at best, but removing an edge
+    changes OTHER edges' supports — the cascade re-entry
+    (coordinator.go:126-141's one-shot pipeline cannot express it),
+    same class as k-core.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    pr = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    )
+    if not edges_undirected_distinct:
+        pr = pr.distinct()
+    else:
+        pr = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+
+    def support(cur: DataFrame) -> DataFrame:
+        """(u, v, cnt) triangle support of a value-ordered edge set —
+        triangle_stats' enumeration, re-keyed to member edges."""
+        deg = degree_census(cur)
+        eo = orient_by_degree(cur, deg)
+        e1, e2 = eo.alias("e1"), eo.alias("e2")
+        wedges = e1.join(
+            e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
+        ).select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+        # closing-edge probe hashes the edge side (triangle_stats'
+        # measured choice: the wedge stream is the arboricity-times
+        # larger relation; keep it unsorted)
+        tri = wedges.join(
+            cur.hint("shuffle_hash"),
+            (F.col("u") == F.col("b")) & (F.col("v") == F.col("c")),
+        ).select("a", "b", "c")
+        members = (
+            tri.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .unionAll(
+                tri.select(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                )
+            )
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        )
+        return members.groupBy("u", "v").agg(F.count("*").alias("cnt"))
+
+    cur = tracked_cache(pr)
+    kept_ids: set[int] = set()
+    for _ in range(rounds):
+        supp = support(cur)
+        before = persistent_rdd_ids(spark)
+        # edge-sized checkpoint: the recurrence state is the edge set
+        # itself (see docstring); previous rounds' blocks are released
+        # once the new state is pinned, so storage stays one edge set
+        nxt = (
+            cur.join(supp, ["u", "v"], "left")
+            .where(F.coalesce(F.col("cnt"), F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        step_ids = persistent_rdd_ids(spark) - before
+        if kept_ids:
+            unpersist_rdd_ids(spark, kept_ids)
+        kept_ids = step_ids
+        cur = nxt
+    out = (
+        cur.join(support(cur), ["u", "v"], "left")
+        .select(
+            "u", "v", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("support")
+        )
+    )
+    if kept_ids:
+        track_rdd_ids(spark, kept_ids)
+    return out

@@ -50,6 +50,20 @@ Sums to 50 exactly; the r13 remainder (relational2 tail +
 textstats/fresh7b2/fresh7*/multimodal/fresh9) and this round's
 r14-window modules open r17. Keep the arithmetic ledgered here when
 the r16 rotation lands.
+
+r16 debut candidates, STAGED r15 with tests + drafted oracles (the
+staging pattern — register past the r16 window for r17 driver rows,
+or same-round per the fresh10 precedent): synchronous k-truss peeling
+(``operators/graph.py::k_truss_edges`` — the EDGE-level density
+filter next to k-core's node-level one, degree-ordered triangle
+enumeration per round; planned ``graph_k_truss`` over the support-2
+co-purchase graph; tests/test_ktruss.py carries the pure-Python
+reference, the unrolled per-round CTE draft, and a 25-topology fuzz)
+and PMI collocations
+(``operators/collocation.py::pmi_collocations`` — association-scored
+adjacent pairs, the measure ``txt_top_bigrams``' raw counts lack;
+planned ``txt_pmi_collocations``; tests/test_collocation.py carries
+the reference, the oracle draft, and a 15-corpus fuzz).
 """
 
 from __future__ import annotations
