@@ -38,6 +38,7 @@ Usage::
     python tools/scale_probe.py --sessions [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --boilerplate [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --kcore [--out NAME] [reps] [src_sf_dir] [organic_pct]
+    python tools/scale_probe.py --ktruss [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -652,6 +653,9 @@ def main() -> int:
     kcore_mode = "--kcore" in args
     if kcore_mode:
         args.remove("--kcore")
+    ktruss_mode = "--ktruss" in args
+    if ktruss_mode:
+        args.remove("--ktruss")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
@@ -666,6 +670,12 @@ def main() -> int:
             reps, src, out_name,
             organic_pct=int(args[2]) if len(args) > 2 else 0,
         )
+    if ktruss_mode:
+        if len(args) > 2:
+            print(f"# --ktruss takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return ktruss_main(reps, src, out_name)
     if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
             or sessions_mode or boilerplate_mode):
         if len(args) > 2:
@@ -2011,6 +2021,90 @@ def kcore_main(
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if ok else 1
+
+
+def ktruss_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """k-truss peeling at 1x vs reps x (the kcore probe's disjoint
+    construction verbatim: replica r offsets l_orderkey AND l_partkey,
+    so each shard's support-2 co-purchase graph is an isomorphic copy).
+    Hard gates: the surviving EDGE census scales EXACTLY reps x AND the
+    survivor SUPPORT histogram scales exactly reps x per bucket (a
+    cross-shard triangle or round-order dependence breaks the histogram
+    before a row count). Wall is the free variable: per round one
+    degree-ordered triangle enumeration + one edge-keyed aggregate +
+    one edge-sized checkpoint — the checkpoint is the recurrence state
+    itself (see k_truss_edges' docstring), so expect a HIGHER wall
+    ratio than k-core's x2.2 (three E-sized materializations ride the
+    rounds by design, not defect). Staged-operator probe before the
+    graph_k_truss debut registers (the r14 kcore precedent)."""
+    import statistics
+
+    from mapreduce_system_spark.operators.graph import k_truss_edges
+    from mapreduce_system_spark.queries._graphshared import (
+        copurchase_pairs_supported,
+    )
+
+    k, rounds = 3, 2
+    dst = "/tmp/spark_graft_scale/ktruss_sf1"
+    spark = get_spark("scale_probe_ktruss")
+    li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
+    _write_replicated(
+        spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
+    )
+
+    def run(d: str):
+        pr = copurchase_pairs_supported(spark, d, 2)
+        t0 = time.time()
+        surv = k_truss_edges(
+            pr, k, src="u", dst="v", rounds=rounds,
+            edges_undirected_distinct=True,
+        )
+        hist = {
+            int(r["support"]): int(r["n"])
+            for r in surv.groupBy("support").agg(F.count("*").alias("n")).collect()
+        }
+        wall = time.time() - t0
+        caches.release()
+        return wall, sum(hist.values()), hist
+
+    run(src)  # untimed warm-up
+    record: dict = {
+        "mode": "ktruss", "reps": reps, "src": src, "k": k,
+        "rounds": rounds, "scales": {},
+    }
+    hists: dict[str, dict] = {}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, n_surv, hist = [], None, None
+        for _ in range(3):
+            w, n_surv, hist = run(d)
+            walls.append(w)
+        hists[label] = hist
+        record["scales"][label] = {
+            "surviving_edges": n_surv,
+            "support_histogram": {str(kk): v for kk, v in sorted(hist.items())},
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: edges={n_surv} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["edges_exact_scale"] = b["surviving_edges"] == reps * a["surviving_edges"]
+    record["histogram_exact_scale"] = hists["sf1"] == {
+        kk: reps * v for kk, v in hists["sf0.1"].items()
+    }
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    print("| scale | surviving edges | wall s |")
+    print("|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['surviving_edges']} | {sc['wall_s']} |")
+    ratio = (b["surviving_edges"] / a["surviving_edges"]
+             if a["surviving_edges"] else float("nan"))
+    print(f"| ratio | {ratio:.2f} | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_ktruss_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if (record["edges_exact_scale"] and record["histogram_exact_scale"]) else 1
 
 
 if __name__ == "__main__":
