@@ -44,11 +44,18 @@ Scale shape (the 100 TB posture): ONE pass over the event relation per
 step — a filtered (type = step_k) partial+final min-aggregate keyed by
 user — plus a user-sized equi-join against the previous step's arrival
 vector. No window over raw events, no per-user event-list collection,
-no driver state: k steps cost k filtered scans of the (pushdown-pruned)
-type column and k user-sized shuffles. At 1000 executors each step is
-embarrassingly map-side until its user-keyed combine. The alternative
-(collect_list + per-user Python scan) holds the whole per-user history
-in one task — the shape that dies on a power-law user.
+and FULLY LAZY: the result is one unioned plan of per-step one-row
+aggregates (fresh7e's stage_row shape) — no per-step driver ``count()``
+actions, so the whole funnel is ONE Spark job whose k filtered scans
+share the pushdown-pruned type column. (The first cut collected k
+bounded scalars driver-side at build time — harmless at fixture scale
+(~1.2 s warm either way) but k separate actions where one plan
+suffices: each action pays its own scheduling floor, blocks the caller
+until it finishes, and can't share scan work with its siblings. Lazy
+union is the fresh7e-proven form; rewritten before any driver row so
+the gate only ever sees this shape.) The alternative (collect_list +
+per-user Python scan) holds the whole per-user history in one task —
+the shape that dies on a power-law user.
 
 Reference contrast: worker.go:104-165's one-shot map→reduce can count
 per-type events (word count over types), but step k's filter depends on
@@ -95,7 +102,7 @@ def funnel_conversion(
         .agg(F.min("ts").alias("t"))
         .select("u", "t", F.col("t").alias("t0"))
     )
-    counts = [cur.count()]  # bounded driver scalars: one per step
+    stages = [cur]
     for step in steps[1:]:
         nxt = ev.where(F.col("et") == step).select(
             "u", F.col("ts").alias("nts")
@@ -111,14 +118,34 @@ def funnel_conversion(
             .groupBy("u")
             .agg(F.min("nts").alias("t"), F.first("t0").alias("t0"))
         )
-        counts.append(cur.count())
+        stages.append(cur)
 
-    spark = events.sparkSession
-    first = counts[0]
+    # one-row aggregate per stage, unioned into ONE lazy plan — the
+    # fresh7e stage_row shape, no driver actions; frac divides by the
+    # broadcast entry count (0-entrant funnels pin 0.0 on every row,
+    # NULL-free, matching the oracle's nullif-guarded division)
+    entry = stages[0].agg(F.count("*").alias("n_first"))
     rows = [
-        (i + 1, s, int(n), round(n / first, 6) if first else 0.0)
-        for i, (s, n) in enumerate(zip(steps, counts))
+        s.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        for i, (step, s) in enumerate(zip(steps, stages))
     ]
-    return spark.createDataFrame(
-        rows, "step_idx int, step string, n_users bigint, frac_of_first double"
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (
+        out.crossJoin(F.broadcast(entry))
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.when(F.col("n_first") > 0,
+                   F.round(F.col("n_users") / F.col("n_first"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("frac_of_first"),
+        )
+        .orderBy("step_idx")
     )
