@@ -706,6 +706,41 @@ def test_two_stage_windowed_is_two_aggregates_one_scan(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
 
 
+def test_funnel_time_bounded_is_lazy_aggregates_no_window(spark):
+    """rel_funnel_time_bounded (r15): the funnel must stay a union of
+    per-step one-row aggregates over filtered scans — no Window over
+    raw events (the per-user row_number spelling that sorts the whole
+    stream), no CartesianProduct beyond the one-row entry-count
+    broadcast (BroadcastNestedLoopJoin over 1 row is the documented
+    stage_row shape)."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    df = QUERIES["rel_funnel_time_bounded"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # each union branch re-derives its stage chain (fresh7e's accepted
+    # shape): stage i scans events i times, plus the entry branch —
+    # 1+2+3+1 = 7 pushdown-pruned scans for the 3-step funnel; anything
+    # above that means a new unshared subtree crept in
+    assert plan.count("Location: InMemoryFileIndex") <= 7, plan
+    assert "collect_list" not in plan, plan
+
+
+def test_bloom_prefilter_positions_stay_bounded(spark):
+    """dedup_bloom_prefilter (r15): both position relations must reach
+    the verdict through equi-joins on pos/key — no CartesianProduct, no
+    corpus-vocabulary sort; the k probes are a map-side explode
+    (generator), never a join against a probe table."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    df = QUERIES["dedup_bloom_prefilter"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the explode of the k probe slots
+    _assert_equi_join_only(df)
+
+
 def test_histsketch_total_merge_reads_sketch_not_raw(spark):
     """histogram_sketch_rollup (staged r14): the plan may scan the raw
     relation only through the cached (grp, v) count — the TOTAL branch
