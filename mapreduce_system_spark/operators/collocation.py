@@ -61,9 +61,14 @@ def pmi_collocations(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    ts = tokens(text_col)
+    # Project the token array FIRST, then filter on the projected column:
+    # filtering on tokens(text_col) post-projection only resolves via
+    # Catalyst's missing-attribute rule and tokenizes every document
+    # twice before the cache (ADVICE r15).
     base = tracked_cache(
-        docs.select(ts.alias("ts")).where(F.size(ts) >= 1)
+        docs.select(tokens(text_col).alias("ts")).where(
+            F.size(F.col("ts")) >= 1
+        )
     )
     uni = base.select(F.explode("ts").alias("w")).groupBy("w").agg(
         F.count("*").alias("n_w")

@@ -89,9 +89,9 @@ WITH ev AS (
     )
     + """)
 SELECT step_idx, step, n_users,
-       round(CAST(n_users AS DOUBLE)
+       coalesce(round(CAST(n_users AS DOUBLE)
              / nullif((SELECT n_users FROM counts WHERE step_idx = 1), 0),
-             6) AS frac_of_first
+             6), 0.0) AS frac_of_first
 FROM counts ORDER BY step_idx
 """
 )
@@ -105,12 +105,11 @@ def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving user count and the fraction of funnel entrants. Scale
     shape is fresh7e's (one filtered min-aggregate + one user-sized
     equi-join per step, stages only shrink), with the span condition
-    riding the existing join — no extra shuffle. The fixture has no
-    all-NULL entry step, so frac_of_first's nullif guard never fires
-    (both engines would agree anyway: 0-entrant funnels return 0.0 on
-    Spark and NULL-free empty rows on neither — the operator pins 0.0
-    and the oracle's nullif only triggers on n=0 WITH rows, which
-    cannot happen when step 1 counts its own anchor)."""
+    riding the existing join — no extra shuffle. Empty-input parity
+    (ADVICE r15): a fully-filtered events relation still emits 3 rows
+    on BOTH engines (one-row aggregates / scalar subqueries count 0),
+    so the oracle wraps the division in coalesce(..., 0.0) to match
+    the operator's pinned frac_of_first=0.0 on a zero-entrant funnel."""
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
     return funnel_conversion(
         ev,

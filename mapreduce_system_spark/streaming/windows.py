@@ -187,9 +187,22 @@ def interval_join(
     (tests/test_streaming.py pins this against the batch LEFT JOIN with
     a sentinel-advanced watermark). State bound is unchanged: the same
     time-range predicate evicts both sides.
+
+    ``how="full_outer"`` (staged r16 — completes the inner -> left ->
+    full matrix): unmatched RIGHT rows also emit once with NULL left
+    columns, gated on the watermark passing THEIR join window (a right
+    row at t can still match left rows arriving up to t, so its window
+    closes at t + the watermark delay). Both watermarks matter: the
+    global watermark is the min across inputs, so a quiet side holds
+    back BOTH sides' unmatched emission — the probe and test put
+    sentinels on both streams (tools/scale_probe.py --fjoin,
+    tests/test_streaming.py). Same state bound: the time-range
+    predicate evicts both sides.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
+        )
     lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
     rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
     cond = (
@@ -249,7 +262,10 @@ def _interval_seconds(interval: str) -> float:
     if len(parts) != 2:
         raise ValueError(f"expected '<n> <unit>' interval, got {interval!r}")
     n, unit = parts
-    unit = unit.rstrip("s")
+    # Strip at most ONE trailing plural 's' — rstrip('s') would accept
+    # typos like 'minutess' as valid (ADVICE r15).
+    if unit.endswith("s") and len(unit) > 1:
+        unit = unit[:-1]
     if unit not in _INTERVAL_UNIT_SECONDS:
         raise ValueError(f"unknown interval unit in {interval!r}")
     return float(n) * _INTERVAL_UNIT_SECONDS[unit]

@@ -240,3 +240,29 @@ def test_funnel_on_events_fixture_sane(spark):
     ns = [r.n_users for r in sorted(out, key=lambda r: r.step_idx)]
     assert ns[0] > 0 and all(a >= b for a, b in zip(ns, ns[1:]))
     assert all(0.0 <= r.frac_of_first <= 1.0 for r in out)
+
+
+def test_funnel_registered_oracle_empty_input_parity(spark):
+    """ADVICE r15 regression: on a zero-entrant (empty) events relation
+    both engines emit 3 rows with n_users=0 AND frac_of_first=0.0 —
+    the registered oracle's coalesce(..., 0.0) must match the
+    operator's pinned 0.0 (pre-fix the oracle yielded NULL)."""
+    from mapreduce_system_spark.queries import fresh13
+
+    empty = spark.createDataFrame([], _SCHEMA)
+    got = sorted(
+        tuple(r)
+        for r in funnel_conversion(
+            empty, ["view", "click", "purchase"], max_span="30 minutes"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT "
+        "CAST(NULL AS BIGINT) AS user_id, "
+        "CAST(NULL AS TIMESTAMP) AS ts, "
+        "CAST(NULL AS VARCHAR) AS event_type WHERE FALSE"
+    )
+    want = sorted(tuple(r) for r in con.execute(fresh13._FUNNEL_TB_SQL).fetchall())
+    assert got == want
+    assert all(r[2] == 0 and r[3] == 0.0 for r in got)

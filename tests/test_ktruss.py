@@ -104,9 +104,11 @@ def test_ktruss_rejects_bad_params(spark):
 
 def _ktruss_round_cte(prev: str, cur: str, r: int, k: int) -> str:
     """One unrolled synchronous truss round — the draft the registered
-    oracle will interpolate. Triangle listing is the simple a<b<c form
-    (orientation-independent support)."""
-    return f"""t{r} AS (
+    oracle interpolates (queries/fresh14.py). Triangle listing is the
+    simple a<b<c form (orientation-independent support); MATERIALIZED
+    mirrors the registration (DuckDB 1.0 inlines CTEs per reference —
+    the nested stack re-expands exponentially without it)."""
+    return f"""t{r} AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM {prev} e1
   JOIN {prev} e2 ON e2.u = e1.u AND e2.v > e1.v
@@ -117,7 +119,7 @@ def _ktruss_round_cte(prev: str, cur: str, r: int, k: int) -> str:
     UNION ALL SELECT a, c FROM t{r}
     UNION ALL SELECT b, c FROM t{r}
   ) GROUP BY u, v
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT e.u, e.v FROM {prev} e
   LEFT JOIN s{r} s ON s.u = e.u AND s.v = e.v
   WHERE coalesce(s.cnt, 0) >= {k - 2}
@@ -132,7 +134,7 @@ def test_ktruss_matches_unrolled_duckdb_oracle(spark, tmp_path, k, rounds):
         (r.u, r.v, r.support)
         for r in k_truss_edges(df, k, rounds=rounds).collect()
     )
-    ctes = ["""e0 AS (
+    ctes = ["""e0 AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw
   WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
 )"""]
@@ -182,3 +184,21 @@ def test_ktruss_fuzz_25_random_topologies(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ktruss_contract_flag_order_insensitive(spark):
+    """ADVICE r15 regression: ``edges_undirected_distinct=True`` must
+    tolerate out-of-order (v > u) input edges — least/greatest applies
+    unconditionally; the flag only skips the distinct exchange."""
+    # distinct undirected edge set, but HALF the edges value-reversed
+    shuffled = [
+        (b, a) if i % 2 else (a, b) for i, (a, b) in enumerate(_EDGES)
+    ]
+    df = spark.createDataFrame(shuffled, "src long, dst long")
+    got = {
+        (r.u, r.v): r.support
+        for r in k_truss_edges(
+            df, 4, rounds=2, edges_undirected_distinct=True
+        ).collect()
+    }
+    assert got == _ref_ktruss(_EDGES, 4, 2)

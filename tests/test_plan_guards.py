@@ -759,3 +759,25 @@ def test_histsketch_total_merge_reads_sketch_not_raw(spark):
         _assert_equi_join_only(df)
     finally:
         caches.release()
+
+
+def test_funnel_unbounded_is_lazy_aggregates_no_window(spark):
+    """rel_funnel_conversion (VERDICT r15 #7): the REGISTERED unbounded
+    funnel was rewritten fully lazy post-r15-seal (commit 5bc6b4f — one
+    job, a union of per-step one-row aggregates, no driver actions);
+    pin that shape like the bounded variant's guard so a refactor
+    cannot silently reintroduce the eager per-step counts. No Window
+    over raw events, no CartesianProduct, no collect_list; each union
+    branch re-derives its stage chain (stage i scans events i times,
+    3-step funnel -> 1+2+3 = 6 pushdown-pruned scans max)."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    df = QUERIES["rel_funnel_conversion"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") <= 6, plan
+    assert "collect_list" not in plan, plan
+    # the union of 3 one-row stage aggregates: exactly 3 Union children
+    # carrying the literal step ids survive to the physical plan
+    assert "Union" in plan, plan

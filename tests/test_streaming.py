@@ -924,8 +924,91 @@ def test_interval_join_left_outer_stream_matches_batch(spark, tmp_path):
 def test_interval_join_rejects_unknown_how():
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="left_outer"):
-        SW.interval_join(None, None, on="user_id", how="full_outer")
+    with _pytest.raises(ValueError, match="full_outer"):
+        SW.interval_join(None, None, on="user_id", how="right_outer")
+
+
+def test_interval_join_full_outer_stream_matches_batch(spark, tmp_path):
+    """FULL OUTER stream-stream interval join (staged r16 — completes
+    the inner (r13) -> left_outer (r14) join-mode matrix): unmatched
+    CLICKS emit once with NULL right columns AND unmatched PURCHASES
+    emit once with NULL left columns, each after the watermark passes
+    its own join window. Sentinels on BOTH streams (the global
+    watermark is the min across inputs) push every real row's window
+    closed, so the emitted set must equal the batch FULL JOIN exactly
+    (sentinels excluded)."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    clicks = [
+        (1, ts(0), 100),        # converts at +10m
+        (2, ts(0), 102),        # never converts -> (102, NULL)
+        (3, ts(2), 103),        # purchase outside 30m -> (103, NULL)
+        (9, ts(24 * 60), 199),  # sentinel: watermark driver, excluded
+    ]
+    purchases = [
+        (1, ts(10), 900),
+        (3, ts(40), 901),       # 38m after click 103 -> (NULL, 901)
+        (4, ts(5), 902),        # no click at all -> (NULL, 902)
+        (9, ts(24 * 60), 999),  # sentinel on the right stream too
+    ]
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    for d, rows, name in ((cdir, clicks, "c"), (pdir, purchases, "p")):
+        d.mkdir()
+        scratch = tmp_path / f"tmp_{name}"
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = next(p for p in scratch.iterdir() if p.name.endswith(".parquet"))
+        dst = d / "chunk-1.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000, 1_700_000_000))
+
+    def read(d):
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, event_id long")
+            .parquet(str(d))
+        )
+
+    joined = SW.interval_join(
+        SW.with_watermark(read(cdir), delay="1 minute"),
+        SW.with_watermark(read(pdir), delay="1 minute"),
+        on="user_id",
+        max_delay="30 minutes",
+        how="full_outer",
+    )
+    q = _run_stream(joined, "t_ij_full", output_mode="append")
+    try:
+        got = {
+            (r.l_event_id, r.r_event_id)
+            for r in spark.table("t_ij_full").collect()
+            if r.l_user_id != 9 and r.r_user_id != 9
+        }
+        bc = spark.createDataFrame(
+            [r for r in clicks if r[0] != 9],
+            "user_id long, ts timestamp, event_id long",
+        )
+        bp = spark.createDataFrame(
+            [r for r in purchases if r[0] != 9],
+            "user_id long, ts timestamp, event_id long",
+        )
+        want = {
+            (r.l_event_id, r.r_event_id)
+            for r in SW.interval_join(
+                bc, bp, on="user_id", max_delay="30 minutes", how="full_outer"
+            ).collect()
+        }
+        assert got == want
+        assert (102, None) in got and (103, None) in got
+        assert (None, 901) in got and (None, 902) in got
+        assert (100, 900) in got
+    finally:
+        q.stop()
 
 
 def test_two_stage_windowed_rejects_misaligned_intervals(spark):
@@ -949,6 +1032,13 @@ def test_two_stage_windowed_rejects_misaligned_intervals(spark):
         SW._interval_seconds("fortnight")
     with _pytest.raises(ValueError, match="unit"):
         SW._interval_seconds("3 parsecs")
+    # ADVICE r15: at most ONE plural 's' strips — typo'd units raise
+    with _pytest.raises(ValueError, match="unit"):
+        SW._interval_seconds("2 hourss")
+    with _pytest.raises(ValueError, match="unit"):
+        SW._interval_seconds("5 minutess")
+    assert SW._interval_seconds("2 hours") == 7200.0
+    assert SW._interval_seconds("1 hour") == 3600.0
 
 
 def test_two_stage_windowed_stream_matches_batch(spark, tmp_path):

@@ -39,6 +39,9 @@ Usage::
     python tools/scale_probe.py --boilerplate [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --kcore [--out NAME] [reps] [src_sf_dir] [organic_pct]
     python tools/scale_probe.py --ktruss [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --bloom [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --ccjump [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --fjoin [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -656,6 +659,15 @@ def main() -> int:
     ktruss_mode = "--ktruss" in args
     if ktruss_mode:
         args.remove("--ktruss")
+    bloom_mode = "--bloom" in args
+    if bloom_mode:
+        args.remove("--bloom")
+    ccjump_mode = "--ccjump" in args
+    if ccjump_mode:
+        args.remove("--ccjump")
+    fjoin_mode = "--fjoin" in args
+    if fjoin_mode:
+        args.remove("--fjoin")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
@@ -676,6 +688,24 @@ def main() -> int:
                   f"extra arg(s): {args[2:]}", file=sys.stderr)
             return 2
         return ktruss_main(reps, src, out_name)
+    if bloom_mode:
+        if len(args) > 2:
+            print(f"# --bloom takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return bloom_main(reps, src, out_name)
+    if ccjump_mode:
+        if len(args) > 2:
+            print(f"# --ccjump takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return ccjump_main(reps, src, out_name)
+    if fjoin_mode:
+        if len(args) > 2:
+            print(f"# --fjoin takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return fjoin_main(reps, src, out_name)
     if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
             or sessions_mode or boilerplate_mode):
         if len(args) > 2:
@@ -2023,28 +2053,485 @@ def kcore_main(
     return 0 if ok else 1
 
 
+def ccjump_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Pointer-jumping connected components at 1x vs reps x (staged r16
+    for a later debut — VERDICT r15 #5's probe-before-registration
+    cadence). Two constructions, two claims:
+
+    (1) DISJOINT REPLICAS of the raw co-purchase graph (the k-core/
+    k-truss construction: replica r offsets l_orderkey AND l_partkey).
+    Hard gate: the component CENSUS (count + size histogram) scales
+    EXACTLY reps x (components of a disjoint union are components per
+    shard); wall is the free variable — per round two equi-joins + one
+    node-keyed min aggregate + one node-sized checkpoint.
+
+    (2) a DEEP PATH (the regime the operator exists for): minimal
+    converged rounds at depth D vs 10D must grow by <= 4 (the O(log d)
+    claim — reach doubles per round), where min-label CC
+    (operators/dedup.py) would need D rounds outright. The path is
+    synthetic by necessity: no fixture relation carries diameter in
+    the thousands, and depth IS the stressor here."""
+    import statistics
+
+    from mapreduce_system_spark.operators.graph import connected_components_jump
+    from mapreduce_system_spark.queries._graphshared import copurchase_pairs
+
+    dst = "/tmp/spark_graft_scale/ccjump_sf1"
+    spark = get_spark("scale_probe_ccjump")
+    li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
+    _write_replicated(
+        spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
+    )
+
+    def census(d: str):
+        pr = copurchase_pairs(spark, d)
+        t0 = time.time()
+        lab = connected_components_jump(
+            pr, id_a="u", id_b="v", rounds=6,
+        )
+        sizes = {
+            int(r["sz"]): int(r["n"])
+            for r in lab.groupBy("lab").agg(F.count("*").alias("sz"))
+            .groupBy("sz").agg(F.count("*").alias("n")).collect()
+        }
+        wall = time.time() - t0
+        caches.release()
+        return wall, sizes
+
+    census(src)  # untimed warm-up
+    record: dict = {"mode": "ccjump", "reps": reps, "src": src, "scales": {}}
+    hists: dict[str, dict] = {}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, sizes = [], None
+        for _ in range(3):
+            w, sizes = census(d)
+            walls.append(w)
+        hists[label] = sizes
+        record["scales"][label] = {
+            "n_components": sum(sizes.values()),
+            "size_histogram": {str(k): v for k, v in sorted(sizes.items())},
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: components={sum(sizes.values())} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, b = record["scales"]["sf0.1"], record["scales"]["sf1"]
+    record["census_exact_scale"] = hists["sf1"] == {
+        k: reps * v for k, v in hists["sf0.1"].items()
+    }
+    record["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+
+    # (2) the depth claim: minimal converged rounds on a path, D vs 10D
+    def min_rounds(depth: int) -> int:
+        edges = spark.range(depth).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        for r in range(1, 21):
+            lab = connected_components_jump(edges, rounds=r)
+            n_labels = lab.select("lab").distinct().count()
+            caches.release()
+            if n_labels == 1:
+                return r
+        return -1
+
+    depth = 2000
+    r_small = min_rounds(depth)
+    r_big = min_rounds(depth * reps)
+    record["path_depth"] = depth
+    record["path_rounds_1x"] = r_small
+    record["path_rounds_10x"] = r_big
+    record["log_growth"] = 0 <= r_big - r_small <= 4
+    print("| scale | components | wall s |")
+    print("|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['n_components']} | {sc['wall_s']} |")
+    print(f"| ratio | | **{record['wall_ratio']}** |")
+    print(f"| path {depth} -> x{reps} | rounds {r_small} -> {r_big} | |")
+    out = _record_out(out_name, "scale_probe_ccjump_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
+    return 0 if (record["census_exact_scale"] and record["log_growth"]) else 1
+
+
+def fjoin_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """FULL OUTER stream-stream interval join at 1x vs reps x keys
+    (staged r16, completing the inner -> left_outer -> full_outer
+    matrix; VERDICT r15 #5's probe-before-registration cadence). Each
+    side staged as two time-contiguous chunks + a far-future sentinel
+    (fresh6's replay discipline — sentinels on BOTH streams because the
+    global watermark is the min across inputs). Hard gates: the
+    streaming (matched, left-unmatched, right-unmatched) census equals
+    the batch FULL JOIN census at BOTH scales, and the census scales
+    EXACTLY reps x (replicas are key-disjoint). Free variables: wall
+    and peak join-state rows (both sides' in-flight windows — expect
+    ~linear in rows, the watermark-eviction contract)."""
+    import os
+    import statistics
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    from mapreduce_system_spark.queries import fresh6
+    from mapreduce_system_spark.streaming import windows as SW
+
+    spark = get_spark("scale_probe_fjoin")
+    MAX_DELAY = "30 minutes"
+
+    def load_sides(rep: int):
+        ev = load_table(
+            spark, src, "events", columns=["user_id", "ts", "event_type"]
+        ).where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        if rep > 1:
+            parts = [ev]
+            for r in range(1, rep):
+                parts.append(
+                    ev.select(
+                        (F.col("user_id") + r * _OFFSET).alias("user_id"),
+                        "ts", "event_type",
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            ev = out
+        clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+        purch = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+        return clicks, purch
+
+    def stage_side(df, base: _P, name: str, sentinel_es: int) -> None:
+        d = base / name
+        d.mkdir(parents=True)
+        tmp = str(base / f"tmp_{name}")
+        df.withColumn("es", F.unix_timestamp("ts")).repartitionByRange(
+            2, "es", "user_id"
+        ).write.mode("overwrite").parquet(tmp)
+        parts = sorted(
+            p for p in _P(tmp).iterdir() if p.name.endswith(".parquet")
+        )
+        if len(parts) < 2:
+            raise RuntimeError(f"expected 2 time-range chunks, saw {len(parts)}")
+        for i, part in enumerate(parts, start=1):
+            chunk = d / f"chunk-{i}.parquet"
+            part.rename(chunk)
+            t = 1_700_000_000 + i * 10
+            os.utime(chunk, (t, t))
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_seconds(F.lit(sentinel_es)).alias("ts"),
+            F.lit(sentinel_es).cast("long").alias("es"),
+        ).coalesce(1).write.mode("overwrite").parquet(str(base / f"tmp_s_{name}"))
+        s = d / "chunk-9-sentinel.parquet"
+        next(
+            p for p in (base / f"tmp_s_{name}").iterdir()
+            if p.name.endswith(".parquet")
+        ).rename(s)
+        t = 1_700_000_000 + 990
+        os.utime(s, (t, t))
+
+    def census_of(df) -> dict:
+        row = (
+            df.where(
+                (F.col("l_user_id").isNull() | (F.col("l_user_id") != -1))
+                & (F.col("r_user_id").isNull() | (F.col("r_user_id") != -1))
+            )
+            .agg(
+                F.count_if(
+                    F.col("l_ts").isNotNull() & F.col("r_ts").isNotNull()
+                ).alias("matched"),
+                F.count_if(F.col("r_ts").isNull()).alias("left_unmatched"),
+                F.count_if(F.col("l_ts").isNull()).alias("right_unmatched"),
+            )
+            .collect()[0]
+        )
+        return {
+            "matched": int(row["matched"]),
+            "left_unmatched": int(row["left_unmatched"]),
+            "right_unmatched": int(row["right_unmatched"]),
+        }
+
+    def run(rep: int):
+        clicks, purch = load_sides(rep)
+        max_es = (
+            clicks.select(F.max(F.unix_timestamp("ts")).alias("m"))
+            .unionByName(purch.select(F.max(F.unix_timestamp("ts")).alias("m")))
+            .agg(F.max("m"))
+            .collect()[0][0]
+        )
+        sentinel_es = int(max_es) + 3 * 3600  # beyond every join window
+        base = _P(f"/tmp/spark_graft_fjoin_{rep}x_{_uuid.uuid4().hex[:8]}")
+        try:
+            stage_side(clicks, base, "clicks", sentinel_es)
+            stage_side(purch, base, "purch", sentinel_es)
+            sink, ck = str(base / "out"), str(base / "ck")
+
+            def read(name: str):
+                return (
+                    spark.readStream.schema("user_id long, ts timestamp, es long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(str(base / name))
+                )
+
+            t0 = time.time()
+            joined = SW.interval_join(
+                SW.with_watermark(read("clicks"), delay="1 minute"),
+                SW.with_watermark(read("purch"), delay="1 minute"),
+                on="user_id", max_delay=MAX_DELAY, how="full_outer",
+            )
+            with fresh6._pinned_conf(
+                spark, "spark.sql.streaming.numRecentProgressUpdates", "10000"
+            ):
+                q = (
+                    joined.writeStream.foreachBatch(
+                        lambda b, _i: b.write.mode("append").parquet(sink)
+                    )
+                    .outputMode("append")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination()
+                    progress = [
+                        json.loads(p.json) if hasattr(p, "json") else dict(p)
+                        for p in q.recentProgress
+                    ]
+                finally:
+                    try:
+                        q.stop()
+                    except Exception:
+                        pass
+            stream_census = census_of(spark.read.parquet(sink))
+            wall = time.time() - t0
+            batch_census = census_of(
+                SW.interval_join(
+                    clicks, purch, on="user_id",
+                    max_delay=MAX_DELAY, how="full_outer",
+                )
+            )
+            caches.release()
+            return wall, stream_census, batch_census, _state_metrics(progress)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    run(1)  # untimed warm-up
+    record: dict = {
+        "mode": "fjoin", "reps": reps, "src": src,
+        "max_delay": MAX_DELAY, "scales": {},
+    }
+    ok = True
+    censuses: dict[str, dict] = {}
+    for label, rep in [("1x", 1), (f"{reps}x", reps)]:
+        walls, sc, bc, metrics = [], None, None, None
+        for _ in range(3):
+            w, sc, bc, metrics = run(rep)
+            walls.append(w)
+        matches_batch = sc == bc
+        ok = ok and matches_batch
+        censuses[label] = sc
+        record["scales"][label] = {
+            "stream_census": sc,
+            "batch_census": bc,
+            "stream_matches_batch": matches_batch,
+            "wall_s": round(statistics.median(walls), 2),
+            **{k: metrics[k] for k in
+               ("peak_state_rows", "peak_state_bytes", "n_batches")},
+        }
+        print(f"# {label}: census={sc} batch_match={matches_batch} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, b = record["scales"]["1x"], record["scales"][f"{reps}x"]
+    record["census_exact_scale"] = censuses[f"{reps}x"] == {
+        k: reps * v for k, v in censuses["1x"].items()
+    }
+    ok = ok and record["census_exact_scale"]
+    record["wall_ratio"] = (
+        round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    )
+    record["state_rows_ratio"] = (
+        round(b["peak_state_rows"] / a["peak_state_rows"], 2)
+        if a["peak_state_rows"] else None
+    )
+    print("| scale | matched | l-unmatched | r-unmatched | wall s | peak state rows |")
+    print("|---|---|---|---|---|---|")
+    for label in ("1x", f"{reps}x"):
+        s = record["scales"][label]
+        c = s["stream_census"]
+        print(f"| {label} | {c['matched']} | {c['left_unmatched']} "
+              f"| {c['right_unmatched']} | {s['wall_s']} | {s['peak_state_rows']} |")
+    print(f"| ratio | | | | **{record['wall_ratio']}** "
+          f"| {record['state_rows_ratio']} |")
+    out = _record_out(out_name, "scale_probe_fjoin_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    return 0 if ok else 1
+
+
+def bloom_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Bloom prefilter fp-rate + residue at 1x vs reps x history
+    (VERDICT r15 #4, run BEFORE the ``dedup_bloom_prefilter`` driver
+    row lands): the registered query's false-positive audit is
+    fixture-sized; this probe pins that (a) the MEASURED fp rate tracks
+    the (1 - e^{-kn/m})^k formula as n grows toward m — the sizing
+    contract a caller relies on when picking m for a 100 TB corpus —
+    (b) the no-false-negative invariant holds at every scale, and
+    (c) the maybe-seen residue (the exact-path fallback volume) stays
+    the bounded fraction the two-tier design assumes. Scale
+    construction: replica r SALTS the fingerprint (``fp#r``) — the
+    sketch hashes opaque strings, so salting grows the distinct key
+    population toward m without touching parquet; history/batch split
+    and recrawl staging are the registered query's constants verbatim.
+    Wall is recorded for the m-bounded claim: the sketch side of the
+    probe join is capped at m rows however large the corpus, so the
+    recurring cost must grow far slower than the 10x key volume."""
+    import math
+    import statistics
+
+    from mapreduce_system_spark.functions.hashing import md5_bucket32
+    from mapreduce_system_spark.functions.text import fingerprint
+    from mapreduce_system_spark.operators.bloomsketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    M, K = 65536, 4                    # the registered query's constants
+    BATCH_BUCKET, RECRAWL_MOD = 90, 7  # (queries/fresh13.py)
+    spark = get_spark("scale_probe_bloom")
+    docs = load_table(spark, src, "documents", columns=["doc_id", "text"])
+    b = (
+        docs.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            fingerprint("text").alias("fp"),
+            F.pmod(
+                md5_bucket32(F.col("doc_id").cast("string")), F.lit(100)
+            ).alias("bk"),
+        )
+    )
+
+    def key_relations(rep: int):
+        rdf = spark.range(rep).select(F.col("id").alias("r"))
+        kb = b.crossJoin(F.broadcast(rdf)).select(
+            "doc_id", "bk",
+            F.concat("fp", F.lit("#"), F.col("r").cast("string")).alias("key"),
+        )
+        hist = kb.where(F.col("bk") < BATCH_BUCKET).select("key").distinct()
+        batch = (
+            kb.where(
+                (F.col("bk") >= BATCH_BUCKET)
+                | ((F.col("bk") < BATCH_BUCKET)
+                   & (F.col("doc_id") % RECRAWL_MOD == 0))
+            )
+            .select("key")
+            .distinct()
+        )
+        return hist, batch
+
+    def run(rep: int):
+        hist, batch = key_relations(rep)
+        t0 = time.time()
+        sketch = bloom_build(hist, "key", m=M, k=K)
+        verd = bloom_maybe_contains(batch, sketch, "key", m=M, k=K)
+        census = {
+            (r["maybe_seen"], r["actually_seen"]): r["n"]
+            for r in verd.join(
+                hist.withColumnRenamed("key", "hk"),
+                verd["key"] == F.col("hk"), "left",
+            )
+            .groupBy(
+                "maybe_seen", F.col("hk").isNotNull().alias("actually_seen")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        wall = time.time() - t0
+        n_hist = hist.count()
+        caches.release()
+        return wall, n_hist, census
+
+    run(1)  # untimed warm-up (JVM/codegen)
+    record: dict = {
+        "mode": "bloom", "reps": reps, "src": src, "m": M, "k": K,
+        "scales": {},
+    }
+    ok = True
+    for label, rep in [("1x", 1), (f"{reps}x", reps)]:
+        walls, n_hist, census = [], 0, {}
+        for _ in range(3):
+            w, n_hist, census = run(rep)
+            walls.append(w)
+        n_fp = census.get((True, False), 0)
+        n_fn = census.get((False, True), 0)
+        n_new = n_fp + census.get((False, False), 0)
+        n_seen = n_fn + census.get((True, True), 0)
+        n_batch = n_new + n_seen
+        predicted = (1.0 - math.exp(-K * n_hist / M)) ** K
+        measured = n_fp / n_new if n_new else None
+        # binomial tolerance on the fp COUNT: 4 sigma + 3 absolute (the
+        # 1x point expects ~a-few false positives — Poisson-noisy)
+        tol = 4.0 * math.sqrt(max(predicted * (1 - predicted) * n_new, 0)) + 3.0
+        tracks = abs(n_fp - predicted * n_new) <= tol
+        ok = ok and tracks and n_fn == 0
+        record["scales"][label] = {
+            "n_history_keys": n_hist,
+            "n_batch_keys": n_batch,
+            "n_new_keys": n_new,
+            "false_positives": n_fp,
+            "false_negatives": n_fn,
+            "fp_rate_measured": round(measured, 6) if measured is not None else None,
+            "fp_rate_predicted": round(predicted, 6),
+            "formula_tracks": tracks,
+            "residue_fraction": round((n_batch - (n_new - n_fp)) / n_batch, 6)
+            if n_batch else None,
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: n={n_hist} fp={n_fp} measured="
+              f"{record['scales'][label]['fp_rate_measured']} predicted="
+              f"{record['scales'][label]['fp_rate_predicted']} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, bb = record["scales"]["1x"], record["scales"][f"{reps}x"]
+    record["no_false_negatives"] = (
+        a["false_negatives"] == 0 and bb["false_negatives"] == 0
+    )
+    record["wall_ratio"] = (
+        round(bb["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    )
+    print("| scale | n history | fp measured | fp predicted | residue | wall s |")
+    print("|---|---|---|---|---|---|")
+    for label in ("1x", f"{reps}x"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['n_history_keys']} | {sc['fp_rate_measured']} "
+              f"| {sc['fp_rate_predicted']} | {sc['residue_fraction']} "
+              f"| {sc['wall_s']} |")
+    print(f"| ratio | | | | | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_bloom_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    return 0 if ok else 1
+
+
 def ktruss_main(reps: int, src: str, out_name: str | None = None) -> int:
     """k-truss peeling at 1x vs reps x (the kcore probe's disjoint
     construction verbatim: replica r offsets l_orderkey AND l_partkey,
-    so each shard's support-2 co-purchase graph is an isomorphic copy).
-    Hard gates: the surviving EDGE census scales EXACTLY reps x AND the
-    survivor SUPPORT histogram scales exactly reps x per bucket (a
-    cross-shard triangle or round-order dependence breaks the histogram
-    before a row count). Wall is the free variable: per round one
-    degree-ordered triangle enumeration + one edge-keyed aggregate +
-    one edge-sized checkpoint — the checkpoint is the recurrence state
-    itself (see k_truss_edges' docstring), so expect a HIGHER wall
-    ratio than k-core's x2.2 (three E-sized materializations ride the
-    rounds by design, not defect). Staged-operator probe before the
-    graph_k_truss debut registers (the r14 kcore precedent)."""
+    so each shard's RAW co-purchase graph is an isomorphic copy).
+    Probes the REGISTERED constants (queries/fresh14.py: raw graph,
+    k=8, rounds=2 — the r15 staging probe ran the support-2 graph at
+    k=3, whose truss is 3 edges at sf0.1; VERDICT r15 #2 required the
+    debut to pick constants with data, so the probe now measures the
+    graph the query actually peels). Hard gates: the surviving EDGE
+    census scales EXACTLY reps x AND the survivor SUPPORT histogram
+    scales exactly reps x per bucket (a cross-shard triangle or
+    round-order dependence breaks the histogram before a row count).
+    Wall is the free variable: per round one degree-ordered triangle
+    enumeration + one edge-keyed aggregate + one edge-sized checkpoint
+    — the checkpoint is the recurrence state itself (see
+    k_truss_edges' docstring), so expect a HIGHER wall ratio than
+    k-core's x2.2 (three E-sized materializations ride the rounds by
+    design, not defect)."""
     import statistics
 
     from mapreduce_system_spark.operators.graph import k_truss_edges
-    from mapreduce_system_spark.queries._graphshared import (
-        copurchase_pairs_supported,
-    )
+    from mapreduce_system_spark.queries._graphshared import copurchase_pairs
 
-    k, rounds = 3, 2
+    k, rounds = 8, 2
     dst = "/tmp/spark_graft_scale/ktruss_sf1"
     spark = get_spark("scale_probe_ktruss")
     li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -2053,7 +2540,7 @@ def ktruss_main(reps: int, src: str, out_name: str | None = None) -> int:
     )
 
     def run(d: str):
-        pr = copurchase_pairs_supported(spark, d, 2)
+        pr = copurchase_pairs(spark, d)
         t0 = time.time()
         surv = k_truss_edges(
             pr, k, src="u", dst="v", rounds=rounds,
