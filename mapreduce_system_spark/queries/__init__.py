@@ -51,7 +51,17 @@ r17 rotation lands.
 
 r17 debut candidates, STAGED r16 with tests + drafted oracles (the
 staging pattern): see the module docstrings of the two staged
-operators committed this round alongside their probe records.
+operators committed this round alongside their probe records —
+pointer-jumping connected components (operators/graph.py::
+connected_components_jump, probe --ccjump) and the FULL OUTER
+stream-stream interval join (streaming/windows.py, probe --fjoin).
+ALSO staged r16, aimed at r18 (keeping the stage-in-N pipeline one
+round deep): the Count-Min frequency sketch — the sketch-table
+family's fourth leg (operators/cmsketch.py, tests/test_cmsketch.py,
+probe --cms; ``agg_cms_heavy_hitters`` planned) — and deterministic
+weighted sampling, the E-S weighted complement of pipe_hash_sample
+(operators/sampling.py, tests/test_sampling.py, probe --wsample;
+``pipe_weighted_sample`` planned).
 """
 
 from __future__ import annotations

@@ -38,27 +38,30 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle entries without a registered query: {dangling}"
 
 
-def test_r15_driver_window_composition():
+def test_r16_driver_window_composition():
     """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
-    correctness gate covers the FIRST 50 registered queries. Pin the r15
+    correctness gate covers the FIRST 50 registered queries. Pin the r16
     window EXACTLY (module granularity per the rotation plan in the
     package docstring) so an accidental import reorder — or a module
     gaining a query — can't silently rotate evidence-stale or brand-new
     queries out of the gate. Update deliberately with each rotation."""
     expected_modules = [
-        ("fresh11", 3),      # first-ever driver rows (registered r14)
-        ("streaming", 8),    # the r11 cohort from here (VERDICT r14 #1)
-        ("fresh", 4),
-        ("fresh8e", 2),
-        ("fresh8c", 3),
-        ("fresh8a", 2),
-        ("fresh7d", 1),
-        ("mrcore", 9),       # the oldest 27 of the r12 cohort from here
-        ("pipeline", 8),
-        ("textstats2", 2),
-        ("fresh7b", 3),
-        ("fresh8b", 4),
-        ("fresh8d", 1),      # its first query only; tail opens r16
+        ("fresh12", 3),      # zero-evidence r15 debuts (VERDICT r15 #1)
+        ("fresh13", 2),      # zero-evidence r15 debuts
+        ("fresh8d", 4),      # the r12-stale cohort from here
+        ("fresh8f", 5),
+        ("fresh8g", 4),
+        ("fresh8h", 6),
+        ("fresh8l", 2),
+        ("fresh8j", 3),
+        ("graphml2", 2),     # the oldest r13 rows from here
+        ("fresh8i", 4),
+        ("fresh8k", 2),
+        ("fresh8m", 3),
+        ("temporal2", 2),
+        ("fresh6", 3),
+        ("graphml", 2),
+        ("relational2", 3),  # its first 3 only; tail opens r17
     ]
     assert sum(c for _, c in expected_modules) == 50
     names = list(QUERIES)
@@ -70,28 +73,16 @@ def test_r15_driver_window_composition():
             got_modules.append([mod, 0])
         got_modules[-1][1] += 1
     assert [tuple(m) for m in got_modules] == expected_modules, got_modules
-    # the zero-driver-row trio leads the window (VERDICT r14 #1)
-    assert window[:3] == [
-        "stream_interval_join_outer",
-        "txt_rrf_fusion",
-        "emb_matryoshka_profile",
-    ]
-    # fresh8d's remaining queries sit immediately past the line, then
-    # this round's past-window registrations (fresh12 wire-in-N+1 trio,
-    # fresh13 same-round pair — the fresh10 precedent): first driver
-    # rows come with the r16 window lead, not by displacing r15
-    # rotation debt
-    assert names[53:58] == [
+    # the five zero-driver-row r15 registrations lead (VERDICT r15 #1)
+    assert window[:5] == [
         "graph_k_core",
         "agg_histogram_sketch_rollup",
         "stream_two_stage_windowed",
         "rel_funnel_time_bounded",
         "dedup_bloom_prefilter",
     ]
-    # the streaming r11 cohort sits INSIDE the window at slots 4-11
-    # (indices 3-10), right after the fresh11 debut trio (VERDICT r14 #1)
-    stream_mod = [
-        i for i, n in enumerate(names)
-        if QUERIES[n].__module__.endswith(".streaming")
-    ]
-    assert stream_mod == list(range(3, 11)), stream_mod
+    # relational2's remaining queries sit immediately past the line,
+    # then this round's past-window registrations (fresh14 pair — the
+    # fresh12/fresh13 wire-in-N+1 precedent): first driver rows come
+    # with the r17 window lead, not by displacing r16 rotation debt
+    assert names[53:55] == ["graph_k_truss", "txt_pmi_collocations"]

@@ -42,6 +42,8 @@ Usage::
     python tools/scale_probe.py --bloom [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --ccjump [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --fjoin [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --cms [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --wsample [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -668,6 +670,12 @@ def main() -> int:
     fjoin_mode = "--fjoin" in args
     if fjoin_mode:
         args.remove("--fjoin")
+    cms_mode = "--cms" in args
+    if cms_mode:
+        args.remove("--cms")
+    wsample_mode = "--wsample" in args
+    if wsample_mode:
+        args.remove("--wsample")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
@@ -706,6 +714,18 @@ def main() -> int:
                   f"extra arg(s): {args[2:]}", file=sys.stderr)
             return 2
         return fjoin_main(reps, src, out_name)
+    if cms_mode:
+        if len(args) > 2:
+            print(f"# --cms takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return cms_main(reps, src, out_name)
+    if wsample_mode:
+        if len(args) > 2:
+            print(f"# --wsample takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return wsample_main(reps, src, out_name)
     if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
             or sessions_mode or boilerplate_mode):
         if len(args) > 2:
@@ -2592,6 +2612,276 @@ def ktruss_main(reps: int, src: str, out_name: str | None = None) -> int:
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if (record["edges_exact_scale"] and record["histogram_exact_scale"]) else 1
+
+
+def cms_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Count-Min sketch at 1x vs reps x (staged r16,
+    operators/cmsketch.py; run BEFORE any ``agg_cms_heavy_hitters``
+    driver row per the bloom precedent, VERDICT r15 #4): replica r
+    SALTS every token (``tok#r``) — the sketch hashes opaque strings,
+    so salting grows N and the distinct-key population 10x without
+    touching parquet, each shard statistically identical. Hard gates:
+    (a) one-sided error at BOTH scales (est >= exact for every probed
+    key, est never 0 for a present key), (b) the sketch stays within
+    its d*w row cap at both scales — the bounded-summary claim the
+    operator exists for, (c) the merge law AT SCALE: the cell-wise sum
+    of the per-shard sketches equals the whole-corpus sketch exactly
+    (bit-stable integer addition under real partitioning, not the
+    fixture-sized pytest). Recorded free variables: build wall (scan-
+    bound, expect ~linear), estimate wall over a FIXED 50-key panel
+    (the recurring cost — must stay flat as the corpus grows: the
+    sketch side of the join is d*w-capped however large N), and the
+    mean overcount vs the N/w per-row collision expectation."""
+    import statistics
+
+    from mapreduce_system_spark.functions import text as TXT
+    from mapreduce_system_spark.operators.cmsketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    W, D = 2048, 4
+    spark = get_spark("scale_probe_cms")
+    docs = load_table(spark, src, "documents", columns=["doc_id", "text"])
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(TXT.tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+
+    def keyed(rep: int):
+        rdf = spark.range(rep).select(F.col("id").alias("r"))
+        return toks.crossJoin(F.broadcast(rdf)).select(
+            F.concat("tok", F.lit("#"), F.col("r").cast("string")).alias("key")
+        )
+
+    # fixed query panel: shard-0's 50 most frequent tokens + 2 absent keys
+    exact_rows = (
+        toks.groupBy(F.concat("tok", F.lit("#0")).alias("key"))
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.col("exact").desc(), "key")
+        .limit(50)
+        .collect()
+    )
+    exact = {r.key: r.exact for r in exact_rows}
+    panel = list(exact) + ["never-a#0", "never-b#0"]
+    panel_df = spark.createDataFrame([(k,) for k in panel], "key string")
+
+    def run(rep: int):
+        keys = keyed(rep)
+        t0 = time.time()
+        sk = cms_build(keys, "key", w=W, d=D).persist()
+        n_cells = sk.count()
+        build_wall = time.time() - t0
+        n_total = keys.count()
+        t1 = time.time()
+        est = {
+            r.key: r.est
+            for r in cms_estimate(panel_df, sk, "key", w=W, d=D).collect()
+        }
+        est_wall = time.time() - t1
+        sk.unpersist()
+        return build_wall, est_wall, n_cells, n_total, est
+
+    run(1)  # untimed warm-up (JVM/codegen)
+    record: dict = {
+        "mode": "cms", "reps": reps, "src": src, "w": W, "d": D,
+        "scales": {},
+    }
+    ok = True
+    for label, rep in [("1x", 1), (f"{reps}x", reps)]:
+        bw, ew, est = [], [], {}
+        n_cells = n_total = 0
+        for _ in range(3):
+            b, e, n_cells, n_total, est = run(rep)
+            bw.append(b)
+            ew.append(e)
+        one_sided = all(est[k] >= v for k, v in exact.items())
+        present_nonzero = all(est[k] >= 1 for k in exact)
+        absent = {k: est[k] for k in ("never-a#0", "never-b#0")}
+        overcounts = [est[k] - v for k, v in exact.items()]
+        ok = ok and one_sided and present_nonzero and n_cells <= D * W
+        record["scales"][label] = {
+            "n_occurrences": n_total,
+            "sketch_cells": n_cells,
+            "cell_cap_d_w": D * W,
+            "within_cap": n_cells <= D * W,
+            "one_sided": one_sided,
+            "present_key_nonzero": present_nonzero,
+            "absent_key_est": absent,
+            "mean_overcount": round(statistics.mean(overcounts), 1),
+            "expected_collisions_n_over_w": round(n_total / W, 1),
+            "build_wall_s": round(statistics.median(bw), 2),
+            "estimate_wall_s": round(statistics.median(ew), 2),
+        }
+        print(f"# {label}: N={n_total} cells={n_cells} "
+              f"overcount~{record['scales'][label]['mean_overcount']} "
+              f"build={record['scales'][label]['build_wall_s']} "
+              f"est={record['scales'][label]['estimate_wall_s']}",
+              file=sys.stderr)
+    # merge law AT SCALE: per-shard sketches cell-sum to the corpus sketch
+    shard_sketches = [
+        cms_build(
+            toks.select(
+                F.concat("tok", F.lit(f"#{r}")).alias("key")
+            ),
+            "key", w=W, d=D,
+        )
+        for r in range(min(reps, 3))
+    ]
+    merged = shard_sketches[0]
+    for s in shard_sketches[1:]:
+        merged = cms_merge(merged, s)
+    whole = cms_build(keyed(min(reps, 3)), "key", w=W, d=D)
+    diff = (
+        merged.withColumnRenamed("cnt", "a")
+        .join(whole.withColumnRenamed("cnt", "b"), ["r", "pos"], "full_outer")
+        .where(
+            F.coalesce(F.col("a"), F.lit(0)) != F.coalesce(F.col("b"), F.lit(0))
+        )
+        .count()
+    )
+    record["merge_exact_at_scale"] = diff == 0
+    ok = ok and diff == 0
+    a, bb = record["scales"]["1x"], record["scales"][f"{reps}x"]
+    record["build_wall_ratio"] = (
+        round(bb["build_wall_s"] / a["build_wall_s"], 2)
+        if a["build_wall_s"] else None
+    )
+    record["estimate_wall_ratio"] = (
+        round(bb["estimate_wall_s"] / a["estimate_wall_s"], 2)
+        if a["estimate_wall_s"] else None
+    )
+    print("| scale | N | cells | mean overcount | build s | estimate s |")
+    print("|---|---|---|---|---|---|")
+    for label in ("1x", f"{reps}x"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['n_occurrences']} | {sc['sketch_cells']} "
+              f"| {sc['mean_overcount']} | {sc['build_wall_s']} "
+              f"| {sc['estimate_wall_s']} |")
+    print(f"| ratio | | | | **{record['build_wall_ratio']}** "
+          f"| **{record['estimate_wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_cms_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    return 0 if ok else 1
+
+
+def wsample_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Weighted sampling at 1x vs reps x (staged r16,
+    operators/sampling.py): replica r SALTS the stable id (``id#r``) —
+    the E-S key is a pure function of (id, weight), so salting grows
+    the population 10x with an identical weight distribution. Hard
+    gates: (a) repartition invariance at BOTH scales (the selected set
+    is a pure function of the data — TakeOrdered's per-partition
+    truncation must not leak partitioning into the answer), (b)
+    weight-monotone stratum shares: the top weight quartile's sampled
+    share exceeds the bottom quartile's at both scales (the law the
+    weights exist for). Recorded free variables: wall (scan-bound
+    TakeOrdered — k rows per partition cross the wire, expect ~linear
+    in scan, NOT in shuffle), and the rank-k/k+1 boundary gap in
+    unrounded score — the cross-engine ulp-safety evidence a
+    registration must cite (the PMI precedent: gap >> f64 eps means
+    no rank risk between ln implementations)."""
+    import statistics
+
+    from mapreduce_system_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_scores,
+    )
+
+    K = 200
+    spark = get_spark("scale_probe_wsample")
+    docs = load_table(spark, src, "documents", columns=["doc_id", "text"])
+    base = docs.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id").cast("string").alias("base_id"),
+        F.length("text").cast("double").alias("wt"),
+    )
+
+    def keyed(rep: int):
+        rdf = spark.range(rep).select(F.col("id").alias("r"))
+        return base.crossJoin(F.broadcast(rdf)).select(
+            F.concat("base_id", F.lit("#"), F.col("r").cast("string")).alias(
+                "sid"
+            ),
+            "wt",
+        )
+
+    def run(rep: int):
+        pop = keyed(rep)
+        t0 = time.time()
+        sample = weighted_sample(pop, "sid", "wt", k=K).collect()
+        wall = time.time() - t0
+        resel = weighted_sample(pop.repartition(17), "sid", "wt", k=K).collect()
+        invariant = [(r.id, r.weight) for r in sample] == [
+            (r.id, r.weight) for r in resel
+        ]
+        # boundary gap: rank K vs K+1 in unrounded score
+        top = (
+            weighted_sample_scores(pop, "sid", "wt")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(K + 1)
+            .collect()
+        )
+        gap = top[K - 1].score - top[K].score if len(top) > K else None
+        # weight quartiles of the population (shard-identical, compute once
+        # per scale): sampled share must be monotone bottom -> top
+        qs = pop.approxQuantile("wt", [0.25, 0.75], 0.001)
+        lo, hi = qs[0], qs[1]
+        n_lo = pop.where(F.col("wt") <= lo).count()
+        n_hi = pop.where(F.col("wt") >= hi).count()
+        s_lo = sum(1 for r in sample if r.weight <= lo)
+        s_hi = sum(1 for r in sample if r.weight >= hi)
+        share_lo = s_lo / n_lo if n_lo else 0.0
+        share_hi = s_hi / n_hi if n_hi else 0.0
+        return wall, invariant, gap, share_lo, share_hi
+
+    run(1)  # untimed warm-up (JVM/codegen)
+    record: dict = {
+        "mode": "wsample", "reps": reps, "src": src, "k": K, "scales": {},
+    }
+    ok = True
+    for label, rep in [("1x", 1), (f"{reps}x", reps)]:
+        walls = []
+        invariant = True
+        gap = share_lo = share_hi = None
+        for _ in range(3):
+            w, inv, gap, share_lo, share_hi = run(rep)
+            walls.append(w)
+            invariant = invariant and inv
+        monotone = share_hi > share_lo
+        ok = ok and invariant and monotone and (gap is None or gap > 1e-12)
+        record["scales"][label] = {
+            "repartition_invariant": invariant,
+            "boundary_gap_score": gap,
+            "top_quartile_inclusion_share": round(share_hi, 8),
+            "bottom_quartile_inclusion_share": round(share_lo, 8),
+            "weight_monotone_shares": monotone,
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: invariant={invariant} gap={gap} "
+              f"share_hi={share_hi:.2e} share_lo={share_lo:.2e} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, bb = record["scales"]["1x"], record["scales"][f"{reps}x"]
+    record["wall_ratio"] = (
+        round(bb["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    )
+    print("| scale | invariant | boundary gap | hi/lo share | wall s |")
+    print("|---|---|---|---|---|")
+    for label in ("1x", f"{reps}x"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['repartition_invariant']} "
+              f"| {sc['boundary_gap_score']} "
+              f"| {sc['top_quartile_inclusion_share']}/"
+              f"{sc['bottom_quartile_inclusion_share']} | {sc['wall_s']} |")
+    print(f"| ratio | | | | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_wsample_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
