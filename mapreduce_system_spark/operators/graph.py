@@ -832,16 +832,30 @@ def connected_components_jump(
     )
     kept_ids: set[int] = set()
     for _ in range(rounds):
-        # (1) neighbor-min incl. self — the oracle's UNION ALL + min
-        m = (
-            lab.unionByName(
-                edges.join(
-                    lab.select(F.col("id").alias("nid"), "lab"),
-                    F.col("dst") == F.col("nid"),
-                ).select(F.col("src").alias("id"), "lab")
+        # (1) neighbor-min incl. self. Semantically the oracle's
+        # UNION ALL + min, but spelled as one edge-keyed aggregate +
+        # one node-keyed LEFT join: a Union INSIDE the recurrence trips
+        # Catalyst's UnionBase.rewriteConstraints on repeated
+        # checkpoint-relation attribute ids at depth
+        # (NoSuchElementException: key not found: id#N — found by the
+        # --ccjump probe's 20-round path construction, not by the
+        # shallow fixture tests), and the join form is also the smaller
+        # shuffle: the groupBy moves E rows, not N+E.
+        nmin = (
+            edges.join(
+                lab.select(
+                    F.col("id").alias("nid"), F.col("lab").alias("nlab")
+                ),
+                F.col("dst") == F.col("nid"),
             )
-            .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            .groupBy("src")
+            .agg(F.min("nlab").alias("nmin"))
+        )
+        m = lab.join(nmin, F.col("id") == F.col("src"), "left").select(
+            "id",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
+            ).alias("lab"),
         )
         # (2) pointer jump: lab(v) <- lab(lab(v)) — node-sized self-join
         before = persistent_rdd_ids(spark)
