@@ -785,6 +785,20 @@ def connected_components_jump(
     value is itself a node id present in the relation (mins over node
     ids stay node ids).
 
+    ID-LAYOUT CAVEAT (found registering graph_components_jump, r16):
+    the reach-doubling bound — distance ~2^(r+1) after r rounds, the
+    number the --ccjump probe measured (10 rounds at depth 2000) —
+    holds when ids are MONOTONE along the chain toward the component
+    min (the probe's ascending-id paths, and the registered query's
+    position-canonical ids). With randomly-placed ids the single jump
+    per round loses its doubling: the running min sits mid-chain, and
+    lab(lab(v)) re-lands on the min's own (already-converged) label
+    instead of leaping past it — an 18-node random-orderkey chain
+    measured UNCONVERGED at rounds=7. Callers with arbitrary ids must
+    size ``rounds`` toward the min-label diameter bound, canonicalize
+    ids to sequence positions first (the fresh15 construction), or
+    assert the fixed point the way tests/test_fresh15_queries.py does.
+
     Scale shape: per round ONE edge-keyed equi-join + ONE node-keyed
     min aggregate (partial+final combinable) + ONE node-sized self-join
     + ONE node-sized eager checkpoint (previous round's blocks released

@@ -82,7 +82,13 @@ def test_r16_driver_window_composition():
         "dedup_bloom_prefilter",
     ]
     # relational2's remaining queries sit immediately past the line,
-    # then this round's past-window registrations (fresh14 pair — the
-    # fresh12/fresh13 wire-in-N+1 precedent): first driver rows come
-    # with the r17 window lead, not by displacing r16 rotation debt
-    assert names[53:55] == ["graph_k_truss", "txt_pmi_collocations"]
+    # then this round's past-window registrations (fresh14 + fresh15
+    # pairs — the fresh12/fresh13 wire-in-N+1 precedent): first driver
+    # rows come with the r17 window lead, not by displacing r16
+    # rotation debt
+    assert names[53:57] == [
+        "graph_k_truss",
+        "txt_pmi_collocations",
+        "graph_components_jump",
+        "stream_interval_join_full",
+    ]
