@@ -34,18 +34,23 @@ catalog query's freshest driver row older than r13:
   graphml (2, 46-47) + relational2's first 3 (48-50) — the oldest r13
   rows, oldest-first.
 
-Sums to 50 exactly. Round-17 window DRAFT (slot arithmetic): the FOUR
+Sums to 50 exactly. Round-17 window DRAFT (slot arithmetic): the FIVE
 r16 registrations lead (fresh14 2: ``graph_k_truss`` over the
 r15-staged ``operators/graph.py::k_truss_edges`` with DATA-CHOSEN
 constants per VERDICT r15 #2, ``txt_pmi_collocations`` over
 ``operators/collocation.py::pmi_collocations``; fresh15 2:
 ``graph_components_jump`` over the r16-staged-and-probed
 ``connected_components_jump``, ``stream_interval_join_full`` over the
-full-outer ``interval_join`` — both probe-green BEFORE registration)
+full-outer ``interval_join``; fresh16 1: ``agg_cms_heavy_hitters``
+over the r16-staged Count-Min sketch — all three fresh15/fresh16
+debuts probe-green BEFORE registration; the round's OTHER staged
+operator, the E-S sampler, was found already registered as fresh7f's
+``pipe_weighted_sample`` and deliberately NOT re-registered — see
+fresh16's docstring and the registry duplicate guard it motivated)
 + relational2's tail 3 + the r13 remainder textstats 7 + fresh7b2 2 +
 fresh7 1 + fresh7c 2 + fresh7e 1 + fresh7f 3 + multimodal 5 + fresh9 5
-(through slot 33) + the oldest r14-row modules fresh10 3 + temporal 5
-+ advanced 7 (through 48) + similarity's first 2 (49-50). Sums to 50
+(through slot 34) + the oldest r14-row modules fresh10 3 + temporal 5
++ advanced 7 (through 49) + similarity's first 1 (50). Sums to 50
 exactly; the similarity tail + multimodal2/sinks/dedup/relational and
 this round's r15-window modules (fresh11, streaming, fresh, fresh8e,
 fresh8c, fresh8a, fresh7d, mrcore, pipeline, textstats2, fresh7b,
@@ -90,6 +95,7 @@ from mapreduce_system_spark.queries import (  # noqa: F401
     # re-verified at HEAD by tools/verify_local.py at close) ---
     fresh14,       # NEW r16 registrations — r17 window lead (debut pattern)
     fresh15,       # NEW r16 registrations (probe-first) — r17 window lead
+    fresh16,       # NEW r16 registrations (probe-first) — r17 window lead
     textstats,     # r13 rows — r17
     fresh7b2,      # r13 rows — r17
     fresh7,        # r13 row — r17

@@ -40,6 +40,16 @@ def register(name: str, oracle: str | None = None, sf_bound: bool = False):
     table at a static sf0.01 path (see ``SF_BOUND_ORACLES``)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # a dict overwrite here is SILENT catalog corruption: which
+            # implementation answers to the name becomes an accident of
+            # import order, and the loser's oracle replaces the winner's
+            # (found r16: a new registration collided with fresh7f's
+            # pipe_weighted_sample and lost without a sound)
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

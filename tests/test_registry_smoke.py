@@ -86,9 +86,10 @@ def test_r16_driver_window_composition():
     # pairs — the fresh12/fresh13 wire-in-N+1 precedent): first driver
     # rows come with the r17 window lead, not by displacing r16
     # rotation debt
-    assert names[53:57] == [
+    assert names[53:58] == [
         "graph_k_truss",
         "txt_pmi_collocations",
         "graph_components_jump",
         "stream_interval_join_full",
+        "agg_cms_heavy_hitters",
     ]
