@@ -1,0 +1,168 @@
+"""Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+record-linkage candidate generator the dedup family lacks.
+
+Every near-dup generator in operators/dedup.py blocks on CONTENT
+(shingle/band/bit equality: MinHash bands, SimHash chunks, TF-IDF
+postings, edit-distance prefixes). Sorted-neighborhood blocks on
+ORDER: sort the corpus by a blocking key (a normalized prefix, a
+phonetic code, a zip+name composite), then pair each record with its
+``window - 1`` successors in sort position. Its power is exactly what
+content blocking misses — records whose keys are CLOSE but not EQUAL
+(truncations, suffix typos, zero-padding differences) land adjacent in
+the sort even though no token/shingle matches, at linear candidate
+volume (n * (window-1) pairs, not blocks-squared).
+
+Distributed design — the interesting part is the GLOBAL POSITION:
+``row_number()`` over an unpartitioned window is the textbook spelling
+and a single-partition bottleneck (every row through one task — the
+anti-pattern this repo's equi-depth histogram already avoids). The
+scale-correct shape here:
+
+1. range-exchange the corpus by (key, id) (``repartitionByRange`` —
+   Spark's sampled range partitioner, the same machinery a global sort
+   uses), stamp each row's partition id, and CACHE that relation: the
+   counts and the ranking below are two executions, and an uncached
+   exchange may re-sample/re-plan between them (see the inline
+   comment — a probe-caught defect);
+2. rank WITHIN partitions (a window partitioned by that pid — ordinary
+   hash-partitioned window, no single-partition stage) and count rows
+   per partition: a partition-count-sized relation, the only thing the
+   driver ever holds;
+3. global position = local rank + the broadcast cumulative offset of
+   the row's partition. Positions are a pure function of the (key, id)
+   total order — partitioner sampling can move the CUTS, never the
+   ORDER, so the emitted pair set is partitioning-invariant (pinned by
+   test);
+4. candidate pairs via BANDED equi-join, never theta: bucket =
+   position / window; a pair within ``window`` positions either shares
+   a bucket or sits in adjacent buckets, so join on bucket == bucket
+   and bucket + 1 == bucket, then keep 1 <= pos_b - pos_a < window.
+   Each row enters exactly two join keys — linear candidate volume by
+   construction.
+
+Staged r16 for an r17+ debut (``dedup_sorted_neighborhood`` planned:
+candidate pairs over a normalized text-prefix key on documents, paired
+with the exact-duplicate verdict as the audit column);
+tests/test_blocking.py carries the pure-Python reference, the DuckDB
+oracle draft (the textbook single-window spelling — the oracle CAN
+afford it), the partitioning-invariance law, and a fuzz. Probe:
+``tools/scale_probe.py --sneighbor`` (disjoint key-salted shards →
+pair census must scale exactly, wall free).
+
+100 TB posture: one range exchange + one pid-keyed window + one
+partition-count collect + one banded self-join on integer buckets. No
+all-pairs anywhere; window size bounds candidates at n*(window-1)
+whatever the corpus; skew is impossible on the join key (buckets are
+consecutive integers of near-equal size by construction).
+
+Reference contrast: worker.go:16-21,153 sorts within ONE reduce
+partition; a GLOBAL order with per-row positions needs the
+offset-stitch across partitions (step 3) — derived state about the
+partitioning itself that the one-shot pipeline cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mapreduce_system_spark.caches import tracked_cache
+
+
+def global_sort_positions(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """(id, key, pos): each row's 0-based position in the GLOBAL
+    (key, id) order, computed without a single-partition window —
+    range-exchange, rank-within-partition, broadcast offset stitch.
+    NULL keys/ids are excluded (they have no place in a total order
+    the oracle can mirror)."""
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key")
+    ).where(F.col(id_col).isNotNull() & F.col(key_col).isNotNull())
+    # CACHE the pid-stamped exchange output: the per-partition counts
+    # (collected below) and the final ranked projection are two separate
+    # executions, and an uncached range exchange may not repeat its
+    # partition assignment between them — the range partitioner
+    # re-samples and AQE re-plans per execution, so pids collected in
+    # run A can describe a different layout than run B ranks against
+    # (found by the --sneighbor probe at 10x: ~3% duplicate positions,
+    # max pos > n; the pytest scale never re-sampled differently).
+    # Freezing the blocks makes _pid a pure value both readers share.
+    # Callers release via caches.release() as with every tracked cache.
+    ranged = tracked_cache(
+        s.repartitionByRange(num_partitions, "key", "id").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    # partition-count-sized driver state — the operator's ONLY collect
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    local = ranged.withColumn(
+        "_lrank",
+        F.row_number().over(W.partitionBy("_pid").orderBy("key", "id")) - 1,
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    return local.select(
+        "id",
+        "key",
+        (F.col("_lrank") + off_expr[F.col("_pid")]).cast("long").alias("pos"),
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Candidate pairs (id_a, key_a, pos_a, id_b, key_b, pos_b) with
+    1 <= pos_b - pos_a < window in the global (key, id) order —
+    n * (window - 1) pairs exactly (fewer at the corpus tail). The
+    pair relation is a pure function of the data: partitioning,
+    executor count, and range-sampler cuts cannot move it (the
+    invariance test pins this)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    pos = global_sort_positions(
+        df, id_col, key_col, num_partitions=num_partitions
+    )
+    bucketed = pos.select(
+        "id", "key", "pos", (F.col("pos") / window).cast("long").alias("bk")
+    )
+    a = bucketed.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.col("pos").alias("pos_a"),
+        "bk",
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        F.col("pos").alias("pos_b"),
+        "bk",
+    )
+    same = a.join(b, "bk")
+    nxt = a.withColumn("bk", F.col("bk") + 1).join(b, "bk")
+    return (
+        same.unionByName(nxt)
+        .where(
+            (F.col("pos_b") - F.col("pos_a") >= 1)
+            & (F.col("pos_b") - F.col("pos_a") < window)
+        )
+        .select("id_a", "key_a", "pos_a", "id_b", "key_b", "pos_b")
+    )

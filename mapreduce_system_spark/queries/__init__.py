@@ -63,13 +63,23 @@ operators committed this round alongside their probe records —
 pointer-jumping connected components (operators/graph.py::
 connected_components_jump, probe --ccjump) and the FULL OUTER
 stream-stream interval join (streaming/windows.py, probe --fjoin).
-ALSO staged r16, aimed at r18 (keeping the stage-in-N pipeline one
-round deep): the Count-Min frequency sketch — the sketch-table
-family's fourth leg (operators/cmsketch.py, tests/test_cmsketch.py,
-probe --cms; ``agg_cms_heavy_hitters`` planned) — and deterministic
-weighted sampling, the E-S weighted complement of pipe_hash_sample
-(operators/sampling.py, tests/test_sampling.py, probe --wsample;
-``pipe_weighted_sample`` planned).
+ALSO staged r16: the Count-Min frequency sketch (operators/
+cmsketch.py — probe-first, then REGISTERED same-round as
+``agg_cms_heavy_hitters``, fresh16) and deterministic weighted
+sampling (operators/sampling.py — probed and tested, then found to
+duplicate fresh7f's ``pipe_weighted_sample`` surface and deliberately
+left operator-only; the near-collision added registry.register's
+duplicate-name guard).
+
+r17 debut candidates, STAGED r16 late-round with tests + drafted
+oracles + probe modes (the staging pattern): sorted-neighborhood
+blocking — the ORDER-based candidate generator the content-blocking
+dedup family lacks, with the distributed global-position offset
+stitch (operators/blocking.py, tests/test_blocking.py, probe
+--sneighbor; ``dedup_sorted_neighborhood`` planned) — and interpolated
+Kneser-Ney bigram scoring, the smoothed LM the add-one surprisal
+queries approximate (operators/lm.py, tests/test_lm.py, probe --knlm;
+``txt_kneser_ney_surprisal`` planned).
 """
 
 from __future__ import annotations

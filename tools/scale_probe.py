@@ -44,6 +44,8 @@ Usage::
     python tools/scale_probe.py --fjoin [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --cms [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --wsample [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --sneighbor [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --knlm [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -676,6 +678,12 @@ def main() -> int:
     wsample_mode = "--wsample" in args
     if wsample_mode:
         args.remove("--wsample")
+    sneighbor_mode = "--sneighbor" in args
+    if sneighbor_mode:
+        args.remove("--sneighbor")
+    knlm_mode = "--knlm" in args
+    if knlm_mode:
+        args.remove("--knlm")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
@@ -726,6 +734,18 @@ def main() -> int:
                   f"extra arg(s): {args[2:]}", file=sys.stderr)
             return 2
         return wsample_main(reps, src, out_name)
+    if sneighbor_mode:
+        if len(args) > 2:
+            print(f"# --sneighbor takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return sneighbor_main(reps, src, out_name)
+    if knlm_mode:
+        if len(args) > 2:
+            print(f"# --knlm takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return knlm_main(reps, src, out_name)
     if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
             or sessions_mode or boilerplate_mode):
         if len(args) > 2:
@@ -2612,6 +2632,217 @@ def ktruss_main(reps: int, src: str, out_name: str | None = None) -> int:
     print(f"# wrote {out}", file=sys.stderr)
     shutil.rmtree("/tmp/spark_graft_scale", ignore_errors=True)
     return 0 if (record["edges_exact_scale"] and record["histogram_exact_scale"]) else 1
+
+
+def sneighbor_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Sorted-neighborhood blocking at 1x vs reps x (staged r16,
+    operators/blocking.py): replica r PREFIXES the blocking key
+    (``r{r}~key``), so each shard occupies a CONTIGUOUS block of the
+    global sort order. Hard gates: (a) the same-shard pair census
+    equals reps x the 1x census exactly, and the cross-shard residue
+    is exactly the boundary arithmetic (reps-1) * w*(w-1)/2 — a
+    position off by one anywhere breaks both; (b) candidate volume
+    stays n*(w-1) - tail at every scale (the linear-volume claim).
+    Wall is the free variable: one range exchange + one pid window +
+    one partition-count collect + one banded integer self-join."""
+    import statistics
+
+    from mapreduce_system_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    WIN = 4
+    spark = get_spark("scale_probe_sneighbor")
+    docs = load_table(spark, src, "documents", columns=["doc_id", "text"])
+    base = docs.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id").cast("string").alias("rid"),
+        F.lower(F.substring("text", 1, 24)).alias("bkey"),
+    )
+
+    def keyed(rep: int):
+        rdf = spark.range(rep).select(F.col("id").alias("r"))
+        return base.crossJoin(F.broadcast(rdf)).select(
+            F.concat(F.col("r").cast("string"), F.lit("#"), "rid").alias("rid"),
+            F.concat(
+                F.lit("r"), F.col("r").cast("string"), F.lit("~"), "bkey"
+            ).alias("bkey"),
+        )
+
+    def run(rep: int):
+        pop = keyed(rep)
+        t0 = time.time()
+        pairs = sorted_neighborhood_pairs(pop, "rid", "bkey", window=WIN)
+        census = (
+            pairs.select(
+                (
+                    F.split(F.col("id_a"), "#")[0]
+                    == F.split(F.col("id_b"), "#")[0]
+                ).alias("same_shard")
+            )
+            .groupBy("same_shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        wall = time.time() - t0
+        caches.release()
+        c = {r["same_shard"]: r["n"] for r in census}
+        return wall, c.get(True, 0), c.get(False, 0)
+
+    run(1)  # untimed warm-up
+    record: dict = {
+        "mode": "sneighbor", "reps": reps, "src": src, "window": WIN,
+        "scales": {},
+    }
+    for label, rep in [("1x", 1), (f"{reps}x", reps)]:
+        walls, same, cross = [], 0, 0
+        for _ in range(3):
+            w, same, cross = run(rep)
+            walls.append(w)
+        record["scales"][label] = {
+            "same_shard_pairs": same,
+            "cross_shard_pairs": cross,
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: same={same} cross={cross} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, bb = record["scales"]["1x"], record["scales"][f"{reps}x"]
+    record["pairs_exact_scale"] = (
+        bb["same_shard_pairs"] == reps * a["same_shard_pairs"]
+        and a["cross_shard_pairs"] == 0
+        and bb["cross_shard_pairs"] == (reps - 1) * WIN * (WIN - 1) // 2
+    )
+    record["wall_ratio"] = (
+        round(bb["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    )
+    print("| scale | same-shard pairs | cross | wall s |")
+    print("|---|---|---|---|")
+    for label in ("1x", f"{reps}x"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['same_shard_pairs']} "
+              f"| {sc['cross_shard_pairs']} | {sc['wall_s']} |")
+    print(f"| ratio | | | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_sneighbor_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    return 0 if record["pairs_exact_scale"] else 1
+
+
+def knlm_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Kneser-Ney bigram scoring at 1x vs reps x (staged r16,
+    operators/lm.py): replica r salts every TOKEN (``r{r}x`` prefix —
+    the dedup-probe construction), so each shard is a CLOSED vocabulary
+    whose count tables are an isomorphic copy of shard 0's. Unlike the
+    other probes' constructions, per-shard scores are NOT expected to
+    match the 1x run — interpolated KN is CORPUS-GLOBAL through the
+    continuation denominator N1+(*,*), so sharding dilutes every
+    P_cont by exactly the shard count (the first draft of this probe
+    gated multiset-equality and correctly FAILED — the failure is the
+    measurement). The real invariants gated here: (a) docs scored =
+    reps x, (b) SYMMETRY — the shards are isomorphic and the global
+    denominator hits them equally, so every (n_transitions, rounded
+    score) census count at reps x must be divisible by reps and the
+    distinct-score count must equal the 1x run's, (c) DIRECTION — the
+    transition-weighted mean surprisal must be strictly HIGHER at
+    reps x (smaller P_cont -> smaller backoff term -> larger -ln P).
+    Wall is the free variable (one tokenize pass + count-table joins).
+    """
+    import statistics
+
+    from mapreduce_system_spark.functions import text as TXT
+    from mapreduce_system_spark.operators.lm import kneser_ney_doc_scores
+
+    spark = get_spark("scale_probe_knlm")
+    docs = load_table(spark, src, "documents", columns=["doc_id", "text"])
+    base = docs.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+
+    def keyed(rep: int):
+        rdf = spark.range(rep).select(F.col("id").alias("r"))
+        return base.crossJoin(F.broadcast(rdf)).select(
+            F.concat(F.col("r").cast("string"), F.lit("#"), F.col("doc_id"))
+            .alias("rdoc"),
+            F.transform(
+                TXT.tokens("text"),
+                lambda t: F.concat(
+                    F.lit("r"), F.col("r").cast("string"), F.lit("x"), t
+                ),
+            ).alias("ts"),
+        )
+
+    def run(rep: int):
+        pop = keyed(rep)
+        t0 = time.time()
+        scored = kneser_ney_doc_scores(pop, "rdoc", F.col("ts"))
+        census = {
+            (r["n_transitions"], r["s"]): r["n"]
+            for r in scored.select(
+                "n_transitions", F.round("kn_surprisal", 9).alias("s")
+            )
+            .groupBy("n_transitions", "s")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        mean_row = scored.agg(
+            (
+                F.sum(F.col("n_transitions") * F.col("kn_surprisal"))
+                / F.sum("n_transitions")
+            ).alias("m")
+        ).collect()[0]
+        wall = time.time() - t0
+        caches.release()
+        return wall, census, float(mean_row["m"])
+
+    run(1)  # untimed warm-up
+    record: dict = {"mode": "knlm", "reps": reps, "src": src, "scales": {}}
+    hists: dict[str, dict] = {}
+    for label, rep in [("1x", 1), (f"{reps}x", reps)]:
+        walls, census, mean = [], {}, 0.0
+        for _ in range(3):
+            w, census, mean = run(rep)
+            walls.append(w)
+        hists[label] = census
+        record["scales"][label] = {
+            "n_docs_scored": sum(census.values()),
+            "n_distinct_scores": len(census),
+            "mean_surprisal": round(mean, 6),
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: docs={sum(census.values())} mean={mean:.6f} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, bb = record["scales"]["1x"], record["scales"][f"{reps}x"]
+    record["docs_exact_scale"] = (
+        bb["n_docs_scored"] == reps * a["n_docs_scored"]
+    )
+    record["shard_symmetry"] = (
+        all(v % reps == 0 for v in hists[f"{reps}x"].values())
+        and bb["n_distinct_scores"] == a["n_distinct_scores"]
+    )
+    record["continuation_dilution_direction"] = (
+        bb["mean_surprisal"] > a["mean_surprisal"]
+    )
+    record["wall_ratio"] = (
+        round(bb["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    )
+    print("| scale | docs scored | distinct scores | mean surprisal | wall s |")
+    print("|---|---|---|---|---|")
+    for label in ("1x", f"{reps}x"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['n_docs_scored']} "
+              f"| {sc['n_distinct_scores']} | {sc['mean_surprisal']} "
+              f"| {sc['wall_s']} |")
+    print(f"| ratio | | | | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_knlm_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    ok = (
+        record["docs_exact_scale"]
+        and record["shard_symmetry"]
+        and record["continuation_dilution_direction"]
+    )
+    return 0 if ok else 1
 
 
 def cms_main(reps: int, src: str, out_name: str | None = None) -> int:
