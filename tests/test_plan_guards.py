@@ -781,3 +781,95 @@ def test_funnel_unbounded_is_lazy_aggregates_no_window(spark):
     # the union of 3 one-row stage aggregates: exactly 3 Union children
     # carrying the literal step ids survive to the physical plan
     assert "Union" in plan, plan
+
+
+def test_interval_join_full_is_equi_join(spark):
+    """stream_interval_join_full (r16): the FULL OUTER interval join
+    must stay a single equi-join on the key with the time bounds as
+    residual conditions — a range-only nested-loop would pass the
+    fixture gate while turning O(n^2) at scale, and the streaming twin
+    could not evict state at all without the key equality."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    df = QUERIES["stream_interval_join_full"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    _assert_equi_join_only(df)
+    assert "FullOuter" in plan, plan
+
+
+def test_components_jump_no_cartesian_no_global_window(spark):
+    """graph_components_jump (r16): per round one edge-keyed equi-join,
+    one min aggregate, one node-sized self-join — never a cartesian;
+    and the only Window is the per-customer lag (hash-partitioned by
+    custkey), never a single-partition global window."""
+    from mapreduce_system_spark import caches
+    from mapreduce_system_spark.registry import QUERIES
+
+    try:
+        df = QUERIES["graph_components_jump"](spark, SF_DIR)
+        plan = formatted_plan(df)
+        _assert_equi_join_only(df)
+        # the recurrence's eager checkpoints truncate lineage, so the
+        # final plan shows only the census over checkpointed blocks —
+        # assert it carries no single-partition stage either
+        assert "Exchange SinglePartition" not in plan, plan
+    finally:
+        caches.release()
+    # the lag window that BUILDS the chain must be key-partitioned
+    # (hash by o_custkey), never the textbook global row_number — check
+    # the chain construction's own plan (fresh15's spelling verbatim)
+    from pyspark.sql import Window as W
+
+    orders = load_table(
+        spark, SF_DIR, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chain = (
+        orders.select(
+            (F.col("o_custkey") * 1024 + F.row_number().over(w) - 1).alias("id")
+        )
+        .where(F.col("id") % 1024 != 0)
+        .select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"))
+    )
+    cplan = formatted_plan(chain)
+    assert "Window" in cplan, cplan
+    assert "Exchange SinglePartition" not in cplan, cplan
+    assert "hashpartitioning(o_custkey" in cplan, cplan
+
+
+def test_cms_audit_equi_joins_and_bounded_sketch_side(spark):
+    """agg_cms_heavy_hitters (r16): the estimate is an equi-join of the
+    query keys' d cells against the d*w-bounded sketch — no cartesian,
+    no nested loop; the d-row explode is map-side (no join fans the
+    token stream against itself)."""
+    from mapreduce_system_spark.registry import QUERIES
+
+    _assert_equi_join_only(QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR))
+
+
+def test_sorted_neighborhood_no_cartesian_no_single_partition_window(spark):
+    """operators/blocking.py (staged r16): the design's two claims —
+    candidates from a banded integer EQUI-join (never all-pairs), and
+    the global position from a pid-partitioned window (never the
+    textbook single-partition row_number). A refactor to either
+    naive shape passes fixture values while dying at scale."""
+    from mapreduce_system_spark import caches
+    from mapreduce_system_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents", columns=["doc_id", "text"])
+    base = docs.select(
+        F.col("doc_id").alias("rid"),
+        F.lower(F.substring("text", 1, 24)).alias("bkey"),
+    )
+    try:
+        df = sorted_neighborhood_pairs(base, "rid", "bkey", window=3)
+        plan = formatted_plan(df)
+        _assert_equi_join_only(df)
+        assert "Window" in plan, plan
+        # the pid window must not run on a SinglePartition exchange
+        assert "Exchange SinglePartition" not in plan, plan
+    finally:
+        caches.release()
