@@ -80,7 +80,12 @@ def global_sort_positions(
     (key, id) order, computed without a single-partition window —
     range-exchange, rank-within-partition, broadcast offset stitch.
     NULL keys/ids are excluded (they have no place in a total order
-    the oracle can mirror)."""
+    the oracle can mirror). CONTRACT: ``id_col`` must be unique —
+    (key, id) is the total order, so duplicate ids with equal keys tie
+    and their relative positions become partitioning luck, silently
+    breaking the invariance law AND the oracle (whose row_number breaks
+    the same tie its own way). The planned registration keys on doc_id;
+    callers with dirty ids must dedupe or disambiguate first."""
     s = df.select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key")
     ).where(F.col(id_col).isNotNull() & F.col(key_col).isNotNull())

@@ -77,8 +77,12 @@ def cms_build(
     % w)`` for r in [0, d); the sketch relation is the per-cell sum —
     (``r``, ``pos``, ``cnt``), at most d·w rows, only non-zero cells
     materialized. ``weight_col`` (optional, cast to long) counts each
-    row with its weight instead of 1 — NULL/negative weights are
-    rejected rows' concern upstream; here NULL weight counts as 0.
+    row with its weight instead of 1; NULL weight counts as 0.
+    NEGATIVE weights are accepted (the turnstile stream model —
+    deletions as negative updates) but they VOID the one-sided
+    guarantee: with any negative update, ``cms_estimate``'s min can
+    undershoot the true count, so callers shipping the est >= exact
+    audit (the registered query does) must keep weights non-negative.
     Merging sketches built with the same (w, d) is
     ``cms_merge(a, b)`` — exact integer addition.
     """
