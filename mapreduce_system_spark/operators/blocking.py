@@ -20,10 +20,11 @@ scale-correct shape here:
 
 1. range-exchange the corpus by (key, id) (``repartitionByRange`` —
    Spark's sampled range partitioner, the same machinery a global sort
-   uses), stamp each row's partition id, and CACHE that relation: the
-   counts and the ranking below are two executions, and an uncached
-   exchange may re-sample/re-plan between them (see the inline
-   comment — a probe-caught defect);
+   uses), stamp each row's partition id, and PIN that relation with an
+   eager ``localCheckpoint``: the counts and the ranking below are two
+   executions, and an unpinned exchange may re-sample/re-plan between
+   them (see global_sort_positions' consistency contract — a
+   probe-caught defect; plain cache retention is not a guarantee);
 2. rank WITHIN partitions (a window partitioned by that pid — ordinary
    hash-partitioned window, no single-partition stage) and count rows
    per partition: a partition-count-sized relation, the only thing the
@@ -67,7 +68,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mapreduce_system_spark.caches import tracked_cache
+from mapreduce_system_spark.caches import persistent_rdd_ids, track_rdd_ids
 
 
 def global_sort_positions(
@@ -85,25 +86,33 @@ def global_sort_positions(
     and their relative positions become partitioning luck, silently
     breaking the invariance law AND the oracle (whose row_number breaks
     the same tie its own way). The planned registration keys on doc_id;
-    callers with dirty ids must dedupe or disambiguate first."""
+    callers with dirty ids must dedupe or disambiguate first.
+
+    CONSISTENCY CONTRACT (why the eager checkpoint below is not an
+    optimization): the per-partition counts and the ranked projection
+    are two executions over the SAME partition layout. The pid-stamped
+    exchange is pinned with an eager ``localCheckpoint`` — materialized
+    once, lineage truncated — so the range partitioner can never
+    re-sample between the two readers. A plain ``cache()`` is NOT
+    sufficient: if the blocks are evicted or released before the
+    returned lazy DataFrame is consumed, re-execution re-samples the
+    range cuts and the collected offsets silently describe a different
+    layout (duplicate/overflowing positions — the exact defect the
+    --sneighbor probe caught at 10x). Checkpoint blocks are registered
+    with caches.track_rdd_ids, so harnesses release them via
+    caches.release() AFTER consuming the result, like every tracked
+    relation."""
     s = df.select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key")
     ).where(F.col(id_col).isNotNull() & F.col(key_col).isNotNull())
-    # CACHE the pid-stamped exchange output: the per-partition counts
-    # (collected below) and the final ranked projection are two separate
-    # executions, and an uncached range exchange may not repeat its
-    # partition assignment between them — the range partitioner
-    # re-samples and AQE re-plans per execution, so pids collected in
-    # run A can describe a different layout than run B ranks against
-    # (found by the --sneighbor probe at 10x: ~3% duplicate positions,
-    # max pos > n; the pytest scale never re-sampled differently).
-    # Freezing the blocks makes _pid a pure value both readers share.
-    # Callers release via caches.release() as with every tracked cache.
-    ranged = tracked_cache(
-        s.repartitionByRange(num_partitions, "key", "id").withColumn(
-            "_pid", F.spark_partition_id()
-        )
+    spark = df.sparkSession
+    before_ids = persistent_rdd_ids(spark)
+    ranged = (
+        s.repartitionByRange(num_partitions, "key", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    track_rdd_ids(spark, persistent_rdd_ids(spark) - before_ids)
     # partition-count-sized driver state — the operator's ONLY collect
     counts = {
         r["_pid"]: r["n"]
@@ -113,18 +122,25 @@ def global_sort_positions(
         "_lrank",
         F.row_number().over(W.partitionBy("_pid").orderBy("key", "id")) - 1,
     )
-    offsets: dict[int, int] = {}
+    offsets = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    off_expr = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )
-    return local.select(
-        "id",
-        "key",
-        (F.col("_lrank") + off_expr[F.col("_pid")]).cast("long").alias("pos"),
+    # Offset stitch as a BROADCAST JOIN on a partition-count-sized
+    # relation, not a create_map literal: a literal map embeds one
+    # expression pair per range partition into the plan, which bloats
+    # plan size/analysis at thousands of partitions; the join form is
+    # flat at any partition count (the relation is always tiny — one
+    # row per partition — so the broadcast is free).
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            "id",
+            "key",
+            (F.col("_lrank") + F.col("_off")).cast("long").alias("pos"),
+        )
     )
 
 

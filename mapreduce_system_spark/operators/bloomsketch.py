@@ -50,7 +50,9 @@ one distinct on (pos) — shuffle bounded by min(k·n, m) which the m cap
 makes a constant (m rows max, whatever the corpus size); the probe side
 is one broadcast-or-shuffle equi-join of the batch's k·|B| positions
 against the m-bounded sketch + one all-k-hit aggregate per key. The
-false-positive RATE is the standard (1 - e^{-kn/m})^k — callers size m
+false-positive RATE is the standard (1 - e^{-kn/m})^k — ``bloom_params``
+is the executable sizing contract (the registered query derives m from
+the measured history count), and callers without a count still size m
 to their corpus; the audit column measures the real rate on the real
 keys rather than trusting the formula.
 
@@ -62,10 +64,39 @@ derived state the one-shot pipeline cannot express.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.functions.hashing import md5_bucket32
+
+
+def bloom_params(n_expected: int, fp_target: float) -> tuple[int, int]:
+    """(m, k) sized for ``n_expected`` distinct keys at ``fp_target``
+    false-positive rate — the standard optima
+
+        m = ceil(-n * ln(p) / ln(2)^2)        (bits)
+        k = max(1, round(-log2(p)))           (hashes; at the optimal
+                                               m/n ratio, k = -log2 p
+                                               independent of n)
+
+    This makes the module's "callers size m" contract executable: the
+    --bloom probe honestly measured the old fixed m=65536 saturating at
+    10x history (fp 0.76, residue 0.89 — the sketch filtered nothing),
+    which is exactly what the formula predicts when n grows past m's
+    design point. ``n_expected = 0`` (empty history) returns m = 1 —
+    any m works, nothing was inserted, every verdict is definitely-new.
+    Note k is a pure function of ``fp_target``: a query can keep k as
+    an authoring-time constant (its oracle's probe CTE is static) while
+    deriving m from the measured history count at run time."""
+    if n_expected < 0:
+        raise ValueError(f"n_expected must be >= 0, got {n_expected}")
+    if not (0.0 < fp_target < 1.0):
+        raise ValueError(f"fp_target must be in (0, 1), got {fp_target}")
+    k = max(1, round(-math.log2(fp_target)))
+    m = max(1, math.ceil(-n_expected * math.log(fp_target) / (math.log(2) ** 2)))
+    return m, k
 
 
 def bloom_build(

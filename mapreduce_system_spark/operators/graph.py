@@ -626,6 +626,7 @@ def k_truss_edges(
     *,
     rounds: int = 2,
     edges_undirected_distinct: bool = False,
+    reuse_orientation: bool = False,
 ) -> DataFrame:
     """SYNCHRONOUS k-truss peeling — the EDGE-level density filter next
     to ``k_core_peel``'s node-level one: each round removes EVERY edge
@@ -690,10 +691,28 @@ def k_truss_edges(
     if not edges_undirected_distinct:
         pr = pr.distinct()
 
+    # reuse_orientation: compact-forward enumeration needs only SOME
+    # total vertex order to count each triangle exactly once (at its
+    # minimum vertex in that order); the ROUND-0 (degree, id) order
+    # remains a valid total order on every shrunken edge set, so later
+    # support calls can skip re-deriving degree_census (a 2E-row
+    # shuffle per call) and orient against the pinned round-0 table.
+    # Support counts are orientation-independent — the output is
+    # bit-identical either way (pinned by test). The O(E·arboricity)
+    # wedge bound degrades only as far as the peeled graph's degree
+    # order drifts from round 0's — peeling removes edges, so round-0
+    # degrees only over-estimate, and the A/B measured the trade at
+    # sf0.1 (bench_runs/r17_ktruss_ab.json).
+    ord0: DataFrame | None = None
+    if reuse_orientation:
+        before0 = persistent_rdd_ids(spark)
+        ord0 = degree_census(pr).localCheckpoint(eager=True)
+        track_rdd_ids(spark, persistent_rdd_ids(spark) - before0)
+
     def support(cur: DataFrame) -> DataFrame:
         """(u, v, cnt) triangle support of a value-ordered edge set —
         triangle_stats' enumeration, re-keyed to member edges."""
-        deg = degree_census(cur)
+        deg = ord0 if ord0 is not None else degree_census(cur)
         eo = orient_by_degree(cur, deg)
         e1, e2 = eo.alias("e1"), eo.alias("e2")
         wedges = e1.join(

@@ -32,10 +32,16 @@ so no unseen-event branch is needed; the discount still reshapes every
 probability, which is what distinguishes the score from the add-one
 twin (pinned by test).
 
-Staged r16 for an r17+ debut (``txt_kneser_ney_surprisal`` planned);
+Staged r16, registered r17 (``txt_kneser_ney_surprisal``, fresh17);
 tests/test_lm.py carries the pure-Python reference, the DuckDB oracle
-draft, the probability-mass law (sum_w2 P_KN(w2|w1) == 1 per context —
-the property add-one also has but gets by brute force), and a fuzz.
+draft, the probability-mass law, and a fuzz. The mass law, stated
+precisely: summing P_KN(w2|w1) over the WHOLE continuation vocabulary
+(seen and unseen w2 — the interpolated term applies to all) equals 1
+per context (test_full_mass_sums_to_one_over_vocabulary). Over the
+rows ``kneser_ney_bigram_probs`` RETURNS — seen bigram types only —
+the per-context sum is strictly less: 1 minus the backoff mass routed
+to unseen continuations, (D * N1+(w1 *)/c(w1)) * (unseen continuation
+mass).
 Probe: ``tools/scale_probe.py --knlm`` (disjoint token-salted shards:
 per-shard scores must be IDENTICAL across scales — each shard is its
 own closed vocabulary — while wall tracks the corpus).

@@ -13,125 +13,110 @@ are NEW this round, changed this round, or carry the catalog's oldest
 driver evidence are imported first; everything pushed past the window
 has a fresh driver-green row from a recent CORRECTNESS_r*.json.
 
-Round-16 window (50 slots), executing VERDICT.md r15 #1 verbatim — the
-FIVE zero-evidence r15 registrations in the lead slots + the entire
-23-query r12-stale cohort + the oldest r13 rows to fill 50, leaving no
-catalog query's freshest driver row older than r13:
+Round-17 window (50 slots), executing VERDICT.md r16 #1 — the FIVE
+zero-evidence r16 registrations in the lead slots + the ENTIRE 29-query
+r13-stale cohort + the oldest r14 rows to fill 50, leaving no catalog
+query's freshest driver row older than r14:
 
-- fresh12 (3, slots 1-3) — ``graph_k_core``,
-  ``agg_histogram_sketch_rollup``, ``stream_two_stage_windowed``,
-  registered r15 past the window with oracles + staged-operator tests
-  at birth: zero driver rows until now, so they take the lead;
-- fresh13 (2, slots 4-5) — ``rel_funnel_time_bounded``,
-  ``dedup_bloom_prefilter``, same debut pattern (and the Bloom query's
-  10× ``--bloom`` probe ran BEFORE this row per VERDICT r15 #4);
-- fresh8d (4, 6-9) + fresh8f (5, 10-14) + fresh8g (4, 15-18) +
-  fresh8h (6, 19-24) + fresh8l (2, 25-26) + fresh8j (3, 27-29) — the
-  ENTIRE r12-stale cohort (fresh8d's head re-rowed r15 as slot 50; the
-  module moves as one);
-- graphml2 (2, 30-31) + fresh8i (4, 32-35) + fresh8k (2, 36-37) +
-  fresh8m (3, 38-40) + temporal2 (2, 41-42) + fresh6 (3, 43-45) +
-  graphml (2, 46-47) + relational2's first 3 (48-50) — the oldest r13
-  rows, oldest-first.
+- fresh14 (2, slots 1-2) — ``graph_k_truss``, ``txt_pmi_collocations``,
+  registered r16 past the window with oracles + staged-operator tests
+  + 1×/10× scale probes at birth: zero driver rows until now;
+- fresh15 (2, slots 3-4) — ``graph_components_jump``,
+  ``stream_interval_join_full``, same probe-first debut pattern;
+- fresh16 (1, slot 5) — ``agg_cms_heavy_hitters``, same pattern;
+- textstats (7, 6-12) + fresh7b2 (2, 13-14) + fresh7 (1, 15) +
+  fresh7c (2, 16-17) + fresh7e (1, 18) + fresh7f (3, 19-21) +
+  multimodal (5, 22-26) + fresh9 (5, 27-31) — 26 of the 29-query
+  r13-stale cohort;
+- fresh10 (3, 32-34) + temporal (5, 35-39) + advanced (7, 40-46) —
+  the oldest r14 rows;
+- relational2 (47-50) — the cohort's remaining 3 r13-stale queries
+  (``rel_full_outer_join``, ``rel_pivot_priority_revenue``,
+  ``rel_unpivot_metrics``), which the module now registers FIRST (its
+  internal order was swapped this round precisely so the window
+  boundary cuts the module where the evidence is stale — see
+  relational2.py's docstring); slot 50 is ``agg_distinct_stats``
+  (r16-fresh, harmless re-row), and the module's other two r16-fresh
+  queries sit at 51-52 just past the line.
 
-Sums to 50 exactly. Round-17 window DRAFT (slot arithmetic): the FIVE
-r16 registrations lead (fresh14 2: ``graph_k_truss`` over the
-r15-staged ``operators/graph.py::k_truss_edges`` with DATA-CHOSEN
-constants per VERDICT r15 #2, ``txt_pmi_collocations`` over
-``operators/collocation.py::pmi_collocations``; fresh15 2:
-``graph_components_jump`` over the r16-staged-and-probed
-``connected_components_jump``, ``stream_interval_join_full`` over the
-full-outer ``interval_join``; fresh16 1: ``agg_cms_heavy_hitters``
-over the r16-staged Count-Min sketch — all three fresh15/fresh16
-debuts probe-green BEFORE registration; the round's OTHER staged
-operator, the E-S sampler, was found already registered as fresh7f's
-``pipe_weighted_sample`` and deliberately NOT re-registered — see
-fresh16's docstring and the registry duplicate guard it motivated)
-+ relational2's tail 3 + the r13 remainder textstats 7 + fresh7b2 2 +
-fresh7 1 + fresh7c 2 + fresh7e 1 + fresh7f 3 + multimodal 5 + fresh9 5
-(through slot 34) + the oldest r14-row modules fresh10 3 + temporal 5
-+ advanced 7 (through 49) + similarity's first 1 (50). Sums to 50
-exactly; the similarity tail + multimodal2/sinks/dedup/relational and
-this round's r15-window modules (fresh11, streaming, fresh, fresh8e,
-fresh8c, fresh8a, fresh7d, mrcore, pipeline, textstats2, fresh7b,
-fresh8b — all r15 rows) open r18. Keep the arithmetic ledgered here
-when the r17 rotation lands.
+Sums to 50 exactly (2+2+1+7+2+1+2+1+3+5+5+3+5+7+4). Round-18 window
+DRAFT (slot arithmetic): fresh17's two r17 registrations lead
+(``dedup_sorted_neighborhood`` over the r16-staged
+operators/blocking.py, ``txt_kneser_ney_surprisal`` over the r16-staged
+operators/lm.py — both probe-first per the staging pattern), then
+relational2's tail 2 + the r14-row modules similarity 9 + multimodal2 1
++ sinks 5 + dedup 8 + relational 12 (through slot 39) + the oldest
+r15-row modules fresh11 3 + streaming 8 (through 50). Sums to 50
+exactly; the remaining r15 modules (fresh, fresh8e, fresh8c, fresh8a,
+fresh7d, mrcore, pipeline, textstats2, fresh7b, fresh8b) and this
+round's r16-window modules (fresh12, fresh13, the fresh8* cohort,
+graphml2, fresh8i/k/m, temporal2, fresh6, graphml — all r16 rows) open
+r19. Keep the arithmetic ledgered here when the r18 rotation lands.
 
-r17 debut candidates, STAGED r16 with tests + drafted oracles (the
-staging pattern): see the module docstrings of the two staged
-operators committed this round alongside their probe records —
-pointer-jumping connected components (operators/graph.py::
-connected_components_jump, probe --ccjump) and the FULL OUTER
-stream-stream interval join (streaming/windows.py, probe --fjoin).
-ALSO staged r16: the Count-Min frequency sketch (operators/
-cmsketch.py — probe-first, then REGISTERED same-round as
-``agg_cms_heavy_hitters``, fresh16) and deterministic weighted
-sampling (operators/sampling.py — probed and tested, then found to
-duplicate fresh7f's ``pipe_weighted_sample`` surface and deliberately
-left operator-only; the near-collision added registry.register's
-duplicate-name guard).
-
-r17 debut candidates, STAGED r16 late-round with tests + drafted
-oracles + probe modes (the staging pattern): sorted-neighborhood
-blocking — the ORDER-based candidate generator the content-blocking
-dedup family lacks, with the distributed global-position offset
-stitch (operators/blocking.py, tests/test_blocking.py, probe
---sneighbor; ``dedup_sorted_neighborhood`` planned) — and interpolated
-Kneser-Ney bigram scoring, the smoothed LM the add-one surprisal
-queries approximate (operators/lm.py, tests/test_lm.py, probe --knlm;
-``txt_kneser_ney_surprisal`` planned).
+r18 debut candidates, STAGED r16 with tests + drafted oracles + probe
+modes and REGISTERED r17 (fresh17): sorted-neighborhood blocking — the
+ORDER-based candidate generator the content-blocking dedup family
+lacks, with the distributed global-position offset stitch
+(operators/blocking.py, tests/test_blocking.py, probe --sneighbor) —
+and interpolated Kneser-Ney bigram scoring, the smoothed LM the add-one
+surprisal queries approximate (operators/lm.py, tests/test_lm.py,
+probe --knlm). Both follow the fresh12/fresh13/fresh14 wire-in-N+1
+precedent: oracle + local gate row + birth pytest at registration,
+first driver row with the next window lead.
 """
 
 from __future__ import annotations
 
 from mapreduce_system_spark.queries import (  # noqa: F401
-    fresh12,       # first-ever driver rows (window 1-3)
-    fresh13,       # first-ever driver rows (window 4-5)
-    fresh8d,       # r12 rows (head re-rowed r15) (window 6-9)
-    fresh8f,       # r12 rows (window 10-14)
-    fresh8g,       # r12 rows (window 15-18)
-    fresh8h,       # r12 rows (window 19-24)
-    fresh8l,       # r12 rows (window 25-26)
-    fresh8j,       # r12 rows (window 27-29)
-    graphml2,      # r13 rows (window 30-31)
-    fresh8i,       # r13 rows (window 32-35)
-    fresh8k,       # r13 rows (window 36-37)
-    fresh8m,       # r13 rows (window 38-40)
-    temporal2,     # r13 rows (window 41-42)
-    fresh6,        # r13 rows (window 43-45)
-    graphml,       # r13 rows (window 46-47)
-    relational2,   # r13 rows (window 48-50 = its first 3; tail r17)
-    # --- out of window from here (all driver-green r13/r14/r15,
+    fresh14,       # first-ever driver rows (window 1-2)
+    fresh15,       # first-ever driver rows (window 3-4)
+    fresh16,       # first-ever driver row (window 5)
+    textstats,     # r13 rows (window 6-12)
+    fresh7b2,      # r13 rows (window 13-14)
+    fresh7,        # r13 row (window 15)
+    fresh7c,       # r13 rows (window 16-17)
+    fresh7e,       # r13 row (window 18)
+    fresh7f,       # r13 rows (window 19-21)
+    multimodal,    # r13 rows (window 22-26)
+    fresh9,        # r13 rows (window 27-31)
+    fresh10,       # r14 rows (window 32-34)
+    temporal,      # r14 rows (window 35-39)
+    advanced,      # r14 rows (window 40-46)
+    relational2,   # r13-stale trio first (window 47-49) + head of the
+                   # r16-fresh trio (50); its tail 2 open r18
+    # --- out of window from here (all driver-green r14/r15/r16,
     # re-verified at HEAD by tools/verify_local.py at close) ---
-    fresh14,       # NEW r16 registrations — r17 window lead (debut pattern)
-    fresh15,       # NEW r16 registrations (probe-first) — r17 window lead
-    fresh16,       # NEW r16 registrations (probe-first) — r17 window lead
-    textstats,     # r13 rows — r17
-    fresh7b2,      # r13 rows — r17
-    fresh7,        # r13 row — r17
-    fresh7c,       # r13 rows — r17
-    fresh7e,       # r13 row — r17
-    fresh7f,       # r13 rows — r17
-    multimodal,    # r13 rows — r17
-    fresh9,        # r13 rows — r17
-    fresh10,       # r14 rows — r17
-    temporal,      # r14 rows — r17
-    advanced,      # r14 rows — r17
-    similarity,    # r14 rows — r17 head / r18
+    fresh17,       # NEW r17 registrations — r18 window lead (debut pattern)
+    similarity,    # r14 rows — r18
     multimodal2,   # r14 row — r18
     sinks,         # r14 rows — r18
     dedup,         # r14 rows — r18
     relational,    # r14 rows — r18
     fresh11,       # r15 rows — r18
-    streaming,     # r15 rows — r18
-    fresh,         # r15 rows — r18
-    fresh8e,       # r15 rows — r18
-    fresh8c,       # r15 rows — r18
-    fresh8a,       # r15 rows — r18
-    fresh7d,       # r15 row — r18
-    mrcore,        # r15 rows — r18
-    pipeline,      # r15 rows — r18
-    textstats2,    # r15 rows — r18
-    fresh7b,       # r15 rows — r18
-    fresh8b,       # r15 rows — r18
+    streaming,     # r15 rows — r18 tail
+    fresh,         # r15 rows — r19
+    fresh8e,       # r15 rows — r19
+    fresh8c,       # r15 rows — r19
+    fresh8a,       # r15 rows — r19
+    fresh7d,       # r15 row — r19
+    mrcore,        # r15 rows — r19
+    pipeline,      # r15 rows — r19
+    textstats2,    # r15 rows — r19
+    fresh7b,       # r15 rows — r19
+    fresh8b,       # r15 rows — r19
+    fresh12,       # r16 rows — r19
+    fresh13,       # r16 rows — r19
+    fresh8d,       # r16 rows — r19
+    fresh8f,       # r16 rows — r19
+    fresh8g,       # r16 rows — r19
+    fresh8h,       # r16 rows — r19
+    fresh8l,       # r16 rows — r19
+    fresh8j,       # r16 rows — r19
+    graphml2,      # r16 rows — r19
+    fresh8i,       # r16 rows — r19
+    fresh8k,       # r16 rows — r19
+    fresh8m,       # r16 rows — r19
+    temporal2,     # r16 rows — r19
+    fresh6,        # r16 rows — r19
+    graphml,       # r16 rows — r19
 )

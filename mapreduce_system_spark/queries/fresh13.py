@@ -40,9 +40,11 @@ from pyspark.sql import functions as F
 
 from mapreduce_system_spark.functions.hashing import md5_bucket32, md5_bucket32_sql
 from mapreduce_system_spark.functions.text import fingerprint
+from mapreduce_system_spark.caches import tracked_cache
 from mapreduce_system_spark.operators.bloomsketch import (
     bloom_build,
     bloom_maybe_contains,
+    bloom_params,
 )
 from mapreduce_system_spark.operators.funnel import funnel_conversion
 from mapreduce_system_spark.registry import register
@@ -122,13 +124,27 @@ def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_bloom_prefilter — membership prefilter + exact audit census
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 65536
-_BLOOM_K = 4
+# Sized-by-n (VERDICT r16 #5): m derives from the MEASURED distinct
+# history count via bloom_params' m = ceil(-n ln p / ln^2 2) — the
+# --bloom probe showed the old fixed m=65536 saturating at 10x history
+# (fp 0.76: the sketch filtered nothing). k is a pure function of the
+# fp target (round(-log2 p) = 7 at 1%), so it stays an authoring-time
+# constant and the oracle's probes CTE stays static; m is computed at
+# run time on BOTH engines from the same history relation.
+_BLOOM_FP_TARGET = 0.01
+_BLOOM_K = bloom_params(1, _BLOOM_FP_TARGET)[1]
 _BATCH_BUCKET = 90  # md5(doc_id) buckets >= this play "today's crawl"
 _RECRAWL_MOD = 7    # every 7th history doc rides today's batch too
 
 _BLOOM_PROBES_SQL = " UNION ALL ".join(
     f"SELECT {i} AS i" for i in range(_BLOOM_K)
+)
+
+# m's formula spelled with the same IEEE-double operation order as
+# bloom_params: (-n * ln(p)) / (ln(2) * ln(2)), then ceil.
+_BLOOM_M_SQL = (
+    f"greatest(1, CAST(ceil(-n * ln({_BLOOM_FP_TARGET}) / (ln(2) * ln(2)))"
+    " AS UBIGINT))"
 )
 
 _BLOOM_SQL = rf"""
@@ -140,6 +156,10 @@ b AS (
   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ),
 hist AS (SELECT DISTINCT fp FROM b WHERE bk < {_BATCH_BUCKET}),
+par AS (
+  SELECT {_BLOOM_M_SQL} AS m
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM hist)
+),
 batch AS (
   SELECT DISTINCT fp FROM (
     SELECT fp FROM b WHERE bk >= {_BATCH_BUCKET}
@@ -149,12 +169,12 @@ batch AS (
 ),
 sketch AS (
   SELECT DISTINCT
-    ('0x' || substr(md5(h.fp || ':' || i), 1, 8))::UBIGINT % {_BLOOM_M} AS pos
+    ('0x' || substr(md5(h.fp || ':' || i), 1, 8))::UBIGINT % (SELECT m FROM par) AS pos
   FROM hist h CROSS JOIN probes
 ),
 bpos AS (
   SELECT ba.fp,
-    ('0x' || substr(md5(ba.fp || ':' || i), 1, 8))::UBIGINT % {_BLOOM_M} AS pos
+    ('0x' || substr(md5(ba.fp || ':' || i), 1, 8))::UBIGINT % (SELECT m FROM par) AS pos
   FROM batch ba CROSS JOIN probes
 ),
 verd AS (
@@ -177,19 +197,27 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch. The (false, true) class is IMPOSSIBLE (no false negatives
     — the operator's one-sided-error contract), so it can never appear
     on either engine; (true, false) rows are the measured false
-    positives the audit exists to count (expected ~0 at m=65536 for the
-    fixture's history sizes). Fingerprints are the content-dedup
-    family's shared ``fingerprint()`` normalization; the batch is the
-    ``pipe_incremental_dedup`` hash split plus a staged deterministic
-    re-crawl slice so the seen class is exercised."""
+    positives the audit exists to count. Fingerprints are the
+    content-dedup family's shared ``fingerprint()`` normalization; the
+    batch is the ``pipe_incremental_dedup`` hash split plus a staged
+    deterministic re-crawl slice so the seen class is exercised. m is
+    SIZED BY n (VERDICT r16 #5): one probe-sized driver scalar — the
+    distinct history count, the documented-contract exception to
+    no-collects — feeds ``bloom_params``, so the sketch cannot
+    silently saturate as history grows the way the old fixed m=65536
+    measurably did at 10x history (--bloom probe: fp 0.76). The base
+    relation is tracked-cached: the count and the sketch build are two
+    executions over the same fingerprints."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    base = (
+    base = tracked_cache(
         docs.where(F.col("doc_id").isNotNull())
         .select("doc_id", fingerprint("text").alias("fp"))
         .where(F.col("fp").isNotNull())
+        .withColumn(
+            "bk",
+            F.pmod(md5_bucket32(F.col("doc_id").cast("string")), F.lit(100)),
+        )
     )
-    bk = F.pmod(md5_bucket32(F.col("doc_id").cast("string")), F.lit(100))
-    base = base.withColumn("bk", bk)
     hist = base.where(F.col("bk") < _BATCH_BUCKET).select("fp")
     batch = (
         base.where(F.col("bk") >= _BATCH_BUCKET)
@@ -201,8 +229,11 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("fp")
         )
     )
-    sketch = bloom_build(hist, "fp", m=_BLOOM_M, k=_BLOOM_K)
-    verd = bloom_maybe_contains(batch, sketch, "fp", m=_BLOOM_M, k=_BLOOM_K)
+    n_hist = hist.distinct().count()
+    m, k = bloom_params(n_hist, _BLOOM_FP_TARGET)
+    assert k == _BLOOM_K  # k is a pure function of the target (static probes CTE)
+    sketch = bloom_build(hist, "fp", m=m, k=_BLOOM_K)
+    verd = bloom_maybe_contains(batch, sketch, "fp", m=m, k=_BLOOM_K)
     seen = (
         hist.distinct()
         .select(F.col("fp").alias("key"))

@@ -93,11 +93,21 @@ def _ccjump_round_cte(prev: str, cur: str, r: int) -> str:
 
 _CC_SQL = (
     """
-WITH ordered AS (
-  SELECT o_custkey * 1024 + row_number() OVER (
+WITH rn_t AS (
+  SELECT o_custkey, row_number() OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ) - 1 AS id
+         ) AS rn
   FROM orders
+),
+ordered AS (
+  -- id stride GUARD: position-canonical ids collide across customers if
+  -- any customer has > 1024 orders; fail loudly instead of silently
+  -- merging chains (same guard as the Spark side's assert_true)
+  SELECT o_custkey * 1024 + rn - 1
+         + CASE WHEN rn > 1024
+                THEN error('orders-per-customer exceeds the 1024 id stride')
+                ELSE 0 END AS id
+  FROM rn_t
 ),
 pr AS (
   SELECT id - 1 AS u, id AS v
@@ -144,9 +154,23 @@ def q_graph_components_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rn = F.row_number().over(w)
+    # id stride GUARD: the position-canonical id o_custkey*1024 + rn - 1
+    # silently collides across customers (merging adjacent customers'
+    # chains AND breaking the id % 1024 first-order filter) if any
+    # customer ever has > 1024 orders. assert_true rides the same
+    # projection — no extra action, evaluated at any scale — and fails
+    # the job loudly instead; the oracle carries the error() twin.
+    guard = F.coalesce(
+        F.assert_true(
+            rn <= F.lit(1024),
+            F.lit("orders-per-customer exceeds the 1024 id stride"),
+        ).cast("long"),
+        F.lit(0),
+    )
     chain = (
         orders.select(
-            (F.col("o_custkey") * 1024 + F.row_number().over(w) - 1).alias("id")
+            (F.col("o_custkey") * 1024 + rn - 1 + guard).alias("id")
         )
         .where(F.col("id") % 1024 != 0)
         .select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"))

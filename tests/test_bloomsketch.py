@@ -16,6 +16,7 @@ import pytest
 from mapreduce_system_spark.operators.bloomsketch import (
     bloom_build,
     bloom_maybe_contains,
+    bloom_params,
 )
 
 _M, _K = 4096, 4
@@ -177,3 +178,34 @@ def test_bloom_rejects_bad_params(spark):
         bloom_maybe_contains(df, df.select(df.key.alias("pos")), "key", m=0)
     with pytest.raises(ValueError, match="k must"):
         bloom_maybe_contains(df, df.select(df.key.alias("pos")), "key", k=0)
+
+
+def test_bloom_params_pins_the_sizing_formula():
+    """m = ceil(-n ln p / ln^2 2), k = max(1, round(-log2 p)) — the
+    executable form of "callers size m" (VERDICT r16 #5). Values
+    hand-computed; k depends only on the target (the property that
+    lets a registered query keep a static probes CTE while deriving m
+    from the measured history count)."""
+    import math
+
+    assert bloom_params(1000, 0.01) == (9586, 7)
+    # hand-check: -1000*ln(.01) = 4605.170..., / ln(2)^2 = 9585.058...
+    assert bloom_params(0, 0.01) == (1, 7)       # empty history: any m works
+    assert bloom_params(1000, 0.5) == (1443, 1)  # k floor at 1
+    for p in (0.5, 0.1, 0.01, 0.001):
+        for n in (1, 10, 450, 10**6, 10**9):
+            m, k = bloom_params(n, p)
+            assert k == max(1, round(-math.log2(p)))  # n-independent
+            assert m >= max(1, n)  # m grows at least linearly in n
+    # real fp rate at the design point stays near the target:
+    # (1 - e^{-kn/m})^k for n=10^6 at p=0.01
+    m, k = bloom_params(10**6, 0.01)
+    real = (1 - math.exp(-k * 10**6 / m)) ** k
+    assert real < 0.011
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_expected"):
+        bloom_params(-1, 0.01)
+    for bad in (0.0, 1.0, -0.1, 2.0):
+        with _pytest.raises(ValueError, match="fp_target"):
+            bloom_params(10, bad)

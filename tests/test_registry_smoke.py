@@ -38,30 +38,31 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle entries without a registered query: {dangling}"
 
 
-def test_r16_driver_window_composition():
+def test_r17_driver_window_composition():
     """IMPORT ORDER IS LOAD-BEARING (queries/__init__.py): the driver's
-    correctness gate covers the FIRST 50 registered queries. Pin the r16
+    correctness gate covers the FIRST 50 registered queries. Pin the r17
     window EXACTLY (module granularity per the rotation plan in the
     package docstring) so an accidental import reorder — or a module
     gaining a query — can't silently rotate evidence-stale or brand-new
     queries out of the gate. Update deliberately with each rotation."""
     expected_modules = [
-        ("fresh12", 3),      # zero-evidence r15 debuts (VERDICT r15 #1)
-        ("fresh13", 2),      # zero-evidence r15 debuts
-        ("fresh8d", 4),      # the r12-stale cohort from here
-        ("fresh8f", 5),
-        ("fresh8g", 4),
-        ("fresh8h", 6),
-        ("fresh8l", 2),
-        ("fresh8j", 3),
-        ("graphml2", 2),     # the oldest r13 rows from here
-        ("fresh8i", 4),
-        ("fresh8k", 2),
-        ("fresh8m", 3),
-        ("temporal2", 2),
-        ("fresh6", 3),
-        ("graphml", 2),
-        ("relational2", 3),  # its first 3 only; tail opens r17
+        ("fresh14", 2),      # zero-evidence r16 debuts (VERDICT r16 #1)
+        ("fresh15", 2),      # zero-evidence r16 debuts
+        ("fresh16", 1),      # zero-evidence r16 debut
+        ("textstats", 7),    # the r13-stale cohort from here
+        ("fresh7b2", 2),
+        ("fresh7", 1),
+        ("fresh7c", 2),
+        ("fresh7e", 1),
+        ("fresh7f", 3),
+        ("multimodal", 5),
+        ("fresh9", 5),
+        ("fresh10", 3),      # the oldest r14 rows from here
+        ("temporal", 5),
+        ("advanced", 7),
+        ("relational2", 4),  # r13-stale trio first (internal reorder,
+                             # see relational2.py docstring) + one
+                             # r16-fresh re-row at slot 50; tail opens r18
     ]
     assert sum(c for _, c in expected_modules) == 50
     names = list(QUERIES)
@@ -73,23 +74,29 @@ def test_r16_driver_window_composition():
             got_modules.append([mod, 0])
         got_modules[-1][1] += 1
     assert [tuple(m) for m in got_modules] == expected_modules, got_modules
-    # the five zero-driver-row r15 registrations lead (VERDICT r15 #1)
+    # the five zero-driver-row r16 registrations lead (VERDICT r16 #1)
     assert window[:5] == [
-        "graph_k_core",
-        "agg_histogram_sketch_rollup",
-        "stream_two_stage_windowed",
-        "rel_funnel_time_bounded",
-        "dedup_bloom_prefilter",
-    ]
-    # relational2's remaining queries sit immediately past the line,
-    # then this round's past-window registrations (fresh14 + fresh15
-    # pairs — the fresh12/fresh13 wire-in-N+1 precedent): first driver
-    # rows come with the r17 window lead, not by displacing r16
-    # rotation debt
-    assert names[53:58] == [
         "graph_k_truss",
         "txt_pmi_collocations",
         "graph_components_jump",
         "stream_interval_join_full",
         "agg_cms_heavy_hitters",
+    ]
+    # relational2's r13-stale trio sits INSIDE the boundary (the module
+    # registers them first since the r17 internal reorder)
+    assert window[46:50] == [
+        "rel_full_outer_join",
+        "rel_pivot_priority_revenue",
+        "rel_unpivot_metrics",
+        "agg_distinct_stats",
+    ]
+    # relational2's remaining r16-fresh rows sit immediately past the
+    # line, then this round's registrations (fresh17 — the
+    # fresh12/13/14 wire-in-N+1 precedent): first driver rows come with
+    # the r18 window lead, not by displacing r17 rotation debt
+    assert names[50:54] == [
+        "agg_approx_distinct",
+        "agg_star_pricing",
+        "dedup_sorted_neighborhood",
+        "txt_kneser_ney_surprisal",
     ]

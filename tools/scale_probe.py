@@ -2417,11 +2417,19 @@ def bloom_main(reps: int, src: str, out_name: str | None = None) -> int:
     the bounded fraction the two-tier design assumes. Scale
     construction: replica r SALTS the fingerprint (``fp#r``) — the
     sketch hashes opaque strings, so salting grows the distinct key
-    population toward m without touching parquet; history/batch split
-    and recrawl staging are the registered query's constants verbatim.
-    Wall is recorded for the m-bounded claim: the sketch side of the
-    probe join is capped at m rows however large the corpus, so the
-    recurring cost must grow far slower than the 10x key volume."""
+    population without touching parquet; history/batch split and
+    recrawl staging are the registered query's constants verbatim.
+
+    r17 re-probe (VERDICT r16 #5): the registered query now SIZES m BY
+    the measured history count (``bloom_params``, fp target 1%) — the
+    fix for the saturation this probe itself caught at the old fixed
+    m=65536 (10x history -> fp 0.76, residue 0.89). The probe mirrors
+    that: m is re-derived per scale, so the claim under test becomes
+    "the measured fp rate stays at the design target at EVERY history
+    size" rather than "the formula predicts the decay". Wall is still
+    recorded: m now grows linearly with n, so the sketch stays a
+    fixed-ratio summary (~9.6 bits/key) and the join cost must track
+    the key volume, not explode."""
     import math
     import statistics
 
@@ -2430,9 +2438,11 @@ def bloom_main(reps: int, src: str, out_name: str | None = None) -> int:
     from mapreduce_system_spark.operators.bloomsketch import (
         bloom_build,
         bloom_maybe_contains,
+        bloom_params,
     )
 
-    M, K = 65536, 4                    # the registered query's constants
+    FP_TARGET = 0.01                   # the registered query's target
+    K = bloom_params(1, FP_TARGET)[1]  # k is n-independent (= 7 at 1%)
     BATCH_BUCKET, RECRAWL_MOD = 90, 7  # (queries/fresh13.py)
     spark = get_spark("scale_probe_bloom")
     docs = load_table(spark, src, "documents", columns=["doc_id", "text"])
@@ -2468,8 +2478,9 @@ def bloom_main(reps: int, src: str, out_name: str | None = None) -> int:
     def run(rep: int):
         hist, batch = key_relations(rep)
         t0 = time.time()
-        sketch = bloom_build(hist, "key", m=M, k=K)
-        verd = bloom_maybe_contains(batch, sketch, "key", m=M, k=K)
+        m, _ = bloom_params(hist.count(), FP_TARGET)  # sized-by-n, timed in
+        sketch = bloom_build(hist, "key", m=m, k=K)
+        verd = bloom_maybe_contains(batch, sketch, "key", m=m, k=K)
         census = {
             (r["maybe_seen"], r["actually_seen"]): r["n"]
             for r in verd.join(
@@ -2485,25 +2496,26 @@ def bloom_main(reps: int, src: str, out_name: str | None = None) -> int:
         wall = time.time() - t0
         n_hist = hist.count()
         caches.release()
-        return wall, n_hist, census
+        return wall, n_hist, census, m
 
     run(1)  # untimed warm-up (JVM/codegen)
     record: dict = {
-        "mode": "bloom", "reps": reps, "src": src, "m": M, "k": K,
+        "mode": "bloom", "reps": reps, "src": src,
+        "fp_target": FP_TARGET, "k": K, "sized_by_n": True,
         "scales": {},
     }
     ok = True
     for label, rep in [("1x", 1), (f"{reps}x", reps)]:
-        walls, n_hist, census = [], 0, {}
+        walls, n_hist, census, m = [], 0, {}, 1
         for _ in range(3):
-            w, n_hist, census = run(rep)
+            w, n_hist, census, m = run(rep)
             walls.append(w)
         n_fp = census.get((True, False), 0)
         n_fn = census.get((False, True), 0)
         n_new = n_fp + census.get((False, False), 0)
         n_seen = n_fn + census.get((True, True), 0)
         n_batch = n_new + n_seen
-        predicted = (1.0 - math.exp(-K * n_hist / M)) ** K
+        predicted = (1.0 - math.exp(-K * n_hist / m)) ** K
         measured = n_fp / n_new if n_new else None
         # binomial tolerance on the fp COUNT: 4 sigma + 3 absolute (the
         # 1x point expects ~a-few false positives — Poisson-noisy)
@@ -2512,6 +2524,7 @@ def bloom_main(reps: int, src: str, out_name: str | None = None) -> int:
         ok = ok and tracks and n_fn == 0
         record["scales"][label] = {
             "n_history_keys": n_hist,
+            "m": m,
             "n_batch_keys": n_batch,
             "n_new_keys": n_new,
             "false_positives": n_fp,
