@@ -626,7 +626,7 @@ def k_truss_edges(
     *,
     rounds: int = 2,
     edges_undirected_distinct: bool = False,
-    reuse_orientation: bool = False,
+    reuse_orientation: bool = True,
 ) -> DataFrame:
     """SYNCHRONOUS k-truss peeling — the EDGE-level density filter next
     to ``k_core_peel``'s node-level one: each round removes EVERY edge
@@ -701,8 +701,12 @@ def k_truss_edges(
     # bit-identical either way (pinned by test). The O(E·arboricity)
     # wedge bound degrades only as far as the peeled graph's degree
     # order drifts from round 0's — peeling removes edges, so round-0
-    # degrees only over-estimate, and the A/B measured the trade at
-    # sf0.1 (bench_runs/r17_ktruss_ab.json).
+    # degrees only over-estimate. The r17 A/B at sf0.1 (alternating
+    # arms, median-of-3, bench_runs/r17_ktruss_ab.json) measured reuse
+    # at 0.76x the re-derive wall at the registered k=8/rounds=2 — the
+    # degraded bound never showed — so reuse is the default; re-derive
+    # (False) is the right call only for many-round peels where the
+    # drift could compound.
     ord0: DataFrame | None = None
     if reuse_orientation:
         before0 = persistent_rdd_ids(spark)

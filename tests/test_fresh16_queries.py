@@ -29,3 +29,23 @@ def test_cms_audit_exercises_both_estimate_classes(spark):
         assert n_collided == 9, n_collided
     finally:
         caches.release()
+
+
+def test_cms_constants_hold_at_sf01_too(spark):
+    """VERDICT r16 #8: the registered w=32/d=3 were chosen on the
+    sf0.01 gate fixture; guard against a fixture regeneration silently
+    collapsing the collided class at the BENCH scale. The md5 cell map
+    is a pure function of the token strings, and both fixtures carry
+    the same 31-token vocabulary — so both estimate classes (all-rows
+    collided: overcount > 0; at-least-one-clean-row: overcount = 0)
+    must occur at sf0.1 exactly as at the gate scale."""
+    try:
+        rows = QUERIES["agg_cms_heavy_hitters"](spark, "/root/testdata/sf0.1").collect()
+        assert len(rows) == 31
+        for r in rows:
+            assert r.overcount >= 0 and r.est_cnt == r.exact_cnt + r.overcount
+        n_collided = sum(1 for r in rows if r.overcount > 0)
+        assert n_collided == 9, n_collided
+        assert sum(1 for r in rows if r.overcount == 0) == 22
+    finally:
+        caches.release()
