@@ -63,6 +63,22 @@ surprisal queries approximate (operators/lm.py, tests/test_lm.py,
 probe --knlm). Both follow the fresh12/fresh13/fresh14 wire-in-N+1
 precedent: oracle + local gate row + birth pytest at registration,
 first driver row with the next window lead.
+
+r18 debut candidates, STAGED r17 with tests + drafted oracles + probe
+modes (VERDICT r16 #6, keeping the stage-in-N cadence fed): the
+densest-subgraph greedy peel (operators/densest.py — Bahmani et al.'s
+synchronous 2(1+eps)-approx, node-sized recurrence state like k-core;
+tests/test_densest.py with the planted-clique guarantee law; probe
+--densest: per-round census exactly x10, density shard-local, wall
+x1.76; NOTE for registration: at eps=0.5 the RAW co-purchase graph
+peels to empty by round 3 with the best prefix at round 0 — pick the
+support-thresholded graph or a smaller eps with data, the k-truss
+lesson) and the SESSION-WINDOW stream-stream join
+(streaming/windows.py::session_join — the session twin completing the
+interval-join matrix, Flink semantics over the merged per-key
+timeline; tests/test_sessionjoin.py with the bridging law the interval
+join cannot express; probe --sessjoin: pairs and sessions exactly x10,
+wall x0.93).
 """
 
 from __future__ import annotations

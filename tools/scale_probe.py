@@ -46,6 +46,8 @@ Usage::
     python tools/scale_probe.py --wsample [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --sneighbor [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --knlm [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --densest [--out NAME] [reps] [src_sf_dir]
+    python tools/scale_probe.py --sessjoin [--out NAME] [reps] [src_sf_dir]
     python tools/scale_probe.py --manifest [--out NAME]
 
 NOTE: in ``--asof`` mode the third positional is HOT_PCT (default 20) —
@@ -684,6 +686,12 @@ def main() -> int:
     knlm_mode = "--knlm" in args
     if knlm_mode:
         args.remove("--knlm")
+    densest_mode = "--densest" in args
+    if densest_mode:
+        args.remove("--densest")
+    sessjoin_mode = "--sessjoin" in args
+    if sessjoin_mode:
+        args.remove("--sessjoin")
     reps = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     organic_pct = int(args[2]) if len(args) > 2 else (
@@ -746,6 +754,18 @@ def main() -> int:
                   f"extra arg(s): {args[2:]}", file=sys.stderr)
             return 2
         return knlm_main(reps, src, out_name)
+    if densest_mode:
+        if len(args) > 2:
+            print(f"# --densest takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return densest_main(reps, src, out_name)
+    if sessjoin_mode:
+        if len(args) > 2:
+            print(f"# --sessjoin takes [reps] [src_sf_dir] only; unexpected "
+                  f"extra arg(s): {args[2:]}", file=sys.stderr)
+            return 2
+        return sessjoin_main(reps, src, out_name)
     if (stream_mode or rules_mode or card_mode or tfidf_mode or lpa_mode
             or sessions_mode or boilerplate_mode):
         if len(args) > 2:
@@ -3126,6 +3146,176 @@ def wsample_main(reps: int, src: str, out_name: str | None = None) -> int:
     out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
     return 0 if ok else 1
+
+
+def densest_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Densest-subgraph peel at 1x vs reps x (staged r17,
+    operators/densest.py — the ktruss probe's disjoint construction
+    verbatim: replica r offsets l_orderkey AND l_partkey, so each
+    shard's co-purchase graph is an isomorphic copy). Hard gates: the
+    per-round census n_nodes and n_edges scale EXACTLY reps x (density
+    is shard-local, so the round-r density must be IDENTICAL across
+    scales up to the 1-ulp noise of dividing 10x-scaled integers —
+    tolerance 2e-6 on the 6-dp rounded value). Wall is the free
+    variable: per round one degree aggregate over the lazily
+    re-filtered edges + one node-sized keep checkpoint + two
+    semi-joins; nothing edge-sized materializes (the k-core shape, not
+    the k-truss one — expect a k-core-like ratio)."""
+    import statistics
+
+    from mapreduce_system_spark.operators.densest import densest_subgraph_rounds
+    from mapreduce_system_spark.queries._graphshared import copurchase_pairs
+
+    EPS, ROUNDS = 0.5, 4
+    dst = "/tmp/spark_graft_scale/densest_sf1"
+    spark = get_spark("scale_probe_densest")
+    li = load_table(spark, src, "lineitem", columns=["l_orderkey", "l_partkey"])
+    _write_replicated(
+        spark, li, ["l_orderkey", "l_partkey"], reps, f"{dst}/lineitem.parquet"
+    )
+
+    def run(d: str):
+        pr = copurchase_pairs(spark, d)
+        t0 = time.time()
+        rows = sorted(
+            (r["round"], r["n_nodes"], r["n_edges"], r["density"])
+            for r in densest_subgraph_rounds(
+                pr, epsilon=EPS, rounds=ROUNDS, src="u", dst="v",
+                edges_undirected_distinct=True,
+            ).collect()
+        )
+        wall = time.time() - t0
+        caches.release()
+        return wall, rows
+
+    run(src)  # untimed warm-up
+    record: dict = {
+        "mode": "densest", "reps": reps, "src": src,
+        "epsilon": EPS, "rounds": ROUNDS, "scales": {},
+    }
+    census: dict[str, list] = {}
+    for label, d in [("sf0.1", src), ("sf1", dst)]:
+        walls, rows = [], []
+        for _ in range(3):
+            w, rows = run(d)
+            walls.append(w)
+        census[label] = rows
+        record["scales"][label] = {
+            "census": [
+                {"round": r, "n_nodes": n, "n_edges": m, "density": rho}
+                for r, n, m, rho in rows
+            ],
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: census={rows} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, bb = census["sf0.1"], census["sf1"]
+    counts_exact = all(
+        (br == ar and bn == reps * an and bm == reps * am)
+        for (ar, an, am, _), (br, bn, bm, _) in zip(a, bb)
+    )
+    density_tracks = all(
+        abs(brho - arho) <= 2e-6
+        for (_, _, _, arho), (_, _, _, brho) in zip(a, bb)
+    )
+    record["counts_exact_scale"] = counts_exact
+    record["density_shard_local"] = density_tracks
+    sa = record["scales"]["sf0.1"]["wall_s"]
+    sb = record["scales"]["sf1"]["wall_s"]
+    record["wall_ratio"] = round(sb / sa, 2) if sa else None
+    print("| scale | round0 nodes/edges | final density | wall s |")
+    print("|---|---|---|---|")
+    for label in ("sf0.1", "sf1"):
+        c = census[label]
+        print(f"| {label} | {c[0][1]}/{c[0][2]} | {c[-1][3]} "
+              f"| {record['scales'][label]['wall_s']} |")
+    print(f"| ratio | | | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_densest_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    shutil.rmtree(dst, ignore_errors=True)
+    return 0 if (counts_exact and density_tracks) else 1
+
+
+def sessjoin_main(reps: int, src: str, out_name: str | None = None) -> int:
+    """Session-window join at 1x vs reps x (staged r17,
+    streaming/windows.py::session_join): replica r offsets user_id and
+    event_id, so every shard's per-user merged click/purchase timeline
+    is an exact clone and sessions never cross shards. Hard gates: the
+    joined-pair count AND the distinct joined-session count scale
+    EXACTLY reps x. Wall is the free variable: one exchange on the key
+    covers both window passes over the tagged union, then one
+    (key, session_id) equi-join — no theta join anywhere, so wall must
+    track the event volume."""
+    import statistics
+
+    from mapreduce_system_spark.streaming.windows import session_join
+
+    GAP = "30 minutes"
+    spark = get_spark("scale_probe_sessjoin")
+    ev = load_table(
+        spark, src, "events", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+
+    def shards(rep: int):
+        rdf = spark.range(rep).select(F.col("id").alias("r"))
+        return ev.crossJoin(F.broadcast(rdf)).select(
+            (F.col("user_id") + F.col("r") * _OFFSET).alias("user_id"),
+            "ts",
+            "event_type",
+            (F.col("event_id") + F.col("r") * _OFFSET).alias("event_id"),
+        )
+
+    def run(rep: int):
+        e = shards(rep)
+        clicks = e.where(F.col("event_type") == "click").drop("event_type")
+        purchases = e.where(F.col("event_type") == "purchase").drop("event_type")
+        t0 = time.time()
+        pairs = session_join(clicks, purchases, "user_id", "ts", "ts", GAP)
+        agg = pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("l_user_id", "session_id").alias("n_sessions"),
+        ).collect()[0]
+        wall = time.time() - t0
+        caches.release()
+        return wall, int(agg["n_pairs"]), int(agg["n_sessions"])
+
+    run(1)  # untimed warm-up
+    record: dict = {
+        "mode": "sessjoin", "reps": reps, "src": src, "gap": GAP,
+        "scales": {},
+    }
+    for label, rep in [("1x", 1), (f"{reps}x", reps)]:
+        walls, n_pairs, n_sess = [], 0, 0
+        for _ in range(3):
+            w, n_pairs, n_sess = run(rep)
+            walls.append(w)
+        record["scales"][label] = {
+            "joined_pairs": n_pairs,
+            "joined_sessions": n_sess,
+            "wall_s": round(statistics.median(walls), 2),
+        }
+        print(f"# {label}: pairs={n_pairs} sessions={n_sess} "
+              f"wall={record['scales'][label]['wall_s']}", file=sys.stderr)
+    a, bb = record["scales"]["1x"], record["scales"][f"{reps}x"]
+    record["pairs_exact_scale"] = (
+        bb["joined_pairs"] == reps * a["joined_pairs"]
+        and bb["joined_sessions"] == reps * a["joined_sessions"]
+    )
+    record["wall_ratio"] = (
+        round(bb["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+    )
+    print("| scale | pairs | sessions | wall s |")
+    print("|---|---|---|---|")
+    for label in ("1x", f"{reps}x"):
+        sc = record["scales"][label]
+        print(f"| {label} | {sc['joined_pairs']} | {sc['joined_sessions']} "
+              f"| {sc['wall_s']} |")
+    print(f"| ratio | | | **{record['wall_ratio']}** |")
+    out = _record_out(out_name, "scale_probe_sessjoin_latest.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+    print(f"# wrote {out}", file=sys.stderr)
+    return 0 if record["pairs_exact_scale"] else 1
 
 
 if __name__ == "__main__":
