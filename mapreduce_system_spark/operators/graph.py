@@ -249,6 +249,7 @@ def label_propagation(
     *,
     iterations: int = 3,
     edges_undirected_distinct: bool = False,
+    argmax_mode: bool = True,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (LPA) over
     the undirected graph: every node starts labeled with its own id,
@@ -269,12 +270,20 @@ def label_propagation(
     u<v contract) and skips the symmetrize-distinct shuffle — the union
     with the reversed copy is then distinct by construction, saving one
     full-edge-list exchange before the cache (the NULL/self-loop filter
-    still applies, it is map-side-free). Node ids must be non-NULL integers
-    above LONG_MIN (the argmax rides a single map-side-combinable
-    ``max(struct(cnt, -label))`` aggregate — maximal count, then
-    minimal label — instead of a per-node window sort; negation is
-    exact for every id the fixtures or any realistic key space
-    produce).
+    still applies, it is map-side-free). The per-round argmax defaults
+    to a single ``mode(lbl, deterministic=True)`` aggregate
+    (``argmax_mode=True``): Spark 4's deterministic mode returns the
+    LOWEST value among equally-frequent ones — exactly the
+    most-frequent-then-smallest tie-break — as one ObjectHashAggregate
+    whose partial count-maps combine map-side. ``argmax_mode=False``
+    keeps the two-phase count + ``max(struct(cnt, -label))`` form,
+    whose struct-typed max buffer forces a SortAggregate pair: two
+    per-round sorts of the vote counts on top of the extra aggregate
+    (node ids must then be non-NULL integers above LONG_MIN for the
+    negation to be exact). The r17 A/B on the registered query's graph measured
+    mode at 0.66x the two-phase wall with bit-identical labels
+    (bench_runs/r17_lpa_mode_ab.json; parity pinned by
+    tests/test_lpa.py::test_lpa_mode_argmax_is_bit_identical).
 
     Scale shape, mirroring ``pagerank``'s audit: per round ONE
     equi-join (labels onto the symmetrized edge list) + ONE aggregation
@@ -306,21 +315,43 @@ def label_propagation(
     )
     prev_ids: set[int] = set()
     for _ in range(iterations):
-        votes = (
-            sym.join(labels, sym.u == labels.node)
-            .select(F.col("v").alias("node"), F.col("label").alias("lbl"))
-            .groupBy("node", "lbl")
-            .agg(F.count("*").alias("cnt"))
+        neigh = sym.join(labels, sym.u == labels.node).select(
+            F.col("v").alias("node"), F.col("label").alias("lbl")
         )
-        # deterministic argmax without a window: max over (count, -label)
-        # = most frequent neighbor label, smallest label on ties
         before = persistent_rdd_ids(spark)
-        new_labels = (
-            votes.groupBy("node")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("m"))
-            .select("node", (-F.col("m.nl")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        if argmax_mode:
+            # ONE aggregate chain per round: mode(lbl, deterministic=
+            # True) IS "most frequent neighbor label, smallest on ties"
+            # — the exact LPA tie-break — computed as an
+            # ObjectHashAggregate whose partial count-maps combine
+            # map-side. The two-phase form below plans the argmax as a
+            # SortAggregate pair (the struct-typed max buffer forces
+            # SortAggregate, tests/test_plan_guards.py:354's documented
+            # behavior), paying two per-round SORTs of the vote counts
+            # on top of the extra aggregate pair — see
+            # plans/r17/graph_label_propagation_round_{before,after}.txt.
+            # r17 A/B at sf0.1 on the registered query's graph:
+            # bench_runs/r17_lpa_mode_ab.json, 0.66x, bit-identical.
+            new_labels = (
+                neigh.groupBy("node")
+                .agg(F.mode("lbl", True).alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # deterministic argmax without a window: max over
+            # (count, -label) = most frequent label, smallest on ties
+            new_labels = (
+                neigh.groupBy("node", "lbl")
+                .agg(F.count("*").alias("cnt"))
+                .groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                    ).alias("m")
+                )
+                .select("node", (-F.col("m.nl")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
         step_ids = persistent_rdd_ids(spark) - before
         if prev_ids:
             unpersist_rdd_ids(spark, prev_ids)
@@ -627,6 +658,7 @@ def k_truss_edges(
     rounds: int = 2,
     edges_undirected_distinct: bool = False,
     reuse_orientation: bool = True,
+    explode_members: bool = True,
 ) -> DataFrame:
     """SYNCHRONOUS k-truss peeling — the EDGE-level density filter next
     to ``k_core_peel``'s node-level one: each round removes EVERY edge
@@ -654,7 +686,13 @@ def k_truss_edges(
     orientation (``orient_by_degree``), wedges generated only at each
     triangle's minimum-(degree, id) vertex, so the wedge volume is
     O(E·arboricity), never Θ(Σ d²) — then ONE edge-keyed support
-    aggregate (union of the three member-edge projections,
+    aggregate over the triangle stream exploded into its three member
+    edges (``explode_members=True``, the r17 default: one pass over the
+    enumeration; the unionAll-of-three-projections form re-planned the
+    wedge self-join + closing-edge probe once per projection — the A/B
+    bench_runs/r17_ktruss_members_ab.json measured explode at 0.38x
+    with bit-identical output, parity pinned by tests/test_ktruss.py::
+    test_ktruss_explode_members_is_bit_identical; both forms stay
     partial+final combinable). UNLIKE k-core, the per-round checkpoint
     is EDGE-sized: the recurrence state IS the surviving edge set (the
     answer itself), so an E-sized materialization per round is the
@@ -733,17 +771,46 @@ def k_truss_edges(
             cur.hint("shuffle_hash"),
             (F.col("u") == F.col("b")) & (F.col("v") == F.col("c")),
         ).select("a", "b", "c")
-        members = (
-            tri.select(
-                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-            )
-            .unionAll(
+        if explode_members:
+            # ONE pass over the triangle stream: each triangle explodes
+            # into its three member edges (a<b and a<c re-ordered by
+            # value; b<c already value-ordered by construction) — the
+            # connected_components explode trick, here applied so the
+            # wedge self-join + closing-edge probe above evaluate ONCE.
+            # The unionAll form re-plans that whole subtree THREE times
+            # (one per member projection); AQE's runtime stage reuse
+            # dedups only the shuffle-feeding map stages, not the three
+            # reduce-side closing-join executions (their downstream
+            # projections differ, so the stages never canonicalize
+            # equal). r17 A/B at the registered constants:
+            # bench_runs/r17_ktruss_members_ab.json.
+            members = tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("a", "b").alias("u"),
+                            F.greatest("a", "b").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("a", "c").alias("u"),
+                            F.greatest("a", "c").alias("v"),
+                        ),
+                        F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                    )
+                ).alias("e")
+            ).select("e.u", "e.v")
+        else:
+            members = (
                 tri.select(
-                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
                 )
+                .unionAll(
+                    tri.select(
+                        F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                    )
+                )
+                .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
             )
-            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
-        )
         return members.groupBy("u", "v").agg(F.count("*").alias("cnt"))
 
     cur = tracked_cache(pr)
