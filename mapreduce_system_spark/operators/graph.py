@@ -481,10 +481,17 @@ def k_core_peel(
 
 
 def degree_census(pr: DataFrame) -> DataFrame:
-    """(node, d) degree table of a value-ordered distinct edge list."""
+    """(node, d) degree table of a value-ordered distinct edge list.
+
+    ONE explode pass over the edge list (r17): the
+    unionAll-of-two-projections form planned the edge subtree twice,
+    and when ``pr`` is a lazy construction (k-truss's ord0 job, the
+    degree-distribution query) the second branch re-pays everything AQE
+    exchange reuse cannot dedup within the action. Output is identical
+    — the same endpoint multiset feeds the same count aggregate
+    (A/B: bench_runs/r17_degree_census_ab.json)."""
     return (
-        pr.select(F.col("u").alias("node"))
-        .unionAll(pr.select(F.col("v").alias("node")))
+        pr.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
@@ -745,10 +752,17 @@ def k_truss_edges(
     # degraded bound never showed — so reuse is the default; re-derive
     # (False) is the right call only for many-round peels where the
     # drift could compound.
+    # cache the normalized edge list BEFORE deriving ord0 (r17): the
+    # ord0 checkpoint and round 0's support are SEPARATE actions, and
+    # AQE exchange reuse never spans actions — deriving ord0 from the
+    # lazy pr re-ran the whole upstream edge construction once per
+    # action. Censusing the cache instead fills it during the ord0 job
+    # and every later action reads blocks.
+    cur = tracked_cache(pr)
     ord0: DataFrame | None = None
     if reuse_orientation:
         before0 = persistent_rdd_ids(spark)
-        ord0 = degree_census(pr).localCheckpoint(eager=True)
+        ord0 = degree_census(cur).localCheckpoint(eager=True)
         track_rdd_ids(spark, persistent_rdd_ids(spark) - before0)
 
     def support(cur: DataFrame) -> DataFrame:
@@ -813,7 +827,6 @@ def k_truss_edges(
             )
         return members.groupBy("u", "v").agg(F.count("*").alias("cnt"))
 
-    cur = tracked_cache(pr)
     kept_ids: set[int] = set()
     for _ in range(rounds):
         supp = support(cur)
@@ -849,6 +862,7 @@ def connected_components_jump(
     id_b: str = "id_b",
     *,
     rounds: int = 6,
+    cache_jump_input: bool = False,
 ) -> DataFrame:
     """POINTER-JUMPING connected components: (id, lab) where ``lab``
     converges to the component-minimum id. Staged r16 for a later debut
@@ -961,6 +975,15 @@ def connected_components_jump(
                 F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
             ).alias("lab"),
         )
+        # cache_jump_input: the jump below references m TWICE (both
+        # self-join sides), and the two sides never canonicalize to one
+        # AQE stage (one is the broadcast/build side, one the stream
+        # side), so m's neighbor-min subtree computes twice per round;
+        # a node-sized cache pinned only until this round's checkpoint
+        # is materialized computes it once. A/B'd either way at sf0.1:
+        # bench_runs/r17_ccjump_cachem_ab.json.
+        if cache_jump_input:
+            m = m.cache()
         # (2) pointer jump: lab(v) <- lab(lab(v)) — node-sized self-join
         before = persistent_rdd_ids(spark)
         lab = (
@@ -969,6 +992,8 @@ def connected_components_jump(
             .select(F.col("a.id").alias("id"), F.col("b.lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
+        if cache_jump_input:
+            m.unpersist(False)  # checkpoint materialized — m has no consumer
         step_ids = persistent_rdd_ids(spark) - before
         if kept_ids:
             unpersist_rdd_ids(spark, kept_ids)

@@ -243,12 +243,14 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact: floor(log2(d)) can only flip at powers of two, where IEEE
     log2 is exact on both engines."""
     pr = copurchase_pairs(spark, sf_dir)
-    deg = (
-        pr.select(F.col("u").alias("node"))
-        .unionAll(pr.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    # degree table via the operator's shared one-pass explode census
+    # (r17): the inline unionAll-of-two-projections spelling planned the
+    # whole copurchase construction once per branch — and a private
+    # spelling here could drift from the census the graph operators
+    # actually use (this module's anti-drift doctrine).
+    from mapreduce_system_spark.operators import graph as G
+
+    deg = G.degree_census(pr)
     return (
         deg.groupBy(F.floor(F.log2("d")).cast("int").alias("degree_bin"))
         .agg(
