@@ -88,16 +88,28 @@ _PROFILE_SQL = (
 
 
 @register("rel_table_profile", _PROFILE_SQL)
-def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_table_profile(
+    spark: SparkSession, sf_dir: str, *, split_string_extrema: bool = True
+) -> DataFrame:
     """Column-profile rows for every column of orders — row count, null
     count, exact distinct count, and typed min/max/mean — computed in
-    ONE pass.
+    one wide pass plus one slim pass (see below).
 
-    The Spark side folds all 6 columns' aggregates into a single
-    one-row aggregation (exact multi-column count-distinct runs via
-    the Expand operator: one scan at k× intermediate width instead of
-    k scans — the profiler trade) and unpivots it with ``stack``, so
-    the table is read once no matter how many columns are profiled.
+    The Spark side folds the counts, exact multi-column count-distincts
+    (via the Expand operator: one scan at k× intermediate width instead
+    of k scans — the profiler trade) and all NUMERIC/TIMESTAMP extrema
+    into a single one-row aggregation, and unpivots with ``stack``.
+    The STRING min/max live in a SEPARATE slim global aggregate that is
+    broadcast-crossJoined back (r17, ``split_string_extrema=True``):
+    min/max over a string column has an immutable aggregation buffer,
+    which demotes the WHOLE aggregate — including the 7×-Expanded
+    distinct rows — from HashAggregate to SortAggregate, paying a sort
+    of every expanded row by the full grouping tuple. Split out, the
+    mega-aggregate hash-aggregates the expanded rows unsorted, and the
+    string pass scans just the two string columns with a grouping-free
+    (hence sort-free) SortAggregate. A/B at sf0.1 (alternating arms,
+    bit-identical rows): bench_runs/r17_table_profile_ab.json; plan
+    diff plans/r17/rel_table_profile_{before,after}.txt.
     The oracle spells the same numbers as a per-column UNION ALL.
     Doubles are rounded BEFORE the unpivot; min/max of doubles are
     never stringified (engines disagree on double→string formatting),
@@ -114,13 +126,19 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.round(F.min(c).cast("double"), 2).alias(f"{c}__min"))
         aggs.append(F.round(F.max(c).cast("double"), 2).alias(f"{c}__max"))
         aggs.append(F.round(F.avg(c), 4).alias(f"{c}__mean"))
+    str_aggs = []
     for c in _STR_COLS:
-        aggs.append(F.min(c).alias(f"{c}__mins"))
-        aggs.append(F.max(c).alias(f"{c}__maxs"))
+        str_aggs.append(F.min(c).alias(f"{c}__mins"))
+        str_aggs.append(F.max(c).alias(f"{c}__maxs"))
     for c in _TS_COLS:
         aggs.append(F.date_format(F.min(c), "yyyy-MM-dd").alias(f"{c}__mins"))
         aggs.append(F.date_format(F.max(c), "yyyy-MM-dd").alias(f"{c}__maxs"))
-    row = orders.agg(F.count("*").alias("__rows"), *aggs)
+    if split_string_extrema:
+        row = orders.agg(F.count("*").alias("__rows"), *aggs).crossJoin(
+            F.broadcast(orders.select(*_STR_COLS).agg(*str_aggs))
+        )
+    else:
+        row = orders.agg(F.count("*").alias("__rows"), *aggs, *str_aggs)
 
     branches = []
     for c in _NUM_COLS:

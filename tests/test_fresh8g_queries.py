@@ -49,15 +49,40 @@ def test_table_profile_matches_direct_aggregates(spark):
     assert st["min_s"] == "F" and st["max_s"] == "P"
 
 
-def test_table_profile_is_one_scan(spark):
-    """The profiler must read orders ONCE: a single scan node in the
-    physical plan (the multi-distinct runs via Expand, not re-scans)."""
-    from mapreduce_system_spark.queries.fresh8g import q_table_profile
+def test_table_profile_scan_and_aggregate_shape(spark):
+    """The profiler reads orders through ONE wide scan (the Expand-based
+    multi-count-distinct — never k re-scans) plus ONE slim string-only
+    pass (r17: string min/max buffers are immutable, and folding them
+    into the mega-aggregate demoted the whole thing — Expanded distinct
+    rows included — to SortAggregate with a sort of every expanded row;
+    split out, the mega-aggregate hash-aggregates unsorted and the slim
+    pass is grouping-free, hence sort-free. A/B 0.59x:
+    bench_runs/r17_table_profile_ab.json). Pins: exactly two scans, the
+    slim one pruned to the two string columns; the Expand subtree
+    hash-aggregates (no SortAggregate anywhere); no sort below the
+    final output ORDER BY."""
+    from mapreduce_system_spark.queries.fresh8g import _STR_COLS, q_table_profile
 
-    plan = formatted_plan(q_table_profile(spark, SF_DIR))
+    import re
+
+    df = q_table_profile(spark, SF_DIR)
+    plan = formatted_plan(df)
     # each node appears twice in a formatted plan (tree + detail section)
-    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan parquet") == 4, plan  # wide pass + slim pass
     assert "Expand" in plan  # the multi-count-distinct shape
+    # the Expand side hash-aggregates; the slim string pass is a
+    # grouping-free SortAggregate that needs NO sort — so the only Sort
+    # node in the whole plan is the final output ORDER BY
+    assert len(re.findall(r"^\(\d+\) HashAggregate$", plan, re.M)) >= 4, plan
+    assert len(re.findall(r"^\(\d+\) Sort$", plan, re.M)) == 1, plan
+    # the slim pass reads ONLY the string columns (column pruning held)
+    slim_schemas = [
+        seg.split("\n", 1)[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if all(c in seg.split("\n", 1)[0] for c in _STR_COLS)
+        and "o_orderkey" not in seg.split("\n", 1)[0]
+    ]
+    assert slim_schemas, plan
 
 
 # ---------------------------------------------------------------------------
