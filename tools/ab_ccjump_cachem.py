@@ -32,6 +32,7 @@ from mapreduce_system_spark.operators import graph as G  # noqa: E402
 from mapreduce_system_spark.queries import fresh15  # noqa: E402
 from mapreduce_system_spark.registry import QUERIES  # noqa: E402
 from mapreduce_system_spark.session import get_spark  # noqa: E402
+from tools._abcommon import assert_sane_walls  # noqa: E402
 
 
 def main() -> int:
@@ -68,6 +69,9 @@ def main() -> int:
             assert rows == ref_rows, f"{label} diverged from first result"
     med_a = statistics.median(walls["recompute"])
     med_b = statistics.median(walls["cache_m"])
+    # refuse to write a record whose wall series fails the spread
+    # rule (VERDICT r17 #9 — the executable hygiene check)
+    assert_sane_walls(walls)
     record = {
         "protocol": (
             "alternating A/B, median-of-%d per arm, untimed warm-up first, "

@@ -27,6 +27,7 @@ from mapreduce_system_spark import caches  # noqa: E402
 from mapreduce_system_spark.operators import graph as G  # noqa: E402
 from mapreduce_system_spark.registry import QUERIES  # noqa: E402
 from mapreduce_system_spark.session import get_spark  # noqa: E402
+from tools._abcommon import assert_sane_walls  # noqa: E402
 
 _QUERIES = ("graph_degree_distribution", "graph_triangle_count")
 
@@ -72,6 +73,9 @@ def main() -> int:
             assert out == ref, f"{label} diverged from first result"
     med_a = statistics.median(walls["union"])
     med_b = statistics.median(walls["explode"])
+    # refuse to write a record whose wall series fails the spread
+    # rule (VERDICT r17 #9 — the executable hygiene check)
+    assert_sane_walls(walls)
     record = {
         "protocol": (
             "alternating A/B, median-of-%d per arm, untimed warm-up first, "

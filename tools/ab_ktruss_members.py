@@ -35,6 +35,7 @@ from mapreduce_system_spark.queries.fresh14 import (  # noqa: E402
     _KTRUSS_ROUNDS,
 )
 from mapreduce_system_spark.session import get_spark  # noqa: E402
+from tools._abcommon import assert_sane_walls  # noqa: E402
 
 
 def census(spark, sf_dir: str, explode_members: bool):
@@ -79,6 +80,9 @@ def main() -> int:
             assert rows == ref_rows, f"{label} diverged from first result"
     med_a = statistics.median(walls["union"])
     med_b = statistics.median(walls["explode"])
+    # refuse to write a record whose wall series fails the spread
+    # rule (VERDICT r17 #9 — the executable hygiene check)
+    assert_sane_walls(walls)
     record = {
         "protocol": (
             "alternating A/B, median-of-%d per arm, untimed warm-up first, "

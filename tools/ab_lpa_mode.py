@@ -31,6 +31,7 @@ from mapreduce_system_spark import caches  # noqa: E402
 from mapreduce_system_spark.operators.graph import label_propagation  # noqa: E402
 from mapreduce_system_spark.queries._graphshared import copurchase_pairs  # noqa: E402
 from mapreduce_system_spark.session import get_spark  # noqa: E402
+from tools._abcommon import assert_sane_walls  # noqa: E402
 
 _ITER = 3  # the registered graph_label_propagation constant (fresh10)
 
@@ -71,6 +72,9 @@ def main() -> int:
             assert rows == ref_rows, f"{label} diverged from first result"
     med_a = statistics.median(walls["two_phase"])
     med_b = statistics.median(walls["mode"])
+    # refuse to write a record whose wall series fails the spread
+    # rule (VERDICT r17 #9 — the executable hygiene check)
+    assert_sane_walls(walls)
     record = {
         "protocol": (
             "alternating A/B, median-of-%d per arm, untimed warm-up first, "

@@ -27,6 +27,7 @@ sys.path.insert(0, str(REPO))
 from mapreduce_system_spark import caches  # noqa: E402
 from mapreduce_system_spark.queries.fresh8g import q_table_profile  # noqa: E402
 from mapreduce_system_spark.session import get_spark  # noqa: E402
+from tools._abcommon import assert_sane_walls  # noqa: E402
 
 
 def main() -> int:
@@ -58,6 +59,9 @@ def main() -> int:
             assert rows == ref_rows, f"{label} diverged from first result"
     med_a = statistics.median(walls["folded"])
     med_b = statistics.median(walls["split"])
+    # refuse to write a record whose wall series fails the spread
+    # rule (VERDICT r17 #9 — the executable hygiene check)
+    assert_sane_walls(walls)
     record = {
         "protocol": (
             "alternating A/B, median-of-%d per arm, untimed warm-up first, "

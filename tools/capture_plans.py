@@ -1,8 +1,9 @@
 """Capture ``.explain("formatted")`` plans for named queries.
 
-Writes ``plans/r17/<query>_<tag>.txt`` for each requested query — the
-before/after plan evidence the optimization round commits alongside the
-code (the judge checks plan claims against these files).
+Writes ``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt`` (default
+round r18) for each requested query — the before/after plan evidence
+the optimization round commits alongside the code (the judge checks
+plan claims against these files).
 
 Usage: python tools/capture_plans.py <tag> [sf_dir] <query> [query ...]
        python tools/capture_plans.py before /root/testdata/sf0.1 graph_k_truss
@@ -36,14 +37,17 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
-    out_dir = REPO / "plans" / "r17"
+    import os
+
+    round_tag = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18")
+    out_dir = REPO / "plans" / round_tag
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("capture_plans")
     for name in names:
         df = QUERIES[name](spark, sf_dir)
         (out_dir / f"{name}_{tag}.txt").write_text(formatted_plan(df) + "\n")
         caches.release()
-        print(f"wrote plans/r17/{name}_{tag}.txt")
+        print(f"wrote plans/{round_tag}/{name}_{tag}.txt")
     return 0
 
 
