@@ -559,7 +559,11 @@ def triangle_stats(pr: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     wed = deg.agg(
         # coalesce: the sum over an EMPTY degree table is NULL, which
         # would slip past the n_wedges == 0 pin below and make the
-        # empty graph's transitivity NULL instead of the pinned 0.0
+        # empty graph's transitivity NULL instead of the pinned 0.0.
+        # (Folding this and the node count into ONE deg aggregate was
+        # A/B'd r18 and REJECTED at 1.037x —
+        # bench_runs/r18_triangle_summary_ab.json; the four 1-row
+        # aggregates cost nothing the merge saves.)
         F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0))
         .cast("long")
         .alias("n_wedges")
@@ -984,16 +988,20 @@ def connected_components_jump(
         # bench_runs/r17_ccjump_cachem_ab.json.
         if cache_jump_input:
             m = m.cache()
-        # (2) pointer jump: lab(v) <- lab(lab(v)) — node-sized self-join
-        before = persistent_rdd_ids(spark)
-        lab = (
-            m.alias("a")
-            .join(m.alias("b"), F.col("a.lab") == F.col("b.id"))
-            .select(F.col("a.id").alias("id"), F.col("b.lab").alias("lab"))
-            .localCheckpoint(eager=True)
-        )
-        if cache_jump_input:
-            m.unpersist(False)  # checkpoint materialized — m has no consumer
+        # (2) pointer jump: lab(v) <- lab(lab(v)) — node-sized self-join.
+        # try/finally: an exception between cache() and the checkpoint
+        # must not leak m's blocks past this round (ADVICE r17)
+        try:
+            before = persistent_rdd_ids(spark)
+            lab = (
+                m.alias("a")
+                .join(m.alias("b"), F.col("a.lab") == F.col("b.id"))
+                .select(F.col("a.id").alias("id"), F.col("b.lab").alias("lab"))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            if cache_jump_input:
+                m.unpersist(False)  # checkpoint materialized — no consumer
         step_ids = persistent_rdd_ids(spark) - before
         if kept_ids:
             unpersist_rdd_ids(spark, kept_ids)
