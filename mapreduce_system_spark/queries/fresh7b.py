@@ -52,9 +52,9 @@ from mapreduce_system_spark.sources.tables import load_table
 from mapreduce_system_spark.queries._bm25shared import (
     BM25_B as _BM25_B,
     BM25_K1 as _BM25_K1,
-    BM25_QUERIES as _BM25_QUERIES,
     BM25_TOPK as _BM25_TOPK,
     BM25_VALUES as _BM25_VALUES,
+    bm25_chain,
 )
 
 _BM25_SQL = rf"""
@@ -104,49 +104,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set bounded by df, never the corpus. The idf/tf-norm
     formula is written with identical parenthesization to the oracle
     so double math agrees to the rounded 4 decimals."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
-    # one tokenize pass: dl and df both derive from the tf table (dlen =
-    # sum of a doc's term frequencies), so the corpus is exploded once
-    tf = tok.groupBy("doc_id", "word").agg(F.count("*").cast("double").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
-    corpus = dl.agg(
-        F.avg("dlen").alias("avgdl"), F.count("*").cast("double").alias("n")
-    )
-    df = tf.groupBy("word").agg(F.count("*").cast("double").alias("df"))
-    q = spark.createDataFrame(_BM25_QUERIES, ["query", "word"])
-    # Pre-filter the df aggregate down to the query terms BEFORE it is
-    # broadcast: the full vocabulary of a web-scale corpus is tens of
-    # millions of rows and must never ride a forced broadcast hint. The
-    # (tiny) query term list is the broadcast side of the semi-reduction,
-    # so the build relation below is bounded by |query terms|, not |vocab|.
-    dfq = df.join(F.broadcast(q.select("word").distinct()), "word")
-
-    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
-    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tfnorm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
-    )
-    scored = (
-        F.broadcast(q)
-        .join(tf, "word")
-        .join(F.broadcast(dfq), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("query", "doc_id")
-        .agg(F.sum(idf * tfnorm).alias("score"))
-    )
-    win = W.partitionBy("query").orderBy(F.desc("score"), "doc_id")
-    return (
-        scored.select(
-            "query",
-            "doc_id",
-            F.row_number().over(win).alias("rank"),
-            F.round("score", 4).alias("score"),
-        )
-        .where(F.col("rank") <= _BM25_TOPK)
-        .orderBy("query", "rank")
-    )
+    # the chain itself lives in _bm25shared.bm25_chain (r18): moved
+    # verbatim so txt_rrf_fusion can reuse the tf postings table —
+    # same expressions, same float discipline, same plan shape here
+    ranked, _tf = bm25_chain(spark, sf_dir)
+    return ranked
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,8 @@ scale while becoming O(n²) at real scale. These tests pin the plan shape.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from mapreduce_system_spark.operators import dedup as DD
@@ -574,20 +576,24 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark, monkeypatch):
         assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
 
 
-def test_rrf_fusion_coverage_filter_precedes_distinct(spark):
-    """txt_rrf_fusion (r14): the coverage system's dedup must operate on
-    the query-term-filtered postings, never on the corpus-vocabulary
-    posting set — the dedup HashAggregate (keys = query, doc_id, word)
-    must sit ABOVE the broadcast join with the 8-row query list (a
-    distinct below the join would shuffle every (doc, word) posting and
-    would carry only (doc_id, word) keys). Asserted STRUCTURALLY
-    (ADVICE r14 #4): walk the physical tree, find the three-key dedup
-    aggregate, and require the query-list BroadcastHashJoin inside ITS
-    subtree — a regression that re-orders the two would still plan as
-    BHJ and still pass any flat substring count. Plus the cheap global
-    proxies: no CartesianProduct, no SortMergeJoin (the BM25 subtree's
-    one-row corpus-stats BroadcastNestedLoopJoin is the only
-    nested-loop allowed)."""
+def test_rrf_fusion_coverage_reads_shared_tf(spark):
+    """txt_rrf_fusion (r18): the coverage system derives from BM25's tf
+    postings aggregate — ONE corpus tokenize pass feeds both fused
+    systems (the shared-tf rewrite, bench_runs/r18_rrf_shared_tf_ab.json:
+    29->27 executed stages, bit-identical output). Pins the rewrite's two
+    structural facts (the r14 guard pinned the pre-r18 3-key dedup
+    aggregate, which this rewrite removes BY DESIGN — tf already holds
+    one row per distinct (doc_id, word), so coverage needs no dedup):
+    (a) NO (query, doc_id, word) dedup aggregate anywhere — its
+        reappearance means the second tokenize+distinct pass is back;
+    (b) every BroadcastHashJoin against the 8-row query list probes an
+        aggregated postings relation — a (doc_id, word)-keyed
+        HashAggregate in its subtree — never raw exploded postings
+        (joining q below the tf aggregate would fan the corpus explode
+        out by query multiplicity before the first combine).
+    Plus the cheap global proxies: no CartesianProduct, no SortMergeJoin
+    (the BM25 subtree's one-row corpus-stats BroadcastNestedLoopJoin is
+    the only nested-loop allowed)."""
     from mapreduce_system_spark.plans.checks import physical_subtrees
     from mapreduce_system_spark.registry import QUERIES
 
@@ -596,24 +602,31 @@ def test_rrf_fusion_coverage_filter_precedes_distinct(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
-    dedup_heads = []
-    structurally_ok = False
+    q_bhjs = 0
     for name, head, subtree in physical_subtrees(df):
-        if name != "HashAggregate" or "keys=[" not in head:
+        if name == "HashAggregate" and "keys=[" in head:
+            keys = head.split("keys=[", 1)[1].split("]", 1)[0]
+            # (a) the pre-r18 dedup aggregate must stay gone
+            assert not all(
+                k in keys for k in ("query#", "doc_id#", "word#")
+            ), head + "\n" + plan
+        if name != "BroadcastHashJoin":
             continue
-        keys = head.split("keys=[", 1)[1].split("]", 1)[0]
-        if all(k in keys for k in ("query#", "doc_id#", "word#")):
-            dedup_heads.append(head)
-            # the createDataFrame query list materializes as a Scan
-            # ExistingRDD (or LocalTableScan if Catalyst converts it)
-            # of (query, word) under a BroadcastHashJoin
-            if "BroadcastHashJoin" in subtree and (
-                "Scan ExistingRDD[query#" in subtree
-                or "LocalTableScan [query#" in subtree
-            ):
-                structurally_ok = True
-    assert dedup_heads, plan  # the 3-key dedup aggregate must exist at all
-    assert structurally_ok, "\n".join(dedup_heads) + "\n" + plan
+        # the createDataFrame query list materializes as a Scan
+        # ExistingRDD (or LocalTableScan if Catalyst converts it)
+        if not (
+            "Scan ExistingRDD[query#" in subtree
+            or "LocalTableScan [query#" in subtree
+        ):
+            continue
+        q_bhjs += 1
+        # (b) the probe side aggregates postings to (doc_id, word)
+        # grain BEFORE meeting the query list — the tf aggregate's
+        # keys appear inline in the subtree string
+        assert re.search(
+            r"HashAggregate\(keys=\[doc_id#\d+L?, word#\d+L?\]", subtree
+        ), subtree
+    assert q_bhjs >= 3, plan  # scored, dfq and coverage joins all hit q
 
 
 def test_kcore_checkpoints_node_sized_and_unhinted(spark, monkeypatch):
