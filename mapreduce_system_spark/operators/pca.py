@@ -80,6 +80,7 @@ def pca_topk(
     rounds: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    checkpoint_w: bool = True,
 ) -> DataFrame:
     """Top-``k`` principal directions of the (uncentered) corpus:
     (component, pos, loading), component 0 = leading. Directions are
@@ -90,6 +91,21 @@ def pca_topk(
     round per component); with well-separated spectrum 3 rounds match
     the fixture corpus to 6 decimals, and a production caller loops to
     a Rayleigh tolerance the way ``clustering.kmeans_fit`` does.
+
+    ``checkpoint_w`` (r18, guide §5): materialize the d-row loading
+    iterate ``w`` once per round BEFORE the norm/normalize step. The
+    norm rides ``v`` as a broadcast subtree, so without this the
+    round's checkpoint action computed the corpus-sized s→w aggregate
+    chain once for the norm subtree and once for the main branch (AQE
+    exchange reuse dedups the shuffle-feeding map stages within the
+    action, but the final round's SEPARATE norm checkpoint action
+    re-ran the whole chain — reuse never spans actions). With the
+    d-row ``w`` checkpointed, every reader — norm, normalize, the
+    final-round norm checkpoint — reads d local rows; the corpus cache
+    is touched exactly 2 times per round. Same doubles: checkpointing
+    changes where a value is read from, never its arithmetic
+    (A/B bit-identical: bench_runs/r18_pca_wckpt_ab.json).
+    ``checkpoint_w=False`` keeps the pre-r18 shape for that A/B.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -126,6 +142,7 @@ def pca_topk(
         v = _project_out(v, prev)
         nrm = None
         nrm_ids: set[int] = set()
+        w_ids: set[int] = set()
         for r in range(rounds):
             s = (
                 comp.join(F.broadcast(v), "pos")
@@ -138,6 +155,16 @@ def pca_topk(
                 .agg(F.sum(F.col("val") * F.col("s")).alias("v"))
             )
             w = _project_out(w, prev)
+            if checkpoint_w:
+                # materialize the d-row iterate once; the norm subtree and
+                # the normalize branch below both read these blocks instead
+                # of re-running the corpus aggregates (docstring, r18)
+                before_w = persistent_rdd_ids(spark)
+                w = w.localCheckpoint(eager=True)
+                new_w_ids = persistent_rdd_ids(spark) - before_w
+                if w_ids:
+                    unpersist_rdd_ids(spark, w_ids)
+                w_ids = new_w_ids
             nrm = w.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
             if r == rounds - 1:
                 # the FINAL norm outlives the round (the exhaustion guard
@@ -162,6 +189,10 @@ def pca_topk(
             if round_ids:
                 unpersist_rdd_ids(spark, round_ids)
             round_ids = new_round_ids
+        if w_ids:
+            # the final round's iterate blocks: nrm and v are checkpointed
+            # on their own blocks now, so these are release-now garbage
+            unpersist_rdd_ids(spark, w_ids)
         if ci == 0:
             # the guard's reference rides component 0's already-
             # checkpointed final norm (no second checkpoint); its blocks
