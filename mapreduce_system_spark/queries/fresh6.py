@@ -383,6 +383,11 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r18 A/B flag (tools/ab_tws_changelog.py patches this; default is the
+# measured winner recorded in bench_runs/r18_tws_changelog_ab.json)
+_TWS_CHANGELOG_CKPT = True
+
+
 @register("stream_stateful_sessions_tws", _STATEFUL_SESSIONS_SQL)
 def q_stateful_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same sessionization on ``transformWithStateInPandas`` — the
@@ -405,8 +410,21 @@ def q_stateful_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming."
         "state.RocksDBStateStoreProvider"
     )
+    # changelog checkpointing (r18, guide §5 state/spill): per commit,
+    # upload the batch's CHANGELOG instead of snapshotting RocksDB
+    # SST files — snapshots move to a background maintenance thread, so
+    # the per-micro-batch commit path stops paying the full-store
+    # upload. A/B'd on this query's replay (2-3 micro-batches):
+    # bench_runs/r18_tws_changelog_ab.json; the module flag exists for
+    # that harness.
+    changelog = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
     with _pinned_conf(
         spark, "spark.sql.streaming.stateStore.providerClass", rocksdb
+    ), _pinned_conf(
+        spark, changelog, "true" if _TWS_CHANGELOG_CKPT else "false"
     ), tws_protobuf_env(spark):
         return _run_session_stream(
             spark,

@@ -89,6 +89,33 @@ def test_map_reduce_scalable_matches_rdd_variant(spark):
     assert scalable == rdd_based == {"hello": "2", "is": "2", "my": "1", "name": "3"}
 
 
+def test_map_reduce_scalable_arrow_and_pandas_reduce_agree(spark):
+    """The applyInArrow reduce (r18 default) ≡ the applyInPandas form —
+    same keys, same sorted value lists handed to reducef, same output.
+    The reducef here ECHOES its value list so ordering drift (not just
+    count drift) would fail."""
+    df = spark.createDataFrame(
+        [("f1", "b a c a"), ("f2", "a c b b")], ["file", "content"]
+    )
+
+    def mapf(fname, content):
+        return [(w, f"{fname}:{i}") for i, w in enumerate(content.split())]
+
+    def reducef(key, values):
+        return "|".join(values)  # sorted order is part of the contract
+
+    arrow = {
+        r.key: r.value
+        for r in MR.map_reduce_scalable(df, mapf, reducef, arrow_groups=True).collect()
+    }
+    pandas_ = {
+        r.key: r.value
+        for r in MR.map_reduce_scalable(df, mapf, reducef, arrow_groups=False).collect()
+    }
+    assert arrow == pandas_
+    assert arrow["a"] == "f1:1|f1:3|f2:0"
+
+
 def test_generic_contract_mapf_tolerates_null_text():
     """A NULL documents.text row must map to zero pairs (the oracle's
     unnest-over-NULL), not crash the Arrow map stage."""
