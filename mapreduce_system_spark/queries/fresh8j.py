@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from mapreduce_system_spark.operators import graph as G
 from mapreduce_system_spark.queries._graphshared import copurchase_pairs
 from mapreduce_system_spark.functions.text import tokens
 from mapreduce_system_spark.registry import register
@@ -248,8 +249,6 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole copurchase construction once per branch — and a private
     # spelling here could drift from the census the graph operators
     # actually use (this module's anti-drift doctrine).
-    from mapreduce_system_spark.operators import graph as G
-
     deg = G.degree_census(pr)
     return (
         deg.groupBy(F.floor(F.log2("d")).cast("int").alias("degree_bin"))

@@ -57,25 +57,31 @@ def test_table_profile_scan_and_aggregate_shape(spark):
     rows included — to SortAggregate with a sort of every expanded row;
     split out, the mega-aggregate hash-aggregates unsorted and the slim
     pass is grouping-free, hence sort-free. A/B 0.59x:
-    bench_runs/r17_table_profile_ab.json). Pins: exactly two scans, the
-    slim one pruned to the two string columns; the Expand subtree
-    hash-aggregates (no SortAggregate anywhere); no sort below the
-    final output ORDER BY."""
+    bench_runs/r17_table_profile_ab.json). Pins the SPECIFIC regression
+    the split guards against (ADVICE r17: not brittle node counts over
+    the flat plan): (a) the Expand rows must never sit under a
+    SortAggregate — that is the demotion; (b) no Sort node may sit
+    below the Expand — that is the demotion's cost; (c) the slim pass's
+    scan must stay pruned to exactly the string columns."""
     from mapreduce_system_spark.queries.fresh8g import _STR_COLS, q_table_profile
-
-    import re
+    from mapreduce_system_spark.plans.checks import physical_subtrees
 
     df = q_table_profile(spark, SF_DIR)
+    nodes = list(physical_subtrees(df))
+    # the multi-count-distinct shape is present at all
+    assert any(name == "Expand" for name, _, _ in nodes)
+    # (a) no SortAggregate anywhere above the Expand subtree
+    for name, _, subtree in nodes:
+        if name == "SortAggregate":
+            assert "Expand" not in subtree, subtree
+    # (b) no Sort below the Expand (the final output ORDER BY sits above)
+    sort_heads = [head for name, head, _ in nodes if name == "Sort"]
+    for name, _, subtree in nodes:
+        if name == "Expand":
+            for sh in sort_heads:
+                assert sh not in subtree, subtree
+    # (c) the slim pass reads ONLY the string columns (column pruning held)
     plan = formatted_plan(df)
-    # each node appears twice in a formatted plan (tree + detail section)
-    assert plan.count("Scan parquet") == 4, plan  # wide pass + slim pass
-    assert "Expand" in plan  # the multi-count-distinct shape
-    # the Expand side hash-aggregates; the slim string pass is a
-    # grouping-free SortAggregate that needs NO sort — so the only Sort
-    # node in the whole plan is the final output ORDER BY
-    assert len(re.findall(r"^\(\d+\) HashAggregate$", plan, re.M)) >= 4, plan
-    assert len(re.findall(r"^\(\d+\) Sort$", plan, re.M)) == 1, plan
-    # the slim pass reads ONLY the string columns (column pruning held)
     slim_schemas = [
         seg.split("\n", 1)[0]
         for seg in plan.split("ReadSchema: ")[1:]
@@ -83,6 +89,17 @@ def test_table_profile_scan_and_aggregate_shape(spark):
         and "o_orderkey" not in seg.split("\n", 1)[0]
     ]
     assert slim_schemas, plan
+
+
+def test_table_profile_split_arms_are_identical(spark):
+    """split_string_extrema=True (default) and =False must return the
+    same rows — the fallback arm exists for the A/B harness, and an
+    untested arm would be free to drift (ADVICE r17)."""
+    from mapreduce_system_spark.queries.fresh8g import q_table_profile
+
+    split = q_table_profile(spark, SF_DIR, split_string_extrema=True).collect()
+    folded = q_table_profile(spark, SF_DIR, split_string_extrema=False).collect()
+    assert split == folded
 
 
 # ---------------------------------------------------------------------------
