@@ -55,16 +55,42 @@ def _pinned_conf(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, old)
 
 
+# r18 A/B flag (tools/ab_stream_shuffle.py patches this to a fixed int;
+# None = the scale-adaptive default below, the measured winner recorded
+# in bench_runs/r18_stream_shuffle_ab.json)
+_STREAM_SHUFFLE_PIN: int | None = None
+
+
 @contextmanager
-def _stream_shuffle(spark: SparkSession, n: int = 8):
-    """Pin a small shuffle-partition count around a stream START: the
-    state store creates one instance per shuffle partition per batch, so
-    a fixture-scale stream under the session's batch-oriented setting
-    (32/200) pays 4-25× the state overhead for no parallelism gain. The
-    count binds to the query's fresh checkpoint at start and the session
-    value is restored immediately after — at production volume you would
-    size this UP, not down; the point is that it is the STREAM's knob,
-    not the session's."""
+def _stream_shuffle(spark: SparkSession, n: int | None = None):
+    """Pin the stream's shuffle-partition count around its START: the
+    state store creates one instance per shuffle partition per batch,
+    and the count binds to the query's fresh checkpoint at start (the
+    session value is restored immediately after — it is the STREAM's
+    knob, not the session's).
+
+    Default (r18): ``max(8, defaultParallelism)`` — scale-adaptive, not
+    a constant. The r12-era constant 8 was sized when per-instance
+    state-store overhead dominated; the r18 profile shows the dominant
+    term is now the per-group Python handler time
+    (``allUpdatesTimeMs`` ~1.4 s/batch across 8 partitions at sf0.1),
+    which the pin was CAPPING at 8 concurrent workers on a 32-core
+    master. Deriving from ``defaultParallelism`` keeps the 8-core
+    driver run at the old shape (8) while wider masters get their
+    cores; at production volume the same rule sizes the store shards to
+    the cluster, with ``$SPARK_GRAFT_STREAM_SHUFFLE`` as the explicit
+    override."""
+    if n is None:
+        n = _STREAM_SHUFFLE_PIN
+    if n is None:
+        import os
+
+        env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+        n = (
+            int(env)
+            if env
+            else max(8, spark.sparkContext.defaultParallelism)
+        )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
